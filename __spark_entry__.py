@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin facade over :mod:`rigatoni_spark.catalog`, where each implemented
+operator from SURVEY.md §2 (plus the relational surface and the
+LLM-pipeline operators) is registered as a named query with its DuckDB
+oracle SQL.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's spine — change-event source -> $match
+    pushdown filter -> dedup-by-key -> per-collection/hour rollup
+    (SURVEY.md §7.1 slice 0)."""
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.operators import batching, dedup, filters
+    from rigatoni_spark.sources.change_events import read_change_events
+
+    ce = read_change_events(spark, "/root/testdata/sf0.001")
+    filtered = filters.match_pipeline(
+        ce,
+        [{"$match": {"operationType": {"$in": ["insert", "update", "replace"]}}}],
+    )
+    deduped = dedup.latest_by_key(filtered)
+    parts = batching.with_partition_cols(deduped)
+    return (
+        parts.groupBy("collection", "year", "month", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("collection", "year", "month", "day", "hour")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rigatoni_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rigatoni_spark.catalog import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,280 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 (plus the
+relational surface and LLM-pipeline operators) as a named
+``(spark, sf_dir) -> DataFrame`` callable with its DuckDB oracle SQL.
+
+``__spark_entry__.py`` re-exports this — the driver's correctness gate
+runs both sides at sf0.01 and hash-compares.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rigatoni_spark import tables
+from rigatoni_spark.llm import dedup as ldedup
+from rigatoni_spark.llm import textstats
+from rigatoni_spark.operators import (
+    batching,
+    dedup,
+    filters,
+    grouping,
+    relational,
+)
+from rigatoni_spark.sources.change_events import (
+    change_events_oracle_cte,
+    read_change_events,
+)
+
+_CE_CTE = f"WITH change_events AS ({change_events_oracle_cte()})"
+
+# The demonstrated $match pipeline (reference example
+# rigatoni-examples/change_stream_listener.rs:153-165: $in on
+# operationType + fullDocument.priority >= 5; our payload field is `k`).
+_MATCH_PIPELINE = [
+    {
+        "$match": {
+            "operationType": {"$in": ["insert", "update"]},
+            "fullDocument.k": {"$gte": 50},
+        }
+    }
+]
+
+_MATCH_WHERE = (
+    "operation IN ('insert','update') "
+    "AND CAST(json_extract_string(full_document, '$.k') AS BIGINT) >= 50"
+)
+
+
+def _q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.project_envelope(read_change_events(spark, sf_dir))
+
+
+def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return filters.project_envelope(filters.match_pipeline(ce, _MATCH_PIPELINE))
+
+
+def _q_filter_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return filters.project_envelope(filters.filter_ops(ce, "insert"))
+
+
+def _q_data_modifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return filters.project_envelope(filters.filter_data_modifications(ce))
+
+
+def _q_group_by_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouping.group_by_collection_counts(read_change_events(spark, sf_dir))
+
+
+def _q_count_by_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouping.count_by_operation(read_change_events(spark, sf_dir))
+
+
+def _q_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouping.pipeline_stats(read_change_events(spark, sf_dir))
+
+
+def _q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return dedup.dedup_by_key(ce).select(
+        "collection", "document_key", "operation", "resume_token"
+    ).orderBy("collection", "document_key")
+
+
+def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return dedup.latest_by_key(ce).select(
+        "collection", "document_key", "operation", "resume_token"
+    ).orderBy("collection", "document_key")
+
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir)
+    return batching.windowed_counts(ce, "1 hour").orderBy(
+        "window_start", "collection"
+    )
+
+
+def _q_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = batching.with_partition_cols(read_change_events(spark, sf_dir))
+    return (
+        ce.groupBy("collection", "year", "month", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("collection", "year", "month", "day", "hour")
+    )
+
+
+def _q_watch_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4 COLLECTION watch level = per-collection selection
+    ce = read_change_events(spark, sf_dir)
+    return (
+        ce.filter(F.col("collection").isin("c0", "c1"))
+        .groupBy("collection", "operation")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("collection", "operation")
+    )
+
+
+def _q_size_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = batching.size_batched(read_change_events(spark, sf_dir), 100)
+    return (
+        ce.groupBy("collection", "batch_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("resume_token").cast("bigint")).alias("first_token"),
+            F.max(F.col("resume_token").cast("bigint")).alias("last_token"),
+        )
+        .orderBy("collection", "batch_index")
+    )
+
+
+def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = {n: tables.load_table(spark, sf_dir, n) for n in tables.TABLE_NAMES}
+        if name == "q1":
+            return relational.q1_pricing_summary(t["lineitem"])
+        if name == "q3":
+            return relational.q3_top_orders(t["customer"], t["orders"], t["lineitem"])
+        if name == "q5":
+            return relational.q5_region_revenue(
+                t["region"], t["nation"], t["customer"], t["orders"],
+                t["lineitem"], t["supplier"],
+            )
+        if name == "topk":
+            return relational.topk_users_per_event_type(t["events"])
+        raise KeyError(name)
+
+    return fn
+
+
+def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(tables.load_table(spark, sf_dir, "documents"))
+
+    return wrapped
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- CDC operator inventory (SURVEY.md §2) ---
+    "f4_envelope_projection": _q_envelope,
+    "f1_match_pushdown": _q_match,
+    "f2_filter_inserts": _q_filter_inserts,
+    "f2_data_modifications": _q_data_modifications,
+    "g1_group_by_collection": _q_group_by_collection,
+    "g2_count_by_operation": _q_count_by_operation,
+    "g4_pipeline_stats": _q_pipeline_stats,
+    "g3_dedup_first_by_key": _q_dedup_first,
+    "g3_dedup_latest_by_key": _q_dedup_latest,
+    "b1_windowed_counts": _q_windowed_counts,
+    "b2_size_batched": _q_size_batched,
+    "k9_hive_partition_cols": _q_partition_cols,
+    "s4_watch_collections": _q_watch_collections,
+    # --- relational surface ---
+    "rel_q1_pricing_summary": _rel("q1"),
+    "rel_q3_top_orders": _rel("q3"),
+    "rel_q5_region_revenue": _rel("q5"),
+    "rel_topk_per_group": _rel("topk"),
+    # --- LLM-pipeline: text analysis ---
+    "text_token_counts": _doc(textstats.token_counts),
+    "text_quality_scores": _doc(textstats.quality_scores),
+    "text_lang_profile": _doc(textstats.lang_profile),
+    "text_fingerprints": _doc(textstats.fingerprints),
+    # --- LLM-pipeline: dedup ---
+    "dedup_exact_groups": _doc(ldedup.exact_duplicates),
+    "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
+    "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
+}
+
+
+ORACLES: dict[str, str] = {
+    "f4_envelope_projection": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events""",
+    "f1_match_pushdown": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE {_MATCH_WHERE}""",
+    "f2_filter_inserts": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE operation = 'insert'""",
+    "f2_data_modifications": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE operation IN ('insert','update','replace')""",
+    "g1_group_by_collection": f"""{_CE_CTE}
+SELECT "database", collection, COUNT(*) AS n_events
+FROM change_events GROUP BY "database", collection
+ORDER BY "database", collection""",
+    "g2_count_by_operation": f"""{_CE_CTE}
+SELECT operation, COUNT(*) AS n_events
+FROM change_events GROUP BY operation ORDER BY operation""",
+    "g4_pipeline_stats": f"""{_CE_CTE}
+SELECT COUNT(*) AS events_processed,
+       COUNT(DISTINCT collection) AS active_collections,
+       MIN(cluster_time) AS first_event_time,
+       MAX(cluster_time) AS last_event_time
+FROM change_events""",
+    "g3_dedup_first_by_key": f"""{_CE_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY collection, document_key
+    ORDER BY CAST(resume_token AS BIGINT)) AS rn
+  FROM change_events)
+SELECT collection, document_key, operation, resume_token
+FROM ranked WHERE rn = 1 ORDER BY collection, document_key""",
+    "g3_dedup_latest_by_key": f"""{_CE_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY collection, document_key
+    ORDER BY CAST(resume_token AS BIGINT) DESC) AS rn
+  FROM change_events)
+SELECT collection, document_key, operation, resume_token
+FROM ranked WHERE rn = 1 ORDER BY collection, document_key""",
+    "b1_windowed_counts": f"""{_CE_CTE}
+SELECT date_trunc('hour', cluster_time) AS window_start, collection,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM change_events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "b2_size_batched": f"""{_CE_CTE},
+ranked AS (
+  SELECT *, CAST(CEIL(ROW_NUMBER() OVER (
+    PARTITION BY collection ORDER BY event_id) / 100.0) AS BIGINT)
+    AS batch_index
+  FROM change_events)
+SELECT collection, batch_index, COUNT(*) AS n_events,
+       MIN(CAST(resume_token AS BIGINT)) AS first_token,
+       MAX(CAST(resume_token AS BIGINT)) AS last_token
+FROM ranked GROUP BY collection, batch_index
+ORDER BY collection, batch_index""",
+    "k9_hive_partition_cols": f"""{_CE_CTE}
+SELECT collection,
+       CAST(EXTRACT(year FROM cluster_time) AS INT) AS year,
+       CAST(EXTRACT(month FROM cluster_time) AS INT) AS month,
+       CAST(EXTRACT(day FROM cluster_time) AS INT) AS day,
+       CAST(EXTRACT(hour FROM cluster_time) AS INT) AS hour,
+       COUNT(*) AS n_events
+FROM change_events
+GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2, 3, 4, 5""",
+    "s4_watch_collections": f"""{_CE_CTE}
+SELECT collection, operation, COUNT(*) AS n_events
+FROM change_events WHERE collection IN ('c0','c1')
+GROUP BY collection, operation ORDER BY collection, operation""",
+    "rel_q1_pricing_summary": relational.Q1_ORACLE,
+    "rel_q3_top_orders": relational.Q3_ORACLE,
+    "rel_q5_region_revenue": relational.Q5_ORACLE,
+    "rel_topk_per_group": relational.TOPK_ORACLE,
+    "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
+    "text_quality_scores": textstats.QUALITY_ORACLE,
+    "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
+    "text_fingerprints": textstats.FINGERPRINTS_ORACLE,
+    "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
+    "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
+    "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
+}

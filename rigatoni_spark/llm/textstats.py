@@ -1,0 +1,138 @@
+"""Text analysis operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each has an exact
+ANSI-SQL twin for the DuckDB oracle (kept adjacent here so they evolve
+together).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokenization. ``split`` on single space matches the
+    synthetic corpus; real corpora would use ``\\s+``."""
+    return F.split(F.col(col), " ")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + distinct tokens + a BPE-ish
+    proxy (4 chars/token heuristic ceil(len/4), the public
+    rule-of-thumb for byte-pair-encoded subwords)."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.ceil(F.length("text") / F.lit(4)).cast("bigint").alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_ORACLE = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length, type-token ratio, mean token length,
+    stopword ratio — the standard cheap pre-filter signals for corpus
+    cleaning. Ratios are exact rational values rounded once (IEEE
+    division is deterministic across engines)."""
+    toks = _tokens()
+    stop = F.array([F.lit(w) for w in ["the", "a", "of", "and", "to", "in"]])
+    n_tok = F.size(toks)
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        n_tok.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 4).alias("ttr"),
+        F.round(
+            (F.length("text") - n_tok + 1) / n_tok, 4
+        ).alias("mean_token_len"),
+        F.round(
+            F.size(F.array_intersect(toks, stop)) / n_tok, 4
+        ).alias("stopword_kind_ratio"),
+    ).orderBy("doc_id")
+
+
+QUALITY_ORACLE = """
+SELECT doc_id,
+  LENGTH(text) AS text_len,
+  len(string_split(text, ' ')) AS n_tokens,
+  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+        / len(string_split(text, ' ')), 4) AS ttr,
+  ROUND((LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        / len(string_split(text, ' ')), 4) AS mean_token_len,
+  ROUND(len(list_intersect(list_distinct(string_split(text, ' ')),
+        ['the','a','of','and','to','in'])) * 1.0
+        / len(string_split(text, ' ')), 4) AS stopword_kind_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic output profile.
+
+    The corpus carries a ``lang`` label; the heuristic re-derives a
+    latin/cjk signal from the text (ASCII ratio) and aggregates per
+    label — per-language corpus composition, the groupBy every corpus
+    audit runs. One shuffle over ~10 groups."""
+    ascii_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", ""))
+        / F.length("text"),
+        4,
+    )
+    return (
+        documents.withColumn("ascii_ratio", ascii_ratio)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+            F.round(F.min("ascii_ratio"), 4).alias("min_ascii_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+LANG_PROFILE_ORACLE = """
+WITH t AS (
+  SELECT lang, n_chars,
+    ROUND(LENGTH(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0
+          / LENGTH(text), 4) AS ascii_ratio
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       ROUND(MIN(ascii_ratio), 4) AS min_ascii_ratio
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: full-text MD5 plus a word-order-
+    insensitive content fingerprint (MD5 of the sorted distinct token
+    list) — the cheap building block for exact and shuffled-text dedup."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.md5(
+            F.concat_ws("\x01", F.array_sort(F.array_distinct(toks)))
+        ).alias("bag_md5"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINTS_ORACLE = """
+SELECT doc_id,
+  md5(text) AS text_md5,
+  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),
+      chr(1))) AS bag_md5
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,208 @@
+"""Relational query surface (filter/project/join/agg/window/sort/limit).
+
+The reference has no relational operators (SURVEY.md §2.8) — its users
+get them implicitly from whatever reads the S3 output. This engine
+exposes them directly on both the batch tables and the event stream via
+the DataFrame API; the queries here are the representative set the
+driver hash-checks (TPC-H-shaped: scan+agg, 3-way join + top-k, 6-way
+star join).
+
+Determinism pattern for oracle comparison: monetary aggregates cast to
+DECIMAL(18,4) *before* summing — decimal sums are exact, so Spark and
+any oracle engine agree bit-for-bit regardless of partitioning /
+summation order; the final cast back to double is a single deterministic
+IEEE rounding. Never round a big double sum and hope.
+
+Scale notes per query are inline; the common ones: partial aggregation
+is automatic for all hash aggregates; small dims (region, nation,
+supplier, customer at these SFs) broadcast — verified via
+.explain("formatted") showing BroadcastHashJoin without a shuffle on the
+big fact side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col, scale: int = 4):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(
+        f"decimal(18,{scale})"
+    )
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped scan + 8-agg groupBy.
+
+    Single shuffle on (l_returnflag, l_linestatus) — 6 groups, so the
+    map-side partial agg reduces ~everything before the exchange; the
+    date filter pushes down to the parquet scan.
+    """
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """3-way join + agg + top-10 (TPC-H Q3-shaped).
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on
+    orderkey. Top-k is a global sort of an already-aggregated (small)
+    frame — fine at any scale. Deterministic tie-break on o_orderkey.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """6-way star join (TPC-H Q5-shaped): revenue by nation where the
+    customer and supplier share a nation.
+
+    region/nation/supplier/customer broadcast; only orders⋈lineitem
+    shuffles. The supplier join condition includes the nation equality —
+    expressed as a join key so it stays a hash join, not a filter after
+    a cross product.
+    """
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    dims = (
+        customer.join(
+            nation, customer.c_nationkey == nation.n_nationkey, "inner"
+        )
+        .join(region.filter(F.col("r_name") == "ASIA"),
+              nation.n_regionkey == F.col("r_regionkey"), "inner")
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (dims.c_nationkey == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def topk_users_per_event_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via window row_number — the scalable top-k idiom
+    (shuffle on group key only; no global sort of the fact table)."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.sum(_dec("value", 2)).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "user_id", "total_value", "n_events", "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+TOPK_ORACLE = """
+WITH totals AS (
+  SELECT event_type, user_id,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    COUNT(*) AS n_events
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rank
+  FROM totals
+)
+SELECT event_type, user_id, total_value, n_events, rank
+FROM ranked WHERE rank <= 3 ORDER BY event_type, rank
+"""

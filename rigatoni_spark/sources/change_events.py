@@ -1,0 +1,165 @@
+"""Change-event source.
+
+The reference consumes a MongoDB change stream (rigatoni-core/src/
+stream.rs:891-944); this engine consumes any DataFrame-shaped feed. For
+the driver's testdata, the ``events`` parquet table plays the role of
+the oplog: a deterministic mapping lifts it into the ChangeEvent
+envelope (schema.py / event.rs:272-311):
+
+    event_type  -> operation   (signup,purchase -> insert; click -> update;
+                                view -> replace; error -> delete)
+    user_id     -> document_key {"_id": user_id} and collection shard
+                   'c<user_id % 4>' (4 collections, like the reference's
+                   docker test-data generator users/orders/products —
+                   docker/scripts/generate-test-data.sh:15-119)
+    ts          -> cluster_time (event-time; event.rs:303-304)
+    props       -> full_document / updated_fields JSON payload
+    event_id    -> resume_token (monotone checkpoint token, event.rs:306-310)
+
+The identical mapping is published as an ANSI-SQL CTE
+(``change_events_oracle_cte``) so every operator downstream of this
+source can be verified against a DuckDB oracle.
+
+Scale note: the mapping is pure column expressions — no UDFs, no
+shuffle; Catalyst fuses it into the parquet scan (whole-stage codegen)
+and pushes envelope-column predicates down to the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# event_type -> operation (deterministic; covers 5 of the reference's op
+# types; remaining DDL ops are synthesized in tests)
+_OP_MAPPING = {
+    "signup": "insert",
+    "purchase": "insert",
+    "click": "update",
+    "view": "replace",
+    "error": "delete",
+}
+
+N_COLLECTIONS = 4
+DATABASE_NAME = "app"
+
+
+def _operation_col() -> Column:
+    expr = F.lit("unknown")
+    # build CASE chain; iterate in fixed order for deterministic plans
+    col = None
+    for et, op in _OP_MAPPING.items():
+        if col is None:
+            col = F.when(F.col("event_type") == et, op)
+        else:
+            col = col.when(F.col("event_type") == et, op)
+    return col.otherwise(expr)
+
+
+def as_change_events(df: DataFrame, update_lookup: bool = True) -> DataFrame:
+    """Lift an ``events``-shaped DataFrame into the ChangeEvent envelope.
+
+    ``update_lookup`` mirrors ``full_document_on_update`` /
+    ``FullDocumentType::UpdateLookup`` (stream.rs:477-481,583-590): when
+    False, updates carry only ``updated_fields`` and ``full_document``
+    is NULL — exactly the reference's opt-in lookup semantics.
+
+    Works identically on batch and streaming DataFrames.
+    """
+    operation = _operation_col()
+    is_mod = F.col("event_type").isin("signup", "purchase", "view") | (
+        F.lit(update_lookup) & (F.col("event_type") == "click")
+    )
+    return df.select(
+        operation.alias("operation"),
+        F.lit(DATABASE_NAME).alias("database"),
+        F.concat(
+            F.lit("c"), (F.col("user_id") % N_COLLECTIONS).cast("string")
+        ).alias("collection"),
+        F.col("ts").alias("cluster_time"),
+        F.concat(
+            F.lit('{"_id":'), F.col("user_id").cast("string"), F.lit("}")
+        ).alias("document_key"),
+        F.when(is_mod, F.col("props")).alias("full_document"),
+        F.when(F.col("event_type") == "click", F.col("props")).alias(
+            "updated_fields"
+        ),
+        F.col("event_id").cast("string").alias("resume_token"),
+        # keep the raw value column for metric-style aggregations
+        F.col("value").alias("value"),
+        F.col("event_id").alias("event_id"),
+    )
+
+
+def change_events_oracle_cte(update_lookup: bool = True) -> str:
+    """DuckDB SQL equivalent of :func:`as_change_events`, for oracles.
+
+    Usage: ``WITH change_events AS ({cte}) SELECT ... FROM change_events``.
+    """
+    if update_lookup:
+        full_doc = (
+            "CASE WHEN event_type IN ('signup','purchase','view','click') "
+            "THEN props END"
+        )
+    else:
+        full_doc = (
+            "CASE WHEN event_type IN ('signup','purchase','view') THEN props END"
+        )
+    return f"""
+        SELECT
+          CASE event_type
+            WHEN 'signup' THEN 'insert'
+            WHEN 'purchase' THEN 'insert'
+            WHEN 'click' THEN 'update'
+            WHEN 'view' THEN 'replace'
+            WHEN 'error' THEN 'delete'
+            ELSE 'unknown' END AS operation,
+          'app' AS "database",
+          'c' || CAST(user_id % {N_COLLECTIONS} AS VARCHAR) AS collection,
+          ts AS cluster_time,
+          '{{"_id":' || CAST(user_id AS VARCHAR) || '}}' AS document_key,
+          {full_doc} AS full_document,
+          CASE WHEN event_type = 'click' THEN props END AS updated_fields,
+          CAST(event_id AS VARCHAR) AS resume_token,
+          value AS value,
+          event_id AS event_id
+        FROM events
+    """
+
+
+def read_change_events(
+    spark: SparkSession, sf_dir: str, update_lookup: bool = True
+) -> DataFrame:
+    """Batch change-event source over the testdata events table."""
+    from rigatoni_spark.tables import load_table
+
+    raw = load_table(spark, sf_dir, "events")
+    return as_change_events(raw, update_lookup=update_lookup)
+
+
+def read_change_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    update_lookup: bool = True,
+) -> DataFrame:
+    """Streaming change-event source over a growing parquet directory.
+
+    The reference's live change stream (S1-S3, stream.rs:891-944 /
+    pipeline.rs:1290-1717) maps to a file-based Structured Streaming
+    source: appending files to ``events_dir`` simulates oplog arrivals;
+    restart/retry/resume (R2/R3) is Spark-managed via
+    ``checkpointLocation``. ``max_files_per_trigger`` is the
+    back-pressure knob (O4, channel_buffer_size analogue).
+    """
+    from rigatoni_spark.sources.events_schema import RAW_EVENTS_SCHEMA_NANOS
+
+    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA_NANOS).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(events_dir).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    return as_change_events(raw, update_lookup=update_lookup)
