@@ -1,0 +1,198 @@
+"""Partitioned batch writer: serialize -> compress -> keyed objects
+(K2-K10).
+
+The reference's flush path (s3/destination.rs:531-604): group buffered
+events by collection -> serialize (JSONL/CSV/Parquet/Avro) -> compress
+(gzip/zstd) -> one keyed PUT per collection.
+
+Spark-first plan (single job, no driver-side data loop):
+
+1. ``repartition("collection")`` — hash-partition so each collection
+   lands wholly in one task (the reference's one-object-per-collection
+   semantics without a per-collection job).
+2. ``partitionBy(...)`` native write to a staging dir — serialization +
+   compression happen in executors via Spark's codecs.
+3. Rename staged part-files onto the strategy's key layout (cheap
+   metadata ops on the destination FS).
+
+At 100 TB, step 1's one-file-per-collection constraint is the
+bottleneck by design *of the reference's contract*; set
+``single_file_per_group=False`` to drop the repartition and let each
+collection write many part-files (pure parallel throughput, still
+correct layout).
+
+HIVE layout with multi-file groups skips the rename entirely — it IS
+Spark's native partitionBy layout (plus derived year/month/day/hour).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rigatoni_spark.config import (
+    CompressionCodec,
+    PartitionStrategy,
+    S3SinkConfig,
+    SerializationFormat,
+)
+from rigatoni_spark.schema import ENVELOPE_COLUMNS
+from rigatoni_spark.sinks.key_gen import generate_key
+
+_TEXT_CODECS = {
+    CompressionCodec.NONE: None,
+    CompressionCodec.GZIP: "gzip",
+    # Spark supports zstd for text sources on Spark 3.2+/4.x
+    CompressionCodec.ZSTD: "zstd",
+}
+_PARQUET_CODECS = {
+    CompressionCodec.NONE: "snappy",  # reference parquet is snappy anyway
+    CompressionCodec.GZIP: "gzip",
+    CompressionCodec.ZSTD: "zstd",
+}
+
+
+class FormatNotAvailable(RuntimeError):
+    """Raised when a format needs a jar absent from this Spark build
+    (feature-gating like the reference's cargo features,
+    rigatoni-destinations/src/lib.rs:28-37)."""
+
+
+def _staged_writer(df: DataFrame, cfg: S3SinkConfig, staging: str, part_cols: list[str]):
+    fmt = cfg.format
+    writer = df.write.mode("overwrite").partitionBy(*part_cols)
+    if fmt is SerializationFormat.JSON:
+        return writer.option("compression", _TEXT_CODECS[cfg.compression] or "none").json(
+            staging
+        )
+    if fmt is SerializationFormat.CSV:
+        return (
+            writer.option("header", "true")
+            .option("compression", _TEXT_CODECS[cfg.compression] or "none")
+            .csv(staging)
+        )
+    if fmt is SerializationFormat.PARQUET:
+        return writer.option(
+            "compression", _PARQUET_CODECS[cfg.compression]
+        ).parquet(staging)
+    if fmt is SerializationFormat.AVRO:
+        try:
+            return writer.format("avro").save(staging)
+        except Exception as e:  # noqa: BLE001
+            if "avro" in str(e).lower() or "Failed to find" in str(e):
+                raise FormatNotAvailable(
+                    "spark-avro not on the classpath; add "
+                    "org.apache.spark:spark-avro to use AVRO "
+                    "(JSON/CSV/PARQUET are always available)"
+                ) from e
+            raise
+    raise ValueError(f"unknown format {fmt}")
+
+
+def write_batch(
+    df: DataFrame,
+    cfg: S3SinkConfig,
+    batch_id: int | None = None,
+) -> list[str]:
+    """Write one batch of change events; returns the keys written.
+
+    The returned manifest mirrors the reference's generated keys
+    (testability; s3_destination_test.rs:41).
+    """
+    base = cfg.base_uri
+    if not (base.startswith("/") or base.startswith("file:")):
+        raise NotImplementedError(
+            "only filesystem destinations are wired in this environment; "
+            "s3a:// works on a cluster with hadoop-aws configured"
+        )
+    out_root = base.replace("file:", "")
+
+    events = df.select(*ENVELOPE_COLUMNS)
+    strategy = cfg.partition_strategy
+
+    # group-time (max cluster_time per collection) drives the key stem:
+    # deterministic, unlike the reference's wall-clock naming
+    group_times = {
+        r["collection"]: r["t"]
+        for r in events.groupBy("collection")
+        .agg(F.max("cluster_time").alias("t"))
+        .collect()
+    }
+    if not group_times:
+        return []
+
+    staging = os.path.join(
+        out_root, f"_staging_{batch_id if batch_id is not None else 'batch'}"
+    )
+    # partition on SHADOW copies of the layout columns: Spark's
+    # partitionBy drops partition columns from the data files, but the
+    # reference's serializers keep the full envelope in every object
+    # (s3/destination.rs:220-230,:286-298)
+    to_write = events.withColumn("_pc", F.col("collection"))
+    if strategy is PartitionStrategy.HIVE_PARTITIONED:
+        t = F.col("cluster_time")
+        to_write = (
+            to_write.withColumn("_py", F.year(t))
+            .withColumn("_pm", F.month(t))
+            .withColumn("_pd", F.dayofmonth(t))
+            .withColumn("_ph", F.hour(t))
+        )
+        part_cols = ["_pc", "_py", "_pm", "_pd", "_ph"]
+    else:
+        part_cols = ["_pc"]
+    if cfg.single_file_per_group:
+        # hash-partition on the layout keys: each group lands wholly in
+        # one task -> exactly one part-file per partition dir
+        to_write = to_write.repartition(*part_cols)
+    _staged_writer(to_write, cfg, staging, part_cols)
+
+    # move staged part-files onto the key layout
+    keys: list[str] = []
+    for dirpath in sorted(glob.glob(os.path.join(staging, "**/"), recursive=True)):
+        parts = [p for p in os.path.relpath(dirpath, staging).split(os.sep) if "=" in p]
+        kv = dict(p.split("=", 1) for p in parts)
+        if "_pc" not in kv:
+            continue
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(dirpath, f"part-*"))
+            if not f.endswith(".crc")
+        )
+        if not files:
+            continue
+        coll = kv["_pc"]
+        event_time = group_times.get(coll)
+        if event_time is None:
+            event_time = datetime.now(tz=timezone.utc)
+        if strategy is PartitionStrategy.HIVE_PARTITIONED:
+            # key must reflect THIS partition dir's hour, not the
+            # collection-level max time
+            event_time = datetime(
+                int(kv["_py"]), int(kv["_pm"]), int(kv["_pd"]),
+                int(kv["_ph"]), tzinfo=timezone.utc,
+            )
+        for i, f in enumerate(files):
+            stem_base = str(int(event_time.replace(tzinfo=timezone.utc).timestamp() * 1000))
+            if batch_id is not None:
+                stem_base = f"{batch_id:012d}-{stem_base}"
+            stem = stem_base if len(files) == 1 else f"{stem_base}-{i:04d}"
+            key = generate_key(
+                strategy,
+                coll,
+                event_time,
+                cfg.format,
+                cfg.compression,
+                prefix="",
+                stem=stem,
+            )
+            dest = os.path.join(out_root, key)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(f, dest)
+            keys.append(key)
+    shutil.rmtree(staging, ignore_errors=True)
+    return keys

@@ -1,0 +1,209 @@
+"""Pipeline orchestrator (O1-O4, R1, R3, F3).
+
+The reference's ``Pipeline`` (rigatoni-core/src/pipeline.rs:660-733
+struct, :776-985 start, :1915-2016 stop) spawns one worker per watch
+scope, each running a size-OR-time batch loop that writes to the
+destination under retry and persists the resume token after a
+successful flush (at-least-once, R3).
+
+Spark mapping (SURVEY.md §3):
+
+- worker loop            -> a StreamingQuery with
+  ``trigger(processingTime=batch_timeout)`` (time arm) +
+  ``maxFilesPerTrigger`` (size arm ≈ maxOffsetsPerTrigger)
+- flush_batch + retry    -> ``foreachBatch`` body: $match filter ->
+  optional per-batch dedup -> ``write_batch`` under ``with_retry``
+- ack-then-persist token -> Spark's checkpoint WAL: offsets are
+  committed only after the foreachBatch body returns — identical
+  at-least-once contract; deterministic keys make replays idempotent
+  (stronger than the reference's wall-clock keys, SURVEY.md §7.3)
+- watch levels (S4)      -> COLLECTION: one query per collection with
+  per-collection checkpoint dirs keyed by resume_token_key
+  (watch_level.rs:339-353); DATABASE/DEPLOYMENT: one query
+- graceful stop (O3)     -> ``query.stop()`` completes the in-flight
+  micro-batch, then ``awaitTermination``
+- distributed locking (R7) is subsumed: the driver owns the source;
+  there is exactly one consumer per checkpoint — no Redis needed.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rigatoni_spark.config import PipelineConfig, S3SinkConfig, WatchLevel, resume_token_key
+from rigatoni_spark.operators.dedup import dedup_by_key
+from rigatoni_spark.operators.filters import match_pipeline
+from rigatoni_spark.schema import OP_INVALIDATE
+from rigatoni_spark.sinks.retry import RetryPolicy, with_retry
+from rigatoni_spark.sinks.writers import write_batch
+from rigatoni_spark.sources.change_events import read_change_events_stream
+from rigatoni_spark.streaming import metrics as M
+
+
+class StreamInvalidatedError(RuntimeError):
+    """F3: an ``invalidate`` event is a terminal stream error
+    (stream.rs:1211-1220) — the collection was dropped/renamed."""
+
+
+@dataclass
+class PipelineStats:
+    """Running totals (PipelineStats, pipeline.rs:637-651)."""
+
+    events_processed: int = 0
+    batches_written: int = 0
+    write_errors: int = 0
+    retries: int = 0
+    keys_written: list[str] = field(default_factory=list)
+
+
+class Pipeline:
+    """Wire source -> transforms -> retry-wrapped partitioned sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        sink: S3SinkConfig,
+        source_dir: str,
+        checkpoint_dir: str,
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.sink = sink
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.stats = PipelineStats()
+        self.metrics = M.MetricsRegistry()
+        self._queries: list = []
+        self._lock = threading.Lock()
+        self._invalidated: str | None = None
+
+    # -- transforms applied inside each micro-batch -----------------------
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        if self.config.stream.pipeline:
+            df = match_pipeline(df, self.config.stream.pipeline)
+        return df
+
+    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        batch_df = self._transform(batch_df)
+        if self.config.dedup_by_key:
+            # G3: per-batch dedup, the reference's HashSet semantics
+            batch_df = dedup_by_key(batch_df)
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            invalid = batch_df.filter(
+                F.col("operation") == OP_INVALIDATE
+            ).limit(1).collect()
+            if invalid:
+                self._invalidated = invalid[0]["collection"]
+                raise StreamInvalidatedError(
+                    f"invalidate event on {self._invalidated}"
+                )
+
+            policy = RetryPolicy(
+                max_retries=self.config.max_retries,
+                retry_delay_ms=self.config.retry_delay_ms,
+                max_retry_delay_ms=self.config.max_retry_delay_ms,
+            )
+
+            def _on_retry(attempt: int, err: BaseException) -> None:
+                with self._lock:
+                    self.stats.retries += 1
+                self.metrics.inc(M.RETRIES)
+
+            def _write() -> list[str]:
+                return write_batch(batch_df, self.sink, batch_id=batch_id)
+
+            try:
+                keys = with_retry(_write, policy, on_retry=_on_retry)
+            except StreamInvalidatedError:
+                raise
+            except Exception:
+                with self._lock:
+                    self.stats.write_errors += 1
+                self.metrics.inc(M.WRITE_ERRORS)
+                raise
+            with self._lock:
+                self.stats.events_processed += n
+                self.stats.batches_written += 1
+                self.stats.keys_written.extend(keys)
+            self.metrics.inc(M.EVENTS_PROCESSED, n)
+            self.metrics.inc(M.BATCHES_WRITTEN)
+            self.metrics.set_gauge(M.BATCH_SIZE, n)
+            self.metrics.set_gauge(M.BATCH_DURATION, time.monotonic() - t0)
+        finally:
+            batch_df.unpersist()
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "Pipeline":
+        """O1/O2: spawn the streaming queries per watch level."""
+        trigger_secs = f"{self.config.batch_timeout_secs} seconds"
+        # size arm of the size-OR-time batch (B1): bound files/trigger;
+        # one testdata file ≈ one producer flush
+        max_files = max(1, self.config.batch_size // 100)
+
+        def _start_query(name: str, df: DataFrame):
+            return (
+                df.writeStream.queryName(name)
+                .foreachBatch(self._foreach_batch)
+                .option(
+                    "checkpointLocation",
+                    f"{self.checkpoint_dir}/{name}",
+                )
+                .trigger(processingTime=trigger_secs)
+                .start()
+            )
+
+        stream = read_change_events_stream(
+            self.spark,
+            self.source_dir,
+            max_files_per_trigger=max_files,
+            update_lookup=self.config.stream.full_document_on_update,
+        )
+        level = self.config.watch_level
+        if level is WatchLevel.COLLECTION:
+            # O2: per-collection fan-out with isolated checkpoints
+            for coll in self.config.collections:
+                key = resume_token_key(level, self.config.database, coll)
+                q = _start_query(
+                    key.replace(":", "_"),
+                    stream.filter(F.col("collection") == coll),
+                )
+                self._queries.append(q)
+        else:
+            key = resume_token_key(level, self.config.database, None)
+            self._queries.append(_start_query(key.replace(":", "_").replace("*", "all"), stream))
+        self.metrics.set_gauge(M.PIPELINE_STATUS, 1.0)
+        self.metrics.set_gauge(
+            M.ACTIVE_COLLECTIONS, float(len(self.config.collections) or 1)
+        )
+        return self
+
+    def process_all_available(self) -> None:
+        """Drain everything currently in the source (test/batch-drive
+        helper — the streaming analogue of 'run to completion')."""
+        for q in self._queries:
+            q.processAllAvailable()
+
+    def stop(self) -> PipelineStats:
+        """O3: graceful shutdown — finish in-flight batches, stop."""
+        for q in self._queries:
+            q.stop()
+        for q in self._queries:
+            q.awaitTermination(timeout=60)
+        self.metrics.set_gauge(M.PIPELINE_STATUS, 0.0)
+        return self.stats
+
+    def is_running(self) -> bool:
+        return any(q.isActive for q in self._queries)
