@@ -1,0 +1,155 @@
+"""Operator-level tests: $match translation, dedup determinism,
+grouping — checked against DuckDB where the reference has no golden
+outputs to compare (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rigatoni_spark.operators import dedup, filters, grouping
+from rigatoni_spark.operators.filters import UnsupportedMatchExpression
+from rigatoni_spark.sources.change_events import change_events_oracle_cte
+
+CTE = f"WITH change_events AS ({change_events_oracle_cte()})"
+
+
+class TestMatchTranslator:
+    def test_operation_in(self, change_events, duck):
+        got = filters.match_pipeline(
+            change_events,
+            [{"$match": {"operationType": {"$in": ["insert", "delete"]}}}],
+        ).count()
+        want = duck.execute(
+            f"{CTE} SELECT count(*) FROM change_events "
+            "WHERE operation IN ('insert','delete')"
+        ).fetchone()[0]
+        assert got == want
+
+    def test_json_field_comparison(self, change_events, duck):
+        got = filters.match_pipeline(
+            change_events, [{"$match": {"fullDocument.k": {"$gte": 90}}}]
+        ).count()
+        want = duck.execute(
+            f"{CTE} SELECT count(*) FROM change_events WHERE "
+            "CAST(json_extract_string(full_document,'$.k') AS BIGINT) >= 90"
+        ).fetchone()[0]
+        assert got == want
+
+    def test_or_and_ne(self, change_events, duck):
+        got = filters.match_pipeline(
+            change_events,
+            [
+                {
+                    "$match": {
+                        "$or": [
+                            {"operationType": "delete"},
+                            {"fullDocument.k": {"$lt": 5}},
+                        ],
+                        "ns.coll": {"$ne": "c3"},
+                    }
+                }
+            ],
+        ).count()
+        want = duck.execute(
+            f"{CTE} SELECT count(*) FROM change_events WHERE "
+            "(operation = 'delete' OR "
+            " CAST(json_extract_string(full_document,'$.k') AS BIGINT) < 5) "
+            "AND collection <> 'c3'"
+        ).fetchone()[0]
+        assert got == want
+
+    def test_exists(self, change_events):
+        n_with_doc = filters.match_pipeline(
+            change_events, [{"$match": {"fullDocument": {"$exists": True}}}]
+        ).count()
+        n_delete = change_events.filter(F.col("operation") == "delete").count()
+        assert n_with_doc == change_events.count() - n_delete
+
+    def test_multiple_match_stages_and(self, change_events):
+        two = filters.match_pipeline(
+            change_events,
+            [
+                {"$match": {"operationType": "insert"}},
+                {"$match": {"ns.coll": "c0"}},
+            ],
+        )
+        one = filters.match_pipeline(
+            change_events,
+            [{"$match": {"operationType": "insert", "ns.coll": "c0"}}],
+        )
+        assert two.count() == one.count()
+
+    def test_unsupported_operator_raises(self, change_events):
+        with pytest.raises(UnsupportedMatchExpression):
+            filters.match_pipeline(
+                change_events, [{"$match": {"fullDocument.k": {"$regex": "x"}}}]
+            )
+
+    def test_unsupported_stage_raises(self, change_events):
+        with pytest.raises(UnsupportedMatchExpression):
+            filters.match_pipeline(change_events, [{"$group": {}}])
+
+    def test_pushdown_reaches_scan(self, spark):
+        """The envelope predicate must reach the parquet scan as a
+        pushed filter — the Spark analogue of server-side $match."""
+        from rigatoni_spark.tables import load_table
+
+        raw = load_table(spark, "/root/testdata/sf0.001", "events")
+        plan = raw.filter(F.col("event_type") == "signup")._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan
+        assert "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+class TestDedup:
+    def test_first_semantics_match_reference_hashset(self, change_events, duck):
+        """keep='first' == the reference's HashSet insert-wins
+        (batch_processing.rs:320-354)."""
+        got = {
+            (r["collection"], r["document_key"]): r["resume_token"]
+            for r in dedup.dedup_by_key(change_events).collect()
+        }
+        rows = duck.execute(
+            f"""{CTE} SELECT collection, document_key,
+                 MIN(CAST(resume_token AS BIGINT)) AS tok
+               FROM change_events GROUP BY 1,2"""
+        ).fetchall()
+        want = {(c, k): str(t) for c, k, t in rows}
+        assert got == want
+
+    def test_last_semantics_log_compaction(self, change_events):
+        latest = dedup.latest_by_key(change_events)
+        row = latest.filter(F.col("document_key") == '{"_id":12}').filter(
+            F.col("collection") == "c0"
+        ).collect()
+        max_tok = (
+            change_events.filter(F.col("document_key") == '{"_id":12}')
+            .filter(F.col("collection") == "c0")
+            .agg(F.max(F.col("resume_token").cast("bigint")))
+            .collect()[0][0]
+        )
+        assert len(row) == 1 and row[0]["resume_token"] == str(max_tok)
+
+    def test_deterministic_across_runs(self, change_events):
+        a = sorted(map(tuple, dedup.dedup_by_key(change_events).collect()))
+        b = sorted(map(tuple, dedup.dedup_by_key(change_events.repartition(13)).collect()))
+        assert a == b
+
+
+class TestGrouping:
+    def test_collection_counts_total(self, change_events):
+        rows = grouping.group_by_collection_counts(change_events).collect()
+        assert sum(r["n_events"] for r in rows) == change_events.count()
+        assert len(rows) == 4
+
+    def test_operation_counts(self, change_events, duck):
+        got = {
+            r["operation"]: r["n_events"]
+            for r in grouping.count_by_operation(change_events).collect()
+        }
+        want = dict(
+            duck.execute(
+                f"{CTE} SELECT operation, count(*) FROM change_events GROUP BY 1"
+            ).fetchall()
+        )
+        assert got == want

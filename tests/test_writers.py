@@ -1,0 +1,95 @@
+"""Sink round-trips: write_batch -> re-read -> compare
+(mirrors s3_integration_test.rs:74-333 write/read-back coverage)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+
+from rigatoni_spark.config import (
+    CompressionCodec,
+    PartitionStrategy,
+    S3SinkConfig,
+    SerializationFormat,
+)
+from rigatoni_spark.schema import ENVELOPE_COLUMNS
+from rigatoni_spark.sinks.writers import write_batch
+
+
+class TestWriteBatch:
+    def test_jsonl_gzip_roundtrip(self, change_events, tmp_path):
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            compression=CompressionCodec.GZIP,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        keys = write_batch(change_events, cfg, batch_id=1)
+        assert len(keys) == 4  # one object per collection
+        assert all(k.endswith(".jsonl.gz") for k in keys)
+        rows = []
+        for k in keys:
+            with gzip.open(tmp_path / k, "rt") as fh:
+                rows.extend(json.loads(line) for line in fh)
+        assert len(rows) == change_events.count()
+        assert sorted(rows[0].keys()) == sorted(ENVELOPE_COLUMNS)
+
+    def test_parquet_roundtrip(self, spark, change_events, tmp_path):
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.PARQUET,
+            compression=CompressionCodec.ZSTD,
+            partition_strategy=PartitionStrategy.DATE_PARTITIONED,
+        )
+        keys = write_batch(change_events, cfg, batch_id=2)
+        back = spark.read.parquet(*[str(tmp_path / k) for k in keys])
+        assert back.count() == change_events.count()
+        assert sorted(back.columns) == sorted(ENVELOPE_COLUMNS)
+
+    def test_csv_header(self, change_events, tmp_path):
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.CSV,
+            partition_strategy=PartitionStrategy.FLAT,
+        )
+        keys = write_batch(change_events, cfg)
+        header = open(tmp_path / keys[0]).readline().strip().split(",")
+        assert sorted(header) == sorted(ENVELOPE_COLUMNS)
+
+    def test_hive_layout_prunable(self, spark, change_events, tmp_path):
+        """HIVE layout must be readable as a partitioned dataset with
+        partition pruning — the point of K9's Hive strategy."""
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.PARQUET,
+            partition_strategy=PartitionStrategy.HIVE_PARTITIONED,
+        )
+        keys = write_batch(change_events, cfg, batch_id=3)
+        assert keys[0].startswith("collection=")
+        back = spark.read.option("basePath", str(tmp_path)).parquet(str(tmp_path))
+        pruned = back.filter("collection = 'c0' AND hour = 7")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() > 0
+        # partition filters appear in the scan, not as post-filters
+        assert "PartitionFilters: [" in plan
+
+    def test_deterministic_keys_on_replay(self, change_events, tmp_path):
+        """Replayed batch -> identical keys (idempotent at-least-once,
+        SURVEY.md §7.3 — stronger than the reference's wall-clock keys)."""
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
+        )
+        k1 = write_batch(change_events, cfg, batch_id=9)
+        k2 = write_batch(change_events, cfg, batch_id=9)
+        assert k1 == k2
+
+    def test_empty_batch(self, change_events, tmp_path):
+        cfg = S3SinkConfig(bucket=str(tmp_path))
+        empty = change_events.filter("operation = 'nope'")
+        assert write_batch(empty, cfg) == []
