@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: end-to-end events/sec through the reference's spine
+(filter -> dedup -> batch -> serialize -> partitioned write), the
+comparable figure to BASELINE.md's pipeline throughput (10K-100K
+events/s claimed; S3-write rows ~125K-190K events/s at 1000-event
+batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from rigatoni_spark.catalog import QUERIES
+    from rigatoni_spark.config import (
+        PartitionStrategy,
+        S3SinkConfig,
+        SerializationFormat,
+    )
+    from rigatoni_spark.operators import dedup, filters
+    from rigatoni_spark.session import get_spark
+    from rigatoni_spark.sinks.writers import write_batch
+    from rigatoni_spark.sources.change_events import read_change_events
+
+    spark = get_spark(app_name="rigatoni_bench")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + page cache once, outside timed regions
+    read_change_events(spark, SF_DIR).count()
+
+    # --- headline: the reference's full spine, events/sec ----------------
+    out_dir = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        t0 = time.monotonic()
+        ce = read_change_events(spark, SF_DIR)
+        flowed = dedup.dedup_by_key(
+            filters.match_pipeline(
+                ce,
+                [{"$match": {"operationType": {"$in": ["insert", "update", "replace", "delete"]}}}],
+            )
+        )
+        n_in = ce.count()
+        write_batch(
+            flowed,
+            S3SinkConfig(
+                bucket=out_dir,
+                format=SerializationFormat.JSON,
+                partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
+                single_file_per_group=False,
+            ),
+            batch_id=0,
+        )
+        spine_sec = time.monotonic() - t0
+        timings["cdc_spine_write"] = round(spine_sec, 3)
+        events_per_sec = n_in / spine_sec
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- per-query timings (the catalog the driver hash-checks) ----------
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end seconds (cdc spine + catalog queries); "
+                f"spine throughput {events_per_sec:,.0f} events/s",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "events_per_sec": round(events_per_sec),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from rigatoni_spark import tables
 from rigatoni_spark.llm import dedup as ldedup
-from rigatoni_spark.llm import textstats
+from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators import (
     batching,
     dedup,
@@ -159,6 +159,46 @@ def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
     return wrapped
 
 
+def _emb(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(tables.load_table(spark, sf_dir, "embeddings"))
+
+    return wrapped
+
+
+def _q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    return multimodal.decode_metadata(assets, deterministic_fake=True).orderBy(
+        "asset_id"
+    )
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    feats = multimodal.extract_features(assets, deterministic_fake=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        *[
+            F.element_at(F.col("feature"), i + 1).cast("double").alias(f"f{i}")
+            for i in range(4)
+        ],
+    ).orderBy("asset_id")
+
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    frames = multimodal.frame_sample(assets, deterministic_fake=True)
+    return (
+        frames.groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("asset_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- CDC operator inventory (SURVEY.md §2) ---
     "f4_envelope_projection": _q_envelope,
@@ -188,6 +228,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": _doc(ldedup.exact_duplicates),
     "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
+    "dedup_minhash_lsh": _doc(minhash.near_duplicates),
+    "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
+    "dedup_simhash_neardups": _doc(simhash.near_duplicates),
+    # --- LLM-pipeline: similarity search ---
+    "sim_cosine_topk": _emb(vectors.cosine_topk),
+    "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
+    # --- LLM-pipeline: multimodal (Pandas-UDF plumbing, stubbed codecs) ---
+    "mm_decode_metadata": _q_mm_metadata,
+    "mm_extract_features": _q_mm_features,
+    "mm_frame_sample": _q_mm_frame_sample,
 }
 
 
@@ -277,4 +327,33 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
+    "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
+    "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
+    "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
+    "sim_cosine_topk": vectors.cosine_topk_oracle(),
+    "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
+    # multimodal: the deterministic-fake codec is md5-derived, so even
+    # the Pandas-UDF path has an exact SQL twin
+    "mm_decode_metadata": """
+SELECT doc_id AS asset_id,
+  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  CAST(16 * (1 + ('0x' || substr(md5(text), 1, 2))::INT % 64) AS INT) AS width,
+  CAST(16 * (1 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS INT) AS height,
+  CAST(1000 * (1 + ('0x' || substr(md5(text), 5, 2))::INT % 60) AS BIGINT)
+    AS duration_ms
+FROM documents ORDER BY asset_id""",
+    "mm_extract_features": """
+SELECT doc_id AS asset_id,
+  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  ((('0x' || substr(md5(text), 1, 2))::INT / 255.0)::FLOAT4)::DOUBLE AS f0,
+  ((('0x' || substr(md5(text), 3, 2))::INT / 255.0)::FLOAT4)::DOUBLE AS f1,
+  ((('0x' || substr(md5(text), 5, 2))::INT / 255.0)::FLOAT4)::DOUBLE AS f2,
+  ((('0x' || substr(md5(text), 7, 2))::INT / 255.0)::FLOAT4)::DOUBLE AS f3
+FROM documents ORDER BY asset_id""",
+    "mm_frame_sample": """
+SELECT doc_id AS asset_id,
+  CAST(1 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS BIGINT) AS n_frames
+FROM documents WHERE (doc_id % 3) = 2 ORDER BY asset_id""",
 }

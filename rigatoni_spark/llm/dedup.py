@@ -85,20 +85,97 @@ def ngram_jaccard_pairs(
     order-insensitive, so exact integer arithmetic + one deterministic
     division. The self-join is blocked on ``block_col`` (at scale: LSH
     band buckets) and de-duplicated with doc_a < doc_b.
+
+    Fast path: when the global vocabulary fits in 63 bits (categorical/
+    controlled token streams — probed cheaply with
+    approx_count_distinct), each token set becomes one bigint bitmask
+    and the per-pair cost drops from O(|A|+|B|) array intersection to
+    three bit_count instructions. Results are bit-identical to the
+    generic path. Natural-language corpora exceed the probe and take
+    the generic path (and should prefer MinHash-LSH, llm/minhash.py).
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
+    approx_vocab = (
+        documents.select(F.explode(toks).alias("t"))
+        .agg(F.approx_count_distinct("t").alias("v"))
+        .collect()[0]["v"]
+    )
+    if approx_vocab <= 50:  # approx_count_distinct err ~2-5%; stay clear of 63
+        vocab = sorted(
+            r["t"]
+            for r in documents.select(F.explode(toks).alias("t")).distinct().collect()
+        )
+        if len(vocab) <= 63:
+            return _jaccard_pairs_bitmask(documents, vocab, threshold, block_col)
     t = documents.select(
-        "doc_id", F.col(block_col).alias("block"), toks.alias("toks")
+        "doc_id",
+        F.col(block_col).alias("block"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
     )
     a = t.alias("a")
     b = t.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    # size-filter pruning (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose set sizes differ by more than the threshold ratio
+    # can't qualify — pruned BEFORE the O(|A|+|B|) intersect
+    size_ok = F.least(an, bn) >= F.ceil(F.greatest(an, bn) * F.lit(threshold))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            # |A∪B| = |A|+|B|-|A∩B| — no array_union materialization
+            F.round(inter / (an + bn - inter), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _jaccard_pairs_bitmask(
+    documents: DataFrame, vocab: list[str], threshold: float, block_col: str
+) -> DataFrame:
+    """Exact Jaccard via 63-bit token-set bitmasks (see
+    ngram_jaccard_pairs). bit_count(a&b) / bit_count(a|b) — identical
+    values to the array formulation, ~50x less per-pair work."""
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    vocab_arr = F.array([F.lit(v) for v in vocab])
+    mask = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(vocab) - 1)),
+            lambda i: F.when(
+                F.array_contains(toks, F.element_at(vocab_arr, i + 1)),
+                F.expr("1").cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            * F.pow(F.lit(2.0), i).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    t = documents.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        mask.alias("m"),
+        F.size(toks).alias("n"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    size_ok = F.least(an, bn) >= F.ceil(F.greatest(an, bn) * F.lit(threshold))
+    inter = F.bit_count(F.col("a.m").bitwiseAND(F.col("b.m")))
+    union = F.bit_count(F.col("a.m").bitwiseOR(F.col("b.m")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

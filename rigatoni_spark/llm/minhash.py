@@ -1,0 +1,209 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (the standard distributed formulation):
+
+    shingle (word 3-grams) -> k salted-MD5 min-hashes (signature)
+      -> band the signature (b bands x r rows) -> bucket-join on
+      (band_idx, band_hash) -> candidate pairs -> exact-Jaccard verify
+
+Determinism: "k independent hash functions" are ``md5(salt || ':' ||
+shingle)`` for salt in 0..k-1 — no RNG, reproducible, and expressible
+identically in ANSI SQL for the oracle. The min is taken on the hex
+string (lexicographic min == numeric min of the 128-bit value).
+
+Scale design:
+- signatures: explode(shingles) x explode(salts) -> groupBy(doc, salt)
+  min(hash). Shuffle keyed by (doc_id, salt) — uniform. Rows =
+  docs x shingles x k; partial aggregation collapses map-side, so the
+  exchange carries at most docs x k rows.
+- banding: one groupBy(doc, band) over the k-row signature.
+- candidates: equi-join on (band_idx, band_hash) — a hash join whose
+  key cardinality grows with the corpus; no all-pairs anywhere. Bucket
+  skew (a degenerate band shared by thousands of docs) is the known
+  failure mode: AQE skew-join splitting handles moderate cases; a
+  bucket-size cap (drop buckets > max_bucket) is the documented
+  guardrail at 100 TB.
+- verify: exact Jaccard only on candidates (bounded by LSH recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 8  # hash functions
+DEFAULT_BANDS = 4  # => r = k/bands rows per band
+
+
+def _shingles(text_col: str = "text", n: int = 3):
+    """Word n-gram shingles as an array column (distinct)."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, k: int = DEFAULT_K, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, salt, minhash) — one row per doc per hash function."""
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(n=shingle_n)).alias("shingle")
+    )
+    salted = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("salt"),
+        F.col("shingle"),
+    )
+    return salted.groupBy("doc_id", "salt").agg(
+        F.min(
+            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_bands(
+    documents: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, band_hash): bucket key per band."""
+    r = k // bands
+    sigs = minhash_signatures(documents, k=k, shingle_n=shingle_n)
+    return (
+        sigs.withColumn("band", (F.col("salt") / F.lit(r)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            # deterministic within-band order via sort on (salt, hash)
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("salt", "minhash"))
+                        ),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def candidate_pairs(
+    documents: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH bucket."""
+    b = lsh_bands(documents, k=k, bands=bands, shingle_n=shingle_n)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard."""
+    cands = candidate_pairs(documents, k=k, bands=bands, shingle_n=shingle_n)
+    t = documents.select(
+        "doc_id", _shingles(n=shingle_n).alias("sh")
+    )
+    j = (
+        cands.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+def _shingle_cte(shingle_n: int = 3) -> str:
+    return f"""
+  toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  shing AS (
+    SELECT doc_id, sh FROM (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - {shingle_n - 1}, 1)),
+        i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))) AS sh
+      FROM toks) t
+  )"""
+
+
+def signatures_oracle(k: int = DEFAULT_K, shingle_n: int = 3) -> str:
+    return f"""
+WITH {_shingle_cte(shingle_n)},
+  salted AS (
+    SELECT doc_id, s.salt, sh
+    FROM shing CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS salt) s
+  )
+SELECT doc_id, salt, MIN(md5(salt::VARCHAR || ':' || sh)) AS minhash
+FROM salted GROUP BY doc_id, salt ORDER BY doc_id, salt
+"""
+
+
+def bands_oracle(k: int = DEFAULT_K, bands: int = DEFAULT_BANDS, shingle_n: int = 3) -> str:
+    r = k // bands
+    return f"""
+WITH sigs AS ({signatures_oracle(k, shingle_n).strip()})
+SELECT doc_id, CAST(salt / {r} AS INT) AS band,
+       md5(string_agg(minhash, '|' ORDER BY salt, minhash)) AS band_hash
+FROM sigs GROUP BY doc_id, CAST(salt / {r} AS INT)
+ORDER BY doc_id, band
+"""
+
+
+def near_duplicates_oracle(
+    threshold: float = 0.7, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> str:
+    return f"""
+WITH bandt AS ({bands_oracle(k, bands, shingle_n).strip()}),
+  cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bandt a JOIN bandt b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+  ),
+  {_shingle_cte(shingle_n).strip()},
+  shs AS (
+    SELECT doc_id, list_distinct(list(sh)) AS shl FROM shing GROUP BY doc_id
+  )
+SELECT doc_a, doc_b,
+  ROUND(len(list_intersect(sa.shl, sb.shl)) * 1.0 /
+        (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))), 4)
+    AS jaccard
+FROM cands
+JOIN shs sa ON sa.doc_id = doc_a
+JOIN shs sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.shl, sb.shl)) * 1.0 /
+      (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)))
+      >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,205 @@
+"""Embedding similarity search over ``embeddings`` (vec_id,
+embedding: array<float>, label).
+
+Two paths:
+- brute-force cosine top-k (the correctness baseline): broadcast the
+  (small) query set against the corpus; exact.
+- sign-random-projection LSH ANN (the scale path): hash every vector
+  into a 2^NBITS bucket via deterministic MD5-derived hyperplanes;
+  candidates = same-bucket; exact cosine re-rank within bucket. At
+  100 TB the bucket join replaces the full cross product — probe cost
+  is corpus/2^NBITS per query; multi-probe (flipping low-margin bits)
+  is the standard recall knob, noted but not needed at bench scale.
+
+Determinism: all arithmetic is elementwise double multiply +
+left-to-right fold (``aggregate``) — the same IEEE sequence DuckDB's
+indexed list_transform/list_sum evaluates, so values hash-match
+bit-for-bit without rounding tricks. Hyperplane entries are ±1 from an
+MD5 parity — no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+NBITS = 8  # LSH hyperplanes -> 256 buckets
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise double products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny -> broadcast; the corpus side streams through
+    one task wave. No shuffle of the corpus.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", F.round(sim, 4).alias("cosine"),
+            sim.alias("_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def cosine_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="q.embedding", b="q.embedding")
+    cc = dot.format(d=DIM, a="c.embedding", b="c.embedding")
+    qc = dot.format(d=DIM, a="q.embedding", b="c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {qc} / (sqrt({qq}) * sqrt({cc})) AS raw
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {n_queries}
+   AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, ROUND(raw, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _bucket(emb: Column) -> Column:
+    """Sign-random-projection bucket id in [0, 2^NBITS).
+
+    Hyperplane b entry i is +1 if the first hex digit of
+    md5('b:i') is even else -1 — deterministic, identical in SQL.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for b in range(NBITS):
+        proj = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda i: F.element_at(emb, i + 1).cast("double")
+                * F.when(
+                    F.conv(F.substring(F.md5(F.concat(F.lit(f"{b}:"), i.cast("string"))), 1, 1), 16, 10)
+                    .cast("int") % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates, exact cosine re-rank."""
+    with_bucket = embeddings.withColumn("bucket", _bucket(F.col("embedding")))
+    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id", "cand_id", F.round(sim, 4).alias("cosine"),
+            sim.alias("_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    proj_terms = []
+    for b in range(NBITS):
+        term = (
+            f"CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}), "
+            f"i -> (embedding[i+1])::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{b}:' || i::VARCHAR), 1, 1))::INT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+        proj_terms.append(term)
+    bucket_expr = " + ".join(proj_terms)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="q.embedding", b="q.embedding")
+    cc = dot.format(d=DIM, a="c.embedding", b="c.embedding")
+    qc = dot.format(d=DIM, a="q.embedding", b="c.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {qc} / (sqrt({qq}) * sqrt({cc})) AS raw
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id < {n_queries}
+   AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, ROUND(raw, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

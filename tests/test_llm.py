@@ -1,0 +1,121 @@
+"""LLM-pipeline operator tests: dedup families, similarity search,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rigatoni_spark.llm import dedup, minhash, multimodal, simhash, vectors
+from rigatoni_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_idempotent(self, documents):
+        once = dedup.exact_dedup(documents)
+        twice = dedup.exact_dedup(
+            once.join(documents.select("doc_id", "text"), "doc_id")
+        )
+        assert once.count() == twice.count()
+
+    def test_jaccard_pairs_symmetric_bounded(self, documents):
+        pairs = dedup.ngram_jaccard_pairs(documents, threshold=0.8).collect()
+        assert all(0.8 <= r["jaccard"] <= 1.0 for r in pairs)
+        assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+    def test_minhash_identical_docs_always_candidates(self, spark):
+        # identical text -> identical signature -> all bands collide
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z w v u t s")],
+            ["doc_id", "text"],
+        )
+        cands = minhash.candidate_pairs(df).collect()
+        assert (1, 2) in [(r["doc_a"], r["doc_b"]) for r in cands]
+        dups = minhash.near_duplicates(df, threshold=0.9).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dups] == [(1, 2, 1.0)]
+
+    def test_simhash_is_32bit(self, documents):
+        sigs = simhash.simhash_signatures(documents)
+        row = sigs.agg(
+            F.min("simhash").alias("lo"), F.max("simhash").alias("hi")
+        ).collect()[0]
+        assert 0 <= row["lo"] and row["hi"] < 2**32
+
+    def test_simhash_identical_docs_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+        )
+        pairs = simhash.near_duplicates(df, max_hamming=0).collect()
+        assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+class TestSimilarity:
+    def test_topk_self_excluded_and_ranked(self, embeddings):
+        out = vectors.cosine_topk(embeddings, n_queries=3, k=5).collect()
+        by_q = {}
+        for r in out:
+            assert r["query_id"] != r["cand_id"]
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r["cosine"] for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_ann_subset_of_bruteforce_universe(self, embeddings):
+        ann = vectors.ann_lsh_topk(embeddings, n_queries=4, k=5)
+        # every ANN hit must score exactly what brute force scores
+        bf = vectors.cosine_topk(embeddings, n_queries=4, k=2000)
+        joined = ann.select("query_id", "cand_id", "cosine").join(
+            bf.select(
+                F.col("query_id"), F.col("cand_id"),
+                F.col("cosine").alias("bf_cosine"),
+            ),
+            ["query_id", "cand_id"],
+        )
+        assert joined.filter("cosine <> bf_cosine").count() == 0
+
+
+class TestMultimodal:
+    def test_feature_extraction_shape(self, documents):
+        assets = multimodal.synthesize_assets(documents)
+        feats = multimodal.extract_features(assets, deterministic_fake=True)
+        row = feats.first()
+        assert len(row["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in row["feature"])
+        assert feats.count() == documents.count()
+
+    def test_codec_gate_raises_without_fake(self, documents):
+        assets = multimodal.synthesize_assets(documents)
+        with pytest.raises(Exception) as exc:
+            multimodal.extract_features(assets, deterministic_fake=False).count()
+        assert "CodecNotAvailable" in str(exc.value) or "codec" in str(exc.value)
+
+    def test_frame_sample_only_video(self, documents):
+        assets = multimodal.synthesize_assets(documents)
+        frames = multimodal.frame_sample(assets, deterministic_fake=True)
+        vids = assets.filter("media_type = 'video'").select("asset_id")
+        extra = frames.join(vids, "asset_id", "left_anti")
+        assert extra.count() == 0
+        r = frames.first()
+        assert isinstance(r["frame_payload"], (bytes, bytearray))
+
+    def test_metadata_prunes_payload(self, documents):
+        """Metadata-only reads must not deserialize payload bytes: the
+        physical plan projects only the needed columns."""
+        assets = multimodal.synthesize_assets(documents).select(
+            "asset_id", "media_type", "n_bytes"
+        )
+        plan = assets._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan
