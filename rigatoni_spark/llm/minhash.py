@@ -49,19 +49,21 @@ def _shingles(text_col: str = "text", n: int = 3):
 def minhash_signatures(
     documents: DataFrame, k: int = DEFAULT_K, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, salt, minhash) — one row per doc per hash function."""
+    """(doc_id, h0..h{k-1}) — wide signature, ONE groupBy(doc_id) with k
+    min-aggregations over the exploded shingles.
+
+    Wide beats long (explode x k salts -> groupBy(doc, salt)): the
+    exchange carries docs rows instead of docs x k, and banding becomes
+    a pure projection instead of a second shuffle.
+    """
     sh = documents.select(
         "doc_id", F.explode(_shingles(n=shingle_n)).alias("shingle")
     )
-    salted = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("salt"),
-        F.col("shingle"),
-    )
-    return salted.groupBy("doc_id", "salt").agg(
-        F.min(
-            F.md5(F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("minhash")
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(k)
+        ]
     )
 
 
@@ -69,26 +71,18 @@ def lsh_bands(
     documents: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, band, band_hash): bucket key per band."""
+    """(doc_id, band, band_hash): bucket key per band — a projection +
+    unpivot over the wide signature, no extra shuffle."""
     r = k // bands
     sigs = minhash_signatures(documents, k=k, shingle_n=shingle_n)
-    return (
-        sigs.withColumn("band", (F.col("salt") / F.lit(r)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            # deterministic within-band order via sort on (salt, hash)
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("salt", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * r + i}") for i in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
 
 
