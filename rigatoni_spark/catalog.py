@@ -17,6 +17,7 @@ from rigatoni_spark import tables
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators import (
+    advanced,
     batching,
     dedup,
     filters,
@@ -147,9 +148,23 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             )
         if name == "topk":
             return relational.topk_users_per_event_type(t["events"])
+        if name == "q6":
+            return advanced.q6_forecast_revenue(t["lineitem"])
+        if name == "rollup":
+            return advanced.rollup_pricing(t["lineitem"])
+        if name == "sessionize":
+            return advanced.sessionize(t["events"])
+        if name == "asof":
+            return advanced.asof_join_orders(t["events"], t["orders"])
+        if name == "except":
+            return advanced.customers_without_events(t["customer"], t["events"])
         raise KeyError(name)
 
     return fn
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return advanced.pivot_op_by_collection(read_change_events(spark, sf_dir))
 
 
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
@@ -219,6 +234,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_q3_top_orders": _rel("q3"),
     "rel_q5_region_revenue": _rel("q5"),
     "rel_topk_per_group": _rel("topk"),
+    "rel_q6_filter_agg": _rel("q6"),
+    "rel_rollup": _rel("rollup"),
+    "rel_sessionize": _rel("sessionize"),
+    "rel_asof_join": _rel("asof"),
+    "rel_except_customers": _rel("except"),
+    "rel_pivot_ops": _q_pivot,
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -320,6 +341,12 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q3_top_orders": relational.Q3_ORACLE,
     "rel_q5_region_revenue": relational.Q5_ORACLE,
     "rel_topk_per_group": relational.TOPK_ORACLE,
+    "rel_q6_filter_agg": advanced.Q6_ORACLE,
+    "rel_rollup": advanced.ROLLUP_ORACLE,
+    "rel_sessionize": advanced.sessionize_oracle(),
+    "rel_asof_join": advanced.ASOF_ORACLE,
+    "rel_except_customers": advanced.EXCEPT_ORACLE,
+    "rel_pivot_ops": f"{_CE_CTE}\n{advanced.PIVOT_ORACLE_BODY}",
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,

@@ -1,0 +1,265 @@
+"""Advanced relational operators beyond the reference's surface:
+sessionization, as-of join, rollup, pivot, set operations.
+
+The reference has none of these (SURVEY.md §2.8); they're table stakes
+for an analytics engine over CDC output, and each is expressed in the
+scale-correct distributed formulation (no driver loops, no range
+explosions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    Classic lag+cumsum formulation: one shuffle on the session key,
+    both window passes reuse the same partitioning (single Exchange in
+    the plan). Streaming equivalent: ``session_window(ts, gap)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_session = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        with_session.groupBy(key_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("session_value"),
+        )
+        .orderBy(key_col, "session_idx")
+    )
+
+
+def sessionize_oracle(gap_minutes: int = 30) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > {gap_minutes * 60}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+FROM numbered GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def asof_join_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: each event picks the latest order of the same user
+    with o_orderdate <= ts.
+
+    Spark lacks a native ASOF join; the scalable formulation is
+    union + forward-fill window (sort-merge within key partitions) —
+    never a range cross-join. One shuffle on the key, linear scan per
+    partition. (applyInPandas + pd.merge_asof is the alternative when
+    per-key data fits in memory; this version has no such limit.)
+    """
+    # deduplicate the right side deterministically: one order per
+    # (custkey, date) — latest orderkey wins
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders_1 = (
+        orders.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    left = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    right = orders_1.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    # orders sort before events at equal t (is_event asc) => an order
+    # dated exactly at ts IS visible to that event (ASOF >= semantics)
+    w = Window.partitionBy("key").orderBy("t", "is_event").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        left.unionByName(right)
+        .withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("last_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .withColumn(
+            "last_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+    )
+    return (
+        filled.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("t").alias("ts"),
+            "event_type",
+            F.col("last_orderkey").alias("o_orderkey"),
+            F.col("last_orderdate").alias("o_orderdate"),
+            F.round(F.col("last_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_ORACLE = """
+WITH orders_1 AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders) t WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+         AS o_totalprice
+FROM events e
+ASOF LEFT JOIN orders_1 o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def rollup_pricing(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (flag -> flag+status -> grand total)."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def pivot_op_by_collection(events_ce: DataFrame) -> DataFrame:
+    """Pivot: operation counts per collection as columns (explicit
+    value list -> no extra pass to discover pivot values)."""
+    return (
+        events_ce.groupBy("collection")
+        .pivot("operation", ["insert", "update", "replace", "delete"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("collection")
+    )
+
+
+PIVOT_ORACLE_BODY = """
+SELECT collection,
+  COALESCE(SUM(CASE WHEN operation = 'insert'  THEN 1 END), 0) AS insert,
+  COALESCE(SUM(CASE WHEN operation = 'update'  THEN 1 END), 0) AS update,
+  COALESCE(SUM(CASE WHEN operation = 'replace' THEN 1 END), 0) AS replace,
+  COALESCE(SUM(CASE WHEN operation = 'delete'  THEN 1 END), 0) AS delete
+FROM change_events GROUP BY collection ORDER BY collection
+"""
+
+
+def customers_without_events(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """Set difference: customers with no event activity
+    (EXCEPT == left_anti on distinct — one shuffle each side; the anti
+    join's build side is the small distinct-users set -> broadcast)."""
+    return (
+        customer.select(F.col("c_custkey"))
+        .distinct()
+        .join(
+            F.broadcast(
+                events.select(F.col("user_id").alias("c_custkey")).distinct()
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+EXCEPT_ORACLE = """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT DISTINCT user_id AS c_custkey FROM events
+ORDER BY c_custkey
+"""
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-shaped single-scan filter+agg: every predicate pushes
+    to the parquet scan; no shuffle at all (global agg partial+final)."""
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * F.col("l_discount").cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
