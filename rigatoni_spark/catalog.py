@@ -244,6 +244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
     "text_lang_profile": _doc(textstats.lang_profile),
+    "text_langid_heuristic": _doc(textstats.langid_heuristic),
     "text_fingerprints": _doc(textstats.fingerprints),
     # --- LLM-pipeline: dedup ---
     "dedup_exact_groups": _doc(ldedup.exact_duplicates),
@@ -252,6 +253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
+    "dedup_embedding_cosine": _emb(vectors.embedding_neardup_pairs),
     # --- LLM-pipeline: similarity search ---
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
@@ -350,6 +352,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
+    "text_langid_heuristic": textstats.LANGID_ORACLE,
     "text_fingerprints": textstats.FINGERPRINTS_ORACLE,
     "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
@@ -357,6 +360,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
+    "dedup_embedding_cosine": vectors.embedding_neardup_oracle(),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     # multimodal: the deterministic-fake codec is md5-derived, so even

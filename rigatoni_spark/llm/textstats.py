@@ -115,6 +115,51 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+def langid_heuristic(documents: DataFrame) -> DataFrame:
+    """Per-document language-family classification (n-gram/charset
+    heuristic): CJK if any CJK codepoint, accented-latin if the ASCII
+    ratio dips below 0.9, else latin — plus the evidence columns.
+
+    This is the cheap first-pass router real pipelines run before an
+    expensive model-based identifier; pure regexp/length expressions,
+    fused into the scan."""
+    n_cjk = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]", "")
+    )
+    ascii_ratio = F.round(
+        F.length(F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", ""))
+        / F.length("text"),
+        4,
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_cjk.alias("n_cjk_chars"),
+        ascii_ratio.alias("ascii_ratio"),
+        F.when(n_cjk > 0, "cjk")
+        .when(ascii_ratio < 0.9, "accented_latin")
+        .otherwise("latin")
+        .alias("lang_family"),
+    ).orderBy("doc_id")
+
+
+LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+    LENGTH(text) - LENGTH(regexp_replace(text,
+      '[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]', '', 'g')) AS n_cjk_chars,
+    ROUND(LENGTH(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) * 1.0
+          / LENGTH(text), 4) AS ascii_ratio
+  FROM documents
+)
+SELECT doc_id, lang, n_cjk_chars, ascii_ratio,
+  CASE WHEN n_cjk_chars > 0 THEN 'cjk'
+       WHEN ascii_ratio < 0.9 THEN 'accented_latin'
+       ELSE 'latin' END AS lang_family
+FROM t ORDER BY doc_id
+"""
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: full-text MD5 plus a word-order-
     insensitive content fingerprint (MD5 of the sorted distinct token

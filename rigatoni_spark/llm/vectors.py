@@ -167,6 +167,70 @@ def ann_lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation (same-bucket only — no all-pairs) + exact cosine verify.
+
+    The embedding analogue of MinHash dedup: at 100 TB the bucket join
+    bounds candidates; raise NBITS / add multi-probe for recall."""
+    with_bucket = embeddings.withColumn("bucket", _bucket(F.col("embedding")))
+    a = with_bucket.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket"),
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_oracle(threshold: float = 0.95) -> str:
+    proj_terms = []
+    for b in range(NBITS):
+        proj_terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}), "
+            f"i -> (embedding[i+1])::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{b}:' || i::VARCHAR), 1, 1))::INT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+    bucket_expr = " + ".join(proj_terms)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
+    bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
+    ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def ann_lsh_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
     proj_terms = []
     for b in range(NBITS):
