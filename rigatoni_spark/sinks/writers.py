@@ -110,9 +110,20 @@ def write_batch(
             "only filesystem destinations are wired in this environment; "
             "s3a:// works on a cluster with hadoop-aws configured"
         )
-    out_root = base.replace("file:", "")
 
-    events = df.select(*ENVELOPE_COLUMNS)
+    # the upstream may be arbitrarily expensive (filter+dedup windows);
+    # it feeds BOTH the group-time agg and the write -> persist once
+    events = df.select(*ENVELOPE_COLUMNS).persist()
+    try:
+        return _write_persisted(events, cfg, batch_id)
+    finally:
+        events.unpersist()
+
+
+def _write_persisted(
+    events: DataFrame, cfg: S3SinkConfig, batch_id: int | None
+) -> list[str]:
+    out_root = cfg.base_uri.replace("file:", "")
     strategy = cfg.partition_strategy
 
     # group-time (max cluster_time per collection) drives the key stem:
