@@ -1,0 +1,99 @@
+"""Source-layer tests: envelope mapping invariants + Debezium parse
+(the Kafka production path, exercised on literal JSON — no broker)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from rigatoni_spark.functions import namespace_full_name
+from rigatoni_spark.schema import CHANGE_EVENT_SCHEMA, ENVELOPE_COLUMNS
+from rigatoni_spark.sources.change_events import as_change_events
+from rigatoni_spark.sources.kafka import parse_debezium_value
+
+
+class TestEnvelopeMapping:
+    def test_update_lookup_controls_full_document(self, spark, change_events):
+        from rigatoni_spark.tables import load_table
+
+        raw = load_table(spark, "/root/testdata/sf0.001", "events")
+        no_lookup = as_change_events(raw, update_lookup=False)
+        # updates carry updated_fields but NO full_document (stream.rs:477-481)
+        upd = no_lookup.filter("operation = 'update'")
+        assert upd.filter("full_document IS NOT NULL").count() == 0
+        assert upd.filter("updated_fields IS NULL").count() == 0
+        # with lookup, full_document is populated
+        upd2 = change_events.filter("operation = 'update'")
+        assert upd2.filter("full_document IS NULL").count() == 0
+
+    def test_deletes_carry_key_only(self, change_events):
+        d = change_events.filter("operation = 'delete'")
+        assert d.filter("full_document IS NOT NULL").count() == 0
+        assert d.filter("document_key IS NULL").count() == 0
+
+    def test_envelope_columns_subset_of_schema(self, change_events):
+        schema_cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+        assert set(ENVELOPE_COLUMNS) <= set(schema_cols)
+        assert set(ENVELOPE_COLUMNS) <= set(change_events.columns)
+
+    def test_namespace_full_name(self, change_events):
+        row = change_events.select(namespace_full_name().alias("ns")).first()
+        assert row["ns"].startswith("app.c")
+
+
+class TestDebeziumParse:
+    def _event(self, **over):
+        base = {
+            "op": "c",
+            "source": {"db": "shop", "collection": "orders", "ts_ms": 1706000000123},
+            "documentKey": {"_id": 42},
+            "after": {"_id": 42, "total": 9.5},
+            "updateDescription": None,
+        }
+        base.update(over)
+        return json.dumps(base)
+
+    def test_insert_parses(self, spark):
+        df = spark.createDataFrame([(self._event(),)], ["value"])
+        out = df.select(parse_debezium_value(F.col("value"))).collect()[0]
+        assert out["operation"] == "insert"
+        assert out["database"] == "shop"
+        assert out["collection"] == "orders"
+        assert json.loads(out["document_key"]) == {"_id": 42}
+        assert out["cluster_time"].year == 2024
+
+    def test_update_with_description(self, spark):
+        ev = self._event(
+            op="u",
+            updateDescription={
+                "updatedFields": {"total": 11.0},
+                "removedFields": ["note"],
+            },
+        )
+        out = (
+            spark.createDataFrame([(ev,)], ["value"])
+            .select(parse_debezium_value(F.col("value")))
+            .collect()[0]
+        )
+        assert out["operation"] == "update"
+        assert json.loads(out["updated_fields"]) == {"total": 11.0}
+        assert out["removed_fields"] == ["note"]
+
+    def test_unknown_op_preserved(self, spark):
+        # forward compatibility (event.rs:456-465)
+        out = (
+            spark.createDataFrame([(self._event(op="t"),)], ["value"])
+            .select(parse_debezium_value(F.col("value")))
+            .collect()[0]
+        )
+        assert out["operation"] == "t"
+
+    def test_delete_has_no_after(self, spark):
+        out = (
+            spark.createDataFrame([(self._event(op="d", after=None),)], ["value"])
+            .select(parse_debezium_value(F.col("value")))
+            .collect()[0]
+        )
+        assert out["operation"] == "delete"
+        assert out["full_document"] is None
