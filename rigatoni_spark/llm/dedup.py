@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact-dup groups by content hash; canonical = min(doc_id)."""
@@ -107,7 +109,7 @@ def ngram_jaccard_pairs(
         )
         if len(vocab) <= 63:
             return _jaccard_pairs_bitmask(documents, vocab, threshold, block_col)
-    t = documents.select(
+    t = spread(documents).select(
         "doc_id",
         F.col(block_col).alias("block"),
         toks.alias("toks"),

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 DEFAULT_K = 8  # hash functions
 DEFAULT_BANDS = 4  # => r = k/bands rows per band
 
@@ -56,7 +58,9 @@ def minhash_signatures(
     exchange carries docs rows instead of docs x k, and banding becomes
     a pure projection instead of a second shuffle.
     """
-    sh = documents.select(
+    # compacted inputs scan as 1 partition; the shingle+md5 stage is the
+    # CPU hot spot, so make sure it runs wide (no-op on wide inputs)
+    sh = spread(documents).select(
         "doc_id", F.explode(_shingles(n=shingle_n)).alias("shingle")
     )
     return sh.groupBy("doc_id").agg(
@@ -116,7 +120,7 @@ def near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard."""
     cands = candidate_pairs(documents, k=k, bands=bands, shingle_n=shingle_n)
-    t = documents.select(
+    t = spread(documents).select(
         "doc_id", _shingles(n=shingle_n).alias("sh")
     )
     j = (

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 DIM = 64
 NBITS = 8  # LSH hyperplanes -> 256 buckets
 
@@ -51,7 +53,8 @@ def cosine_topk(
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = embeddings.select(
+    # corpus side does the per-row vector math — run it wide
+    c = spread(embeddings).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
@@ -130,7 +133,7 @@ def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates, exact cosine re-rank."""
-    with_bucket = embeddings.withColumn("bucket", _bucket(F.col("embedding")))
+    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -175,7 +178,7 @@ def embedding_neardup_pairs(
 
     The embedding analogue of MinHash dedup: at 100 TB the bucket join
     bounds candidates; raise NBITS / add multi-probe for recall."""
-    with_bucket = embeddings.withColumn("bucket", _bucket(F.col("embedding")))
+    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),

@@ -48,6 +48,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure CPU-bound downstream stages run in parallel.
+
+    Small/compacted inputs (one parquet row group -> one scan partition)
+    serialize everything before the first shuffle onto a single core —
+    fatal when the next stage is hash/shingle/vector-heavy. Round-robin
+    repartition to the session's default parallelism, but ONLY when the
+    input is narrower than that: at 100 TB the scan already has
+    thousands of partitions and this is a no-op (no shuffle inserted).
+    The repartition shuffle cost is bounded by the input size, which by
+    the guard is small relative to the cluster.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    # inputFiles() is metadata-only (no job, unlike df.rdd which forces
+    # AQE plan finalization). Few source files => narrow scan => spread.
+    # Complex plans may report no files; treat as already-wide (no-op).
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    if files and len(files) < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
