@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from rigatoni_spark import tables
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
+from rigatoni_spark.operators.materialize import (
+    MATERIALIZE_ORACLE_BODY,
+    materialize as materialize_snapshot,
+)
 from rigatoni_spark.operators import (
     advanced,
     batching,
@@ -92,6 +96,10 @@ def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.latest_by_key(ce).select(
         "collection", "document_key", "operation", "resume_token"
     ).orderBy("collection", "document_key")
+
+
+def _q_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return materialize_snapshot(read_change_events(spark, sf_dir))
 
 
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_pipeline_stats": _q_pipeline_stats,
     "g3_dedup_first_by_key": _q_dedup_first,
     "g3_dedup_latest_by_key": _q_dedup_latest,
+    "cdc_materialize": _q_materialize,
     "b1_windowed_counts": _q_windowed_counts,
     "b2_size_batched": _q_size_batched,
     "k9_hive_partition_cols": _q_partition_cols,
@@ -310,6 +319,8 @@ ranked AS (
   FROM change_events)
 SELECT collection, document_key, operation, resume_token
 FROM ranked WHERE rn = 1 ORDER BY collection, document_key""",
+    "cdc_materialize": f"""{_CE_CTE},
+{MATERIALIZE_ORACLE_BODY.strip()}""",
     "b1_windowed_counts": f"""{_CE_CTE}
 SELECT date_trunc('hour', cluster_time) AS window_start, collection,
        COUNT(*) AS n_events,

@@ -6,6 +6,10 @@ from rigatoni_spark.operators.filters import (  # noqa: F401
     project_envelope,
 )
 from rigatoni_spark.operators.dedup import dedup_by_key, latest_by_key  # noqa: F401
+from rigatoni_spark.operators.materialize import (  # noqa: F401
+    materialize,
+    materialize_stream,
+)
 from rigatoni_spark.operators.grouping import (  # noqa: F401
     count_by_operation,
     group_by_collection_counts,

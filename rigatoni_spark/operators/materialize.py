@@ -1,0 +1,161 @@
+"""CDC materialization: apply the change log to produce the current
+collection snapshot (the consumer-side complement of the reference's
+replication pipeline — what a reader of its S3 output ultimately
+reconstructs; event semantics per event.rs:88-144).
+
+Semantics (update_lookup mode, the reference's UpdateLookup config
+stream.rs:477-481): the latest event per (collection, document_key)
+wins; if it is a delete the key is absent from the snapshot; otherwise
+``full_document`` is the current state.
+
+Scale design
+------------
+Batch: ONE aggregation — ``groupBy(key).agg(max_by(payload, version))``
+— instead of a window ``row_number``: partial aggregation collapses each
+map partition to one row per key before the exchange, so the shuffle
+carries |keys| rows, not |events|. Keys are high-cardinality
+(collection, document_key) — uniform hash partitioning, no skew.
+
+Streaming: ``applyInPandasWithState`` keeps one small struct per key
+(version, operation, document) and emits a snapshot row only when the
+batch changed that key — the canonical custom-stateful-operator shape.
+State is per-key-bounded; at 100 TB of *log*, state is proportional to
+the *live key set*, and RocksDB state store (cluster config
+``spark.sql.streaming.stateStore.providerClass``) spills it off-heap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SNAPSHOT_COLUMNS = [
+    "collection",
+    "document_key",
+    "operation",
+    "full_document",
+    "version",
+]
+
+
+def materialize(ce: DataFrame) -> DataFrame:
+    """Current snapshot of every live document (batch log-compaction).
+
+    ``version`` is the winning event's resume token (monotone stream
+    position, event.rs:306-310) — the snapshot's exactly-once marker:
+    re-applying any suffix of the log is idempotent because max_by picks
+    the same winner.
+    """
+    version = F.col("resume_token").cast("bigint")
+    winner = F.max_by(
+        F.struct(
+            F.col("operation").alias("operation"),
+            F.col("full_document").alias("full_document"),
+        ),
+        version,
+    )
+    return (
+        ce.groupBy("collection", "document_key")
+        .agg(winner.alias("w"), F.max(version).alias("version"))
+        .filter(F.col("w.operation") != "delete")
+        .select(
+            "collection",
+            "document_key",
+            F.col("w.operation").alias("operation"),
+            F.col("w.full_document").alias("full_document"),
+            "version",
+        )
+        .orderBy("collection", "document_key")
+    )
+
+
+MATERIALIZE_ORACLE_BODY = """
+ranked AS (
+  SELECT collection, document_key, operation, full_document,
+         CAST(resume_token AS BIGINT) AS version,
+         ROW_NUMBER() OVER (
+           PARTITION BY collection, document_key
+           ORDER BY CAST(resume_token AS BIGINT) DESC) AS rn
+  FROM change_events)
+SELECT collection, document_key, operation, full_document, version
+FROM ranked WHERE rn = 1 AND operation <> 'delete'
+ORDER BY collection, document_key
+"""
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("full_document", T.StringType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType()),
+        T.StructField("document_key", T.StringType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("full_document", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def materialize_stream(ce: DataFrame) -> DataFrame:
+    """Streaming materialization: emits one snapshot row per key per
+    micro-batch in which that key changed (deletes emitted as tombstone
+    rows with operation='delete' so downstream sinks can retract).
+
+    Genuinely non-SQL-expressible as a stream (covered by the e2e test
+    rather than a DuckDB oracle — the batch :func:`materialize` is the
+    oracle-checked twin of the same semantics).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, operation, full_document = state.get
+        else:
+            version, operation, full_document = -1, None, None
+        changed = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__version")
+            for _, row in pdf.iterrows():
+                v = int(row["__version"])
+                if v > version:  # idempotent replay: old versions no-op
+                    version = v
+                    operation = row["operation"]
+                    full_document = row["full_document"]
+                    changed = True
+        if changed:
+            state.update((version, operation, full_document))
+            yield pd.DataFrame(
+                {
+                    "collection": [key[0]],
+                    "document_key": [key[1]],
+                    "operation": [operation],
+                    "full_document": [
+                        None if operation == "delete" else full_document
+                    ],
+                    "version": [version],
+                }
+            )
+
+    prepared = ce.withColumn("__version", F.col("resume_token").cast("bigint"))
+    return prepared.groupBy("collection", "document_key").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

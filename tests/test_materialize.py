@@ -1,0 +1,106 @@
+"""CDC materialization: batch snapshot semantics + streaming
+applyInPandasWithState convergence (stream of upserts/tombstones folded
+over micro-batches == batch materialize over the whole log)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from rigatoni_spark.operators.materialize import materialize, materialize_stream
+from rigatoni_spark.sources.change_events import (
+    as_change_events,
+    read_change_events,
+    read_change_events_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+
+class TestBatchMaterialize:
+    def test_no_deleted_keys_survive(self, spark):
+        ce = read_change_events(spark, SF_DIR)
+        snap = materialize(ce)
+        assert snap.filter(F.col("operation") == "delete").count() == 0
+        # every surviving key's latest op is the snapshot op
+        latest = (
+            ce.groupBy("collection", "document_key")
+            .agg(
+                F.max_by("operation", F.col("resume_token").cast("bigint")).alias(
+                    "last_op"
+                )
+            )
+            .filter(F.col("last_op") != "delete")
+        )
+        assert snap.count() == latest.count()
+
+    def test_version_is_winning_token(self, spark):
+        ce = read_change_events(spark, SF_DIR)
+        snap = materialize(ce)
+        joined = snap.alias("s").join(
+            ce.alias("e"),
+            (F.col("s.collection") == F.col("e.collection"))
+            & (F.col("s.document_key") == F.col("e.document_key"))
+            & (F.col("s.version") == F.col("e.resume_token").cast("bigint")),
+        )
+        assert joined.count() == snap.count()
+
+    def test_idempotent_under_replay(self, spark):
+        # re-appending a suffix of the log must not change the snapshot
+        ce = read_change_events(spark, SF_DIR)
+        replayed = ce.unionAll(ce.filter(F.col("event_id") > 500))
+        a = materialize(ce).collect()
+        b = materialize(replayed).collect()
+        assert a == b
+
+
+class TestStreamingMaterialize:
+    def test_stream_converges_to_batch_snapshot(self, spark, tmp_path):
+        src = tmp_path / "src"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+        t = pq.read_table(SF_EVENTS)
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), str(src / "a.parquet"))
+
+        upserts: dict[tuple[str, str], tuple] = {}
+
+        def fold(batch_df, batch_id):
+            for r in batch_df.collect():
+                k = (r["collection"], r["document_key"])
+                if r["operation"] == "delete":
+                    upserts.pop(k, None)
+                else:
+                    upserts[k] = (r["operation"], r["full_document"], r["version"])
+
+        stream = materialize_stream(read_change_events_stream(spark, str(src)))
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # second half arrives; state carries over via checkpoint
+        pq.write_table(t.slice(n // 2, n - n // 2), str(src / "b.parquet"))
+        q2 = (
+            materialize_stream(read_change_events_stream(spark, str(src)))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+
+        expected = {
+            (r["collection"], r["document_key"]): (
+                r["operation"],
+                r["full_document"],
+                r["version"],
+            )
+            for r in materialize(as_change_events(spark.read.parquet(str(src)).withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))).collect()
+        }
+        assert upserts == expected
