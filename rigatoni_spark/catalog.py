@@ -166,6 +166,10 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             return advanced.asof_join_orders(t["events"], t["orders"])
         if name == "except":
             return advanced.customers_without_events(t["customer"], t["events"])
+        if name == "running":
+            return advanced.running_customer_totals(t["orders"])
+        if name == "cube":
+            return advanced.cube_order_stats(t["orders"])
         raise KeyError(name)
 
     return fn
@@ -249,6 +253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": _rel("asof"),
     "rel_except_customers": _rel("except"),
     "rel_pivot_ops": _q_pivot,
+    "rel_window_running": _rel("running"),
+    "rel_cube": _rel("cube"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -266,6 +272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- LLM-pipeline: similarity search ---
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
+    "sim_ivf_topk": _emb(vectors.ivf_topk),
     # --- LLM-pipeline: multimodal (Pandas-UDF plumbing, stubbed codecs) ---
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
@@ -360,6 +367,8 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_asof_join": advanced.ASOF_ORACLE,
     "rel_except_customers": advanced.EXCEPT_ORACLE,
     "rel_pivot_ops": f"{_CE_CTE}\n{advanced.PIVOT_ORACLE_BODY}",
+    "rel_window_running": advanced.RUNNING_TOTALS_ORACLE,
+    "rel_cube": advanced.CUBE_ORACLE,
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
@@ -374,6 +383,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "dedup_embedding_cosine": vectors.embedding_neardup_oracle(),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
+    "sim_ivf_topk": vectors.ivf_topk_oracle(),
     # multimodal: the deterministic-fake codec is md5-derived, so even
     # the Pandas-UDF path has an exact SQL twin
     "mm_decode_metadata": """

@@ -270,3 +270,170 @@ WITH bucketed AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a left-to-right fold (cross-engine IEEE
+    determinism, same pattern as _dot)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_pairs(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """(vec_id, embedding, cent_id, dist) for every vector x centroid.
+
+    Centroids are the first ``n_centroids`` vectors — a deterministic
+    coarse quantizer (production IVF trains k-means on a sample; the
+    cell-routing plan below is identical either way). The centroid set
+    is tiny -> broadcast; the cross join is corpus x 16, evaluated
+    stream-wise with no shuffle of the corpus.
+    """
+    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = spread(embeddings).crossJoin(F.broadcast(cent))
+    return pairs.select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        _l2sq(F.col("embedding"), F.col("c_emb")).alias("dist"),
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+) -> DataFrame:
+    """Route every vector to its nearest centroid cell (the inverted
+    file). One row_number window keyed by vec_id (16 rows per key)."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    return (
+        _centroid_pairs(embeddings, n_centroids)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank within the probed cells.
+
+    At 100 TB the inverted file is the partitioning: cells are disjoint
+    (each vector lives in exactly one), so probing is an equi-join on
+    cent_id touching corpus*n_probe/n_centroids rows per query — no
+    all-pairs, and candidate sets need no dedup across probed cells.
+    """
+    pairs = _centroid_pairs(embeddings, n_centroids)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    probe = (
+        pairs.filter(F.col("vec_id") < n_queries)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cent_id",
+        )
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(
+            assign.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("c_emb"),
+                "cent_id",
+            ),
+            "cent_id",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", F.round(sim, 4).alias("cosine"),
+            sim.alias("_raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("_raw").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> str:
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> ((e.embedding[i])::DOUBLE - (c.c_emb[i])::DOUBLE) * "
+        "((e.embedding[i])::DOUBLE - (c.c_emb[i])::DOUBLE)))"
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="p.q_emb", b="p.q_emb")
+    cc = dot.format(d=DIM, a="a.embedding", b="a.embedding")
+    qc = dot.format(d=DIM, a="p.q_emb", b="a.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id < {n_centroids}
+), pairs AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {l2} AS dist
+  FROM embeddings e CROSS JOIN cent c
+), ranked_pairs AS (
+  SELECT vec_id, embedding, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cent_id) AS rn
+  FROM pairs
+), assign AS (
+  SELECT vec_id, embedding, cent_id FROM ranked_pairs WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cent_id
+  FROM ranked_pairs WHERE vec_id < {n_queries} AND rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         {qc} / (sqrt({qq}) * sqrt({cc})) AS raw
+  FROM probe p JOIN assign a USING (cent_id)
+  WHERE a.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, cand_id, ROUND(raw, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

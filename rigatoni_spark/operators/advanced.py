@@ -263,3 +263,79 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24
 """
+
+
+def running_customer_totals(orders: DataFrame) -> DataFrame:
+    """Window-function suite per customer: order rank, running spend,
+    previous order's price (rank/cumulative-sum/lag in one window).
+
+    One shuffle on o_custkey; the three functions share the same window
+    frame so Spark evaluates them in a single Window physical node.
+    Ordering is made total with (o_orderdate, o_orderkey) so the result
+    is deterministic under any partitioning. Running sums are
+    DECIMAL(18,4)-exact (see relational.py determinism pattern).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_rank"),
+            run.alias("running_total"),
+            F.lag(F.col("o_totalprice")).over(w).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "order_rank")
+    )
+
+
+RUNNING_TOTALS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS order_rank,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+  LAG(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_rank
+"""
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass (Spark expands the cube before the single shuffle; map-side
+    partial agg still applies per grouping set)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""

@@ -119,3 +119,25 @@ class TestMultimodal:
         )
         plan = assets._jdf.queryExecution().executedPlan().toString()
         assert "payload" not in plan
+
+
+class TestIVF:
+    def test_cells_are_disjoint_and_total(self, spark, embeddings):
+        from rigatoni_spark.llm.vectors import ivf_assign
+
+        assign = ivf_assign(embeddings)
+        assert assign.count() == embeddings.count()
+        assert assign.select("vec_id").distinct().count() == embeddings.count()
+
+    def test_ivf_topk_shape(self, spark, embeddings):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm.vectors import ivf_topk
+
+        out = ivf_topk(embeddings, n_queries=4, k=3).collect()
+        per_query = {}
+        for r in out:
+            per_query.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in per_query.items():
+            assert ranks == sorted(ranks)
+            assert len(ranks) <= 3
