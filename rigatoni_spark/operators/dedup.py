@@ -4,12 +4,13 @@ The reference drops later duplicates of the same ``document_key`` within
 a batch via a HashSet on the stringified key
 (batch_processing.rs:320-354; +25% overhead, docs/performance.md:167-173).
 
-Spark-first design: a window ``row_number`` per (collection,
-document_key) ordered by the stream position — deterministic (unlike
-``dropDuplicates``, whose survivor depends on partition scan order),
-and it shuffles once on the dedup key. ``keep='first'`` reproduces the
-reference's HashSet semantics; ``keep='last'`` is CDC log-compaction
-(latest state wins).
+Spark-first design: ``min_by``/``max_by`` of the full-row payload over
+the stream position per (collection, document_key) — deterministic
+(unlike ``dropDuplicates``, whose survivor depends on partition scan
+order), and map-side partial aggregation collapses duplicates before
+the exchange, so the single shuffle carries |keys| rows, not |events|.
+``keep='first'`` reproduces the reference's HashSet semantics;
+``keep='last'`` is CDC log-compaction (latest state wins).
 
 Scale: the shuffle hash-partitions on (collection, document_key) —
 high-cardinality keys, so no skew hot-spot; AQE splits stragglers.
@@ -19,7 +20,7 @@ watermark (dropDuplicatesWithinWatermark) instead of keeping all keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,15 +40,22 @@ def dedup_by_key(
         key_cols = ["collection", "document_key"]
     ordering = F.col(order_col).cast("bigint") if order_col == "resume_token" else F.col(order_col)
     if keep == "last":
-        ordering = ordering.desc()
-    elif keep != "first":
+        pick = F.max_by
+    elif keep == "first":
+        pick = F.min_by
+    else:
         raise ValueError("keep must be 'first' or 'last'")
-    w = Window.partitionBy(*key_cols).orderBy(ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # min_by/max_by aggregation instead of a window row_number: partial
+    # aggregation collapses each map partition to one survivor per key
+    # BEFORE the exchange, so the shuffle carries |keys| rows instead of
+    # |events| rows (and no per-partition sort). Survivor is identical —
+    # order_col is a unique monotone position.
+    payload = [c for c in df.columns if c not in key_cols]
+    winner = pick(F.struct(*[F.col(c).alias(c) for c in payload]), ordering)
+    agg = df.groupBy(*key_cols).agg(winner.alias("__w"))
+    return agg.select(
+        *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    ).select(*df.columns)
 
 
 def latest_by_key(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
