@@ -32,7 +32,7 @@ def main() -> None:
         S3SinkConfig,
         SerializationFormat,
     )
-    from rigatoni_spark.operators import dedup, filters
+    from rigatoni_spark.operators import dedup
     from rigatoni_spark.session import get_spark
     from rigatoni_spark.sinks.writers import write_batch
     from rigatoni_spark.sources.change_events import read_change_events
@@ -51,9 +51,10 @@ def main() -> None:
         t0 = time.monotonic()
         ce = read_change_events(spark, SF_DIR)
         flowed = dedup.dedup_by_key(
-            filters.match_pipeline(
-                ce,
-                [{"$match": {"operationType": {"$in": ["insert", "update", "replace", "delete"]}}}],
+            read_change_events(
+                spark,
+                SF_DIR,
+                pipeline=[{"$match": {"operationType": {"$in": ["insert", "update", "replace", "delete"]}}}],
             )
         )
         n_in = ce.count()

@@ -58,8 +58,8 @@ def _q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ce = read_change_events(spark, sf_dir)
-    return filters.project_envelope(filters.match_pipeline(ce, _MATCH_PIPELINE))
+    ce = read_change_events(spark, sf_dir, pipeline=_MATCH_PIPELINE)
+    return filters.project_envelope(ce)
 
 
 def _q_filter_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:

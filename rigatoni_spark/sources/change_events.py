@@ -45,6 +45,47 @@ _OP_MAPPING = {
 N_COLLECTIONS = 4
 DATABASE_NAME = "app"
 
+# inverse mapping: operation -> raw event_types that produce it
+_OP_TO_EVENT_TYPES: dict[str, list[str]] = {}
+for _et, _op in _OP_MAPPING.items():
+    _OP_TO_EVENT_TYPES.setdefault(_op, []).append(_et)
+
+
+def operation_constraint(pipeline: list[dict] | None) -> set[str] | None:
+    """Extract the top-level ``operationType`` constraint from $match
+    stages (a SUPERSET of matching operations — $eq/$in/bare-value only,
+    AND'ed across stages). None = unconstrained.
+
+    This is the source-side half of F1: the reference runs the whole
+    pipeline inside MongoDB (stream.rs:909-917); we translate the
+    operation constraint onto the raw scan column so it reaches the
+    parquet reader as a PushedFilter, and the exact predicate still runs
+    post-projection (redundantly, which is what makes this safe for
+    constructs the extractor skips).
+    """
+    allowed: set[str] | None = None
+    for stage in pipeline or []:
+        spec = stage.get("$match", {}).get("operationType")
+        ops: set[str] | None = None
+        if isinstance(spec, dict):
+            if "$in" in spec:
+                ops = set(spec["$in"])
+            if "$eq" in spec:
+                ops = {spec["$eq"]} if ops is None else ops & {spec["$eq"]}
+        elif spec is not None:
+            ops = {spec}
+        if ops is not None:
+            allowed = ops if allowed is None else allowed & ops
+    return allowed
+
+
+def _pushdown_raw(raw: DataFrame, pipeline: list[dict] | None) -> DataFrame:
+    ops = operation_constraint(pipeline)
+    if ops is None:
+        return raw
+    ets = sorted(t for op in ops for t in _OP_TO_EVENT_TYPES.get(op, []))
+    return raw.filter(F.col("event_type").isin(ets) if ets else F.lit(False))
+
 
 def _operation_col() -> Column:
     expr = F.lit("unknown")
@@ -130,13 +171,24 @@ def change_events_oracle_cte(update_lookup: bool = True) -> str:
 
 
 def read_change_events(
-    spark: SparkSession, sf_dir: str, update_lookup: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    update_lookup: bool = True,
+    pipeline: list[dict] | None = None,
 ) -> DataFrame:
-    """Batch change-event source over the testdata events table."""
+    """Batch change-event source over the testdata events table.
+
+    ``pipeline`` is the reference's ``ChangeStreamConfig.pipeline``
+    (F1): the operationType constraint is pushed onto the raw scan
+    (PushedFilters / row-group pruning), then the exact translated
+    predicate is applied post-projection.
+    """
+    from rigatoni_spark.operators.filters import match_pipeline
     from rigatoni_spark.tables import load_table
 
-    raw = load_table(spark, sf_dir, "events")
-    return as_change_events(raw, update_lookup=update_lookup)
+    raw = _pushdown_raw(load_table(spark, sf_dir, "events"), pipeline)
+    ce = as_change_events(raw, update_lookup=update_lookup)
+    return match_pipeline(ce, pipeline) if pipeline else ce
 
 
 def read_change_events_stream(
@@ -144,6 +196,7 @@ def read_change_events_stream(
     events_dir: str,
     max_files_per_trigger: int | None = None,
     update_lookup: bool = True,
+    pipeline: list[dict] | None = None,
 ) -> DataFrame:
     """Streaming change-event source over a growing parquet directory.
 
@@ -159,7 +212,10 @@ def read_change_events_stream(
     reader = spark.readStream.schema(RAW_EVENTS_SCHEMA_NANOS).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.load(events_dir).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
+    raw = _pushdown_raw(
+        reader.load(events_dir).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        ),
+        pipeline,
     )
     return as_change_events(raw, update_lookup=update_lookup)

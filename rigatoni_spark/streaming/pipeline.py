@@ -170,6 +170,9 @@ class Pipeline:
             self.source_dir,
             max_files_per_trigger=max_files,
             update_lookup=self.config.stream.full_document_on_update,
+            # source-side half of F1: operationType constraint reaches
+            # the file source scan; exact $match still runs per-batch
+            pipeline=self.config.stream.pipeline,
         )
         level = self.config.watch_level
         if level is WatchLevel.COLLECTION:

@@ -100,6 +100,48 @@ class TestMatchTranslator:
         assert "PushedFilters: [" in plan
         assert "event_type" in plan.split("PushedFilters")[1][:200]
 
+    def test_source_side_match_pushes_operation_constraint(self, spark):
+        """F1 source-side half: an operationType $match translates to an
+        event_type IN (...) filter on the raw scan (PushedFilters), the
+        Spark analogue of the reference running $match inside MongoDB
+        (stream.rs:909-917)."""
+        from rigatoni_spark.sources.change_events import read_change_events
+
+        ce = read_change_events(
+            spark,
+            "/root/testdata/sf0.001",
+            pipeline=[{"$match": {"operationType": {"$in": ["insert"]}}}],
+        )
+        plan = ce._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters")[1][:200]
+        assert "event_type" in pushed
+        # equivalent to the translator-only path
+        from rigatoni_spark.operators.filters import match_pipeline
+
+        base = match_pipeline(
+            read_change_events(spark, "/root/testdata/sf0.001"),
+            [{"$match": {"operationType": {"$in": ["insert"]}}}],
+        )
+        assert ce.count() == base.count()
+
+    def test_operation_constraint_extraction(self):
+        from rigatoni_spark.sources.change_events import operation_constraint
+
+        assert operation_constraint(None) is None
+        assert operation_constraint(
+            [{"$match": {"fullDocument.k": {"$gte": 5}}}]
+        ) is None
+        assert operation_constraint(
+            [{"$match": {"operationType": "insert"}}]
+        ) == {"insert"}
+        # AND across stages intersects
+        assert operation_constraint(
+            [
+                {"$match": {"operationType": {"$in": ["insert", "update"]}}},
+                {"$match": {"operationType": {"$in": ["update", "delete"]}}},
+            ]
+        ) == {"update"}
+
 
 class TestDedup:
     def test_first_semantics_match_reference_hashset(self, change_events, duck):

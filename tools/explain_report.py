@@ -29,12 +29,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {e}")
             continue
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         print(
             f"{name}: exchanges={plan.count('Exchange')}"
             f" broadcast_joins={plan.count('BroadcastHashJoin')}"
             f" sortmerge_joins={plan.count('SortMergeJoin')}"
             f" bnl_joins={plan.count('BroadcastNestedLoopJoin')}"
-            f" pushed_filters={len(re.findall(r'PushedFilters: \\[[^\\]]', plan))}"
+            f" pushed_filters={pushed}"
             f" codegen_spans={plan.count('WholeStageCodegen')}"
         )
         if only:
