@@ -46,33 +46,40 @@ def main() -> None:
     read_change_events(spark, SF_DIR).count()
 
     # --- headline: the reference's full spine, events/sec ----------------
-    out_dir = tempfile.mkdtemp(prefix="bench_sink_")
-    try:
-        t0 = time.monotonic()
-        ce = read_change_events(spark, SF_DIR)
-        flowed = dedup.dedup_by_key(
-            read_change_events(
-                spark,
-                SF_DIR,
-                pipeline=[{"$match": {"operationType": {"$in": ["insert", "update", "replace", "delete"]}}}],
+    def run_spine() -> tuple[float, int]:
+        out_dir = tempfile.mkdtemp(prefix="bench_sink_")
+        try:
+            t0 = time.monotonic()
+            ce = read_change_events(spark, SF_DIR)
+            flowed = dedup.dedup_by_key(
+                read_change_events(
+                    spark,
+                    SF_DIR,
+                    pipeline=[{"$match": {"operationType": {"$in": ["insert", "update", "replace", "delete"]}}}],
+                )
             )
-        )
-        n_in = ce.count()
-        write_batch(
-            flowed,
-            S3SinkConfig(
-                bucket=out_dir,
-                format=SerializationFormat.JSON,
-                partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
-                single_file_per_group=False,
-            ),
-            batch_id=0,
-        )
-        spine_sec = time.monotonic() - t0
-        timings["cdc_spine_write"] = round(spine_sec, 3)
-        events_per_sec = n_in / spine_sec
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+            n_in = ce.count()
+            write_batch(
+                flowed,
+                S3SinkConfig(
+                    bucket=out_dir,
+                    format=SerializationFormat.JSON,
+                    partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
+                    single_file_per_group=False,
+                ),
+                batch_id=0,
+            )
+            return time.monotonic() - t0, n_in
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    # first run includes JIT/codegen warmup; report the steady-state
+    # second run (the figure comparable to the reference's criterion
+    # numbers, which also exclude warmup)
+    run_spine()
+    spine_sec, n_in = run_spine()
+    timings["cdc_spine_write"] = round(spine_sec, 3)
+    events_per_sec = n_in / spine_sec
 
     # --- per-query timings (the catalog the driver hash-checks) ----------
     for name, fn in QUERIES.items():

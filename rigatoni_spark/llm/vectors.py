@@ -104,24 +104,31 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _hyperplane_signs(b: int, dim: int = DIM) -> list[float]:
+    """Hyperplane b entry i is +1 if the first hex digit of md5('b:i')
+    is even else -1 — deterministic; the SQL oracle recomputes the same
+    md5 parity and gets identical signs."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _bucket(emb: Column) -> Column:
     """Sign-random-projection bucket id in [0, 2^NBITS).
 
-    Hyperplane b entry i is +1 if the first hex digit of
-    md5('b:i') is even else -1 — deterministic, identical in SQL.
+    The signs depend only on (b, i), so they are precomputed driver-side
+    and embedded as literal arrays — the per-row work is NBITS pure
+    multiply-add folds (no runtime md5; was 512 md5 calls per row).
     """
     bucket = F.lit(0).cast("bigint")
     for b in range(NBITS):
+        signs = F.array(*[F.lit(s) for s in _hyperplane_signs(b)])
         proj = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda i: F.element_at(emb, i + 1).cast("double")
-                * F.when(
-                    F.conv(F.substring(F.md5(F.concat(F.lit(f"{b}:"), i.cast("string"))), 1, 1), 16, 10)
-                    .cast("int") % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.zip_with(emb, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
