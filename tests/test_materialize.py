@@ -104,3 +104,54 @@ class TestStreamingMaterialize:
             for r in materialize(as_change_events(spark.read.parquet(str(src)).withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))).collect()
         }
         assert upserts == expected
+
+
+class TestMaterializedView:
+    def test_view_matches_batch_snapshot_across_restart(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from rigatoni_spark.streaming.materialized import MaterializedView
+
+        src = tmp_path / "src"
+        snap = str(tmp_path / "snapshot")
+        ckpt = str(tmp_path / "ckpt")
+        src.mkdir()
+        t = pq.read_table(SF_EVENTS)
+        n = t.num_rows
+        pq.write_table(t.slice(0, n // 2), str(src / "a.parquet"))
+
+        view = MaterializedView(spark, str(src), snap, ckpt).start(
+            available_now=True
+        )
+        view.await_termination(120)
+        view.stop()
+        assert view.snapshot().count() > 0
+
+        # feed the rest; a NEW view instance resumes from the checkpoint
+        pq.write_table(t.slice(n // 2, n - n // 2), str(src / "b.parquet"))
+        view2 = MaterializedView(spark, str(src), snap, ckpt).start(
+            available_now=True
+        )
+        view2.await_termination(120)
+        view2.stop()
+
+        expected = materialize(
+            as_change_events(
+                spark.read.parquet(str(src)).withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+            )
+        )
+        got = view2.snapshot()
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+
+    def test_empty_snapshot_before_first_batch(self, spark, tmp_path):
+        from rigatoni_spark.streaming.materialized import MaterializedView
+
+        view = MaterializedView(
+            spark, str(tmp_path / "nosrc"), str(tmp_path / "nosnap"),
+            str(tmp_path / "nockpt"),
+        )
+        assert view.snapshot().count() == 0
