@@ -142,6 +142,18 @@ def _q_size_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = batching.bytes_batched(read_change_events(spark, sf_dir), 4096)
+    return (
+        ce.groupBy("collection", "byte_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("estimated_size_bytes").alias("sum_bytes"),
+        )
+        .orderBy("collection", "byte_batch")
+    )
+
+
 def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = {n: tables.load_table(spark, sf_dir, n) for n in tables.TABLE_NAMES}
@@ -240,6 +252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_materialize": _q_materialize,
     "b1_windowed_counts": _q_windowed_counts,
     "b2_size_batched": _q_size_batched,
+    "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
     "s4_watch_collections": _q_watch_collections,
     # --- relational surface ---
@@ -344,6 +357,24 @@ SELECT collection, batch_index, COUNT(*) AS n_events,
        MAX(CAST(resume_token AS BIGINT)) AS last_token
 FROM ranked GROUP BY collection, batch_index
 ORDER BY collection, batch_index""",
+    "b2_bytes_batched": f"""{_CE_CTE},
+sized AS (
+  SELECT collection, event_id,
+         100 + COALESCE(strlen(document_key), 0)
+             + COALESCE(strlen(full_document), 0)
+             + COALESCE(strlen(updated_fields), 0)
+             + COALESCE(strlen(resume_token), 0) AS esb
+  FROM change_events),
+pre AS (
+  SELECT collection, esb,
+         COALESCE(SUM(esb) OVER (
+           PARTITION BY collection ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM sized)
+SELECT collection, CAST(FLOOR(prefix / 4096) AS BIGINT) AS byte_batch,
+       COUNT(*) AS n_events, SUM(esb) AS sum_bytes
+FROM pre GROUP BY collection, byte_batch
+ORDER BY collection, byte_batch""",
     "k9_hive_partition_cols": f"""{_CE_CTE}
 SELECT collection,
        CAST(EXTRACT(year FROM cluster_time) AS INT) AS year,

@@ -78,3 +78,50 @@ def size_batched(
         "batch_index",
         F.ceil(F.row_number().over(w) / F.lit(batch_size)).cast("bigint"),
     )
+
+
+def with_estimated_size(df: DataFrame) -> DataFrame:
+    """B2: per-event serialized-size estimate in bytes.
+
+    The reference uses a crude ``doc.len() * 50`` heuristic
+    (event.rs:397-432); ours is exact-ish over the JSON-string payload
+    model: a fixed envelope base + the octet length of every payload
+    column. Pure projection, fused into the scan.
+    """
+    payload = [
+        F.coalesce(F.octet_length(c), F.lit(0))
+        for c in ("document_key", "full_document", "updated_fields")
+    ]
+    size = F.lit(100) + sum(payload[1:], payload[0]) + F.coalesce(
+        F.octet_length("resume_token"), F.lit(0)
+    )
+    return df.withColumn("estimated_size_bytes", size.cast("bigint"))
+
+
+def bytes_batched(
+    df: DataFrame,
+    target_bytes: int = 1 << 20,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """B2: byte-size batch index per collection — a prefix-sum bucketing
+    of the estimated sizes (batch_processing.rs:215-252's "split when
+    cumulative serialized size exceeds ~1MB").
+
+    batch boundary = floor(prefix_sum_before / target): deterministic,
+    one window shuffle on collection, and expressible identically in
+    ANSI SQL (unlike the reference's stateful greedy reset, which is
+    order-dependent in exactly the same way but not a pure projection
+    of the prefix sum).
+    """
+    from pyspark.sql import Window
+
+    sized = with_estimated_size(df)
+    w = (
+        Window.partitionBy("collection")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("estimated_size_bytes").over(w), F.lit(0))
+    return sized.withColumn(
+        "byte_batch", F.floor(prefix / F.lit(target_bytes)).cast("bigint")
+    )

@@ -174,3 +174,11 @@ def project_envelope(df: DataFrame) -> DataFrame:
     """F4: the 7-column envelope every serializer writes
     (s3/destination.rs:220-230, :286-298, :418-433)."""
     return df.select(*ENVELOPE_COLUMNS)
+
+
+def filter_ddl(df: DataFrame) -> DataFrame:
+    """is_ddl (event.rs:135-144): drop/dropDatabase/rename/invalidate —
+    schema-change events routed to operational handling, not data flow."""
+    from rigatoni_spark.schema import DDL_OPS
+
+    return df.filter(F.col("operation").isin(*DDL_OPS))

@@ -195,3 +195,57 @@ class TestGrouping:
             ).fetchall()
         )
         assert got == want
+
+
+class TestDDLAndSizing:
+    def test_filter_ddl_selects_schema_changes(self, spark, change_events):
+        """is_ddl (event.rs:135-144) over a feed with synthesized DDL
+        events (the testdata feed itself carries only DML)."""
+        from pyspark.sql import Row
+
+        from rigatoni_spark.operators.filters import filter_ddl
+
+        ddl = spark.createDataFrame(
+            [
+                Row(operation="drop", collection="c0"),
+                Row(operation="dropDatabase", collection="c1"),
+                Row(operation="rename", collection="c0"),
+                Row(operation="invalidate", collection="c2"),
+                Row(operation="insert", collection="c0"),
+            ]
+        )
+        got = sorted(r["operation"] for r in filter_ddl(ddl).collect())
+        assert got == ["drop", "dropDatabase", "invalidate", "rename"]
+        assert filter_ddl(change_events.limit(100)).count() == 0
+
+    def test_estimated_size_positive_and_payload_sensitive(self, change_events):
+        from rigatoni_spark.operators.batching import with_estimated_size
+
+        sized = with_estimated_size(change_events)
+        assert sized.filter(F.col("estimated_size_bytes") <= 100).count() == 0
+        # deletes (no full_document) estimate smaller than inserts
+        avg = {
+            r["operation"]: r["avg_size"]
+            for r in sized.groupBy("operation")
+            .agg(F.avg("estimated_size_bytes").alias("avg_size"))
+            .collect()
+        }
+        assert avg["delete"] < avg["insert"]
+
+    def test_bytes_batched_respects_prefix_boundaries(self, change_events):
+        from rigatoni_spark.operators.batching import bytes_batched
+
+        b = bytes_batched(change_events, target_bytes=2048)
+        # batch indices are contiguous from 0 within each collection
+        per_coll = (
+            b.groupBy("collection")
+            .agg(
+                F.min("byte_batch").alias("lo"),
+                F.max("byte_batch").alias("hi"),
+                F.countDistinct("byte_batch").alias("n"),
+            )
+            .collect()
+        )
+        for r in per_coll:
+            assert r["lo"] == 0
+            assert r["n"] == r["hi"] + 1
