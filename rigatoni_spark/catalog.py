@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rigatoni_spark import tables
+from rigatoni_spark.llm import corpus
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
@@ -275,6 +276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid_heuristic": _doc(textstats.langid_heuristic),
     "text_fingerprints": _doc(textstats.fingerprints),
     # --- LLM-pipeline: dedup ---
+    "text_clean_corpus": _doc(corpus.clean_corpus),
     "dedup_exact_groups": _doc(ldedup.exact_duplicates),
     "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
@@ -405,6 +407,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
     "text_langid_heuristic": textstats.LANGID_ORACLE,
     "text_fingerprints": textstats.FINGERPRINTS_ORACLE,
+    "text_clean_corpus": corpus.clean_corpus_oracle(),
     "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
