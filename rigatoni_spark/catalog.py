@@ -143,6 +143,13 @@ def _q_size_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return advanced.enrich_with_customer(
+        read_change_events(spark, sf_dir),
+        tables.load_table(spark, sf_dir, "customer"),
+    )
+
+
 def _q_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = batching.bytes_batched(read_change_events(spark, sf_dir), 4096)
     return (
@@ -269,6 +276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_pivot_ops": _q_pivot,
     "rel_window_running": _rel("running"),
     "rel_cube": _rel("cube"),
+    "rel_enrich_customers": _q_enrich,
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -402,6 +410,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_pivot_ops": f"{_CE_CTE}\n{advanced.PIVOT_ORACLE_BODY}",
     "rel_window_running": advanced.RUNNING_TOTALS_ORACLE,
     "rel_cube": advanced.CUBE_ORACLE,
+    "rel_enrich_customers": f"{_CE_CTE}\n{advanced.ENRICH_ORACLE_BODY}",
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,

@@ -339,3 +339,37 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
 """
+
+
+def enrich_with_customer(events_ce: DataFrame, customer: DataFrame) -> DataFrame:
+    """CDC enrichment: join the change stream to a dimension table on
+    the document key (the standard stream-static join; works identically
+    under readStream — Spark re-broadcasts the dim per micro-batch).
+
+    The dim side broadcasts (no shuffle of the event stream); the key
+    comes out of the JSON document_key via get_json_object, evaluated
+    in the scan stage.
+    """
+    key = F.get_json_object(F.col("document_key"), "$._id").cast("bigint")
+    joined = events_ce.withColumn("c_custkey", key).join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")), "c_custkey"
+    )
+    return (
+        joined.groupBy("c_mktsegment", "operation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+        )
+        .orderBy("c_mktsegment", "operation")
+    )
+
+
+ENRICH_ORACLE_BODY = """
+SELECT c.c_mktsegment, e.operation, COUNT(*) AS n_events,
+       COUNT(DISTINCT c.c_custkey) AS n_users
+FROM change_events e
+JOIN customer c
+  ON CAST(json_extract_string(e.document_key, '$._id') AS BIGINT) = c.c_custkey
+GROUP BY c.c_mktsegment, e.operation
+ORDER BY c.c_mktsegment, e.operation
+"""
