@@ -1,0 +1,71 @@
+"""Plan-regression guards: the scale-critical physical-plan properties
+(broadcast joins, bounded exchange counts, scan pushdown) asserted so a
+refactor can't silently trade them away. These are the properties
+SCALE.md reasons from; tools/explain_report.py prints the full survey.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rigatoni_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+class TestPlanProperties:
+    def test_q1_single_agg_exchange(self, spark):
+        plan = _plan(spark, "rel_q1_pricing_summary")
+        # scan -> partial agg -> ONE exchange -> final agg (+ sort)
+        assert plan.count("Exchange") <= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_q3_q5_broadcast_dims_no_sortmerge(self, spark):
+        for name in ("rel_q3_top_orders", "rel_q5_region_revenue"):
+            plan = _plan(spark, name)
+            assert "BroadcastHashJoin" in plan, name
+            assert "SortMergeJoin" not in plan, name
+
+    def test_q6_all_predicates_pushed(self, spark):
+        plan = _plan(spark, "rel_q6_filter_agg")
+        # toString may truncate the list mid-line; don't require the ]
+        pushed = plan.split("PushedFilters: [", 1)
+        assert len(pushed) == 2 and "l_shipdate" in pushed[1][:300]
+        assert plan.count("Exchange") <= 1  # global agg partial+final only
+
+    def test_match_constraint_reaches_scan(self, spark):
+        plan = _plan(spark, "f1_match_pushdown")
+        pushed = re.search(r"PushedFilters: \[([^\]]*)", plan)
+        assert pushed and "event_type" in pushed.group(1)
+
+    def test_dedup_is_aggregate_not_window(self, spark):
+        # min_by/max_by formulation: map-side partial aggregation BEFORE
+        # the exchange (shuffle carries keys, not events) — not a Window
+        # over the full shuffled event stream
+        plan = _plan(spark, "g3_dedup_latest_by_key")
+        assert "Window" not in plan
+        assert "partial_max_by" in plan
+
+    def test_enrichment_broadcasts_dim(self, spark):
+        plan = _plan(spark, "rel_enrich_customers")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_no_cartesian_products_anywhere(self, spark):
+        # cross joins are only ever broadcast-nested-loop against tiny
+        # literal-bounded sides (ANN centroids/queries); a CartesianProduct
+        # node means a corpus x corpus blowup sneaked in
+        for name in QUERIES:
+            plan = _plan(spark, name)
+            assert "CartesianProduct" not in plan, name
