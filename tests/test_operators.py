@@ -249,3 +249,32 @@ class TestDDLAndSizing:
         for r in per_coll:
             assert r["lo"] == 0
             assert r["n"] == r["hi"] + 1
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, spark):
+        from rigatoni_spark.operators.skew import salted_join
+        from rigatoni_spark.tables import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+        # align key names for the equi-join helper
+        dim = customer.withColumnRenamed("c_custkey", "o_custkey")
+        plain = orders.join(dim, ["o_custkey"])
+        salted = salted_join(orders, dim, ["o_custkey"], n_salts=4)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_left_join_preserves_unmatched(self, spark):
+        from pyspark.sql import Row
+
+        from rigatoni_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=99, v="orphan")]
+        )
+        dim = spark.createDataFrame([Row(k=1, name="one"), Row(k=2, name="two")])
+        got = salted_join(fact, dim, ["k"], n_salts=3, how="left").collect()
+        assert len(got) == 3
+        assert {r["v"] for r in got if r["name"] is None} == {"orphan"}
