@@ -296,6 +296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
     "sim_ivf_topk": _emb(vectors.ivf_topk),
+    "sim_ann_multiprobe_topk": _emb(vectors.ann_multiprobe_topk),
     # --- LLM-pipeline: multimodal (Pandas-UDF plumbing, stubbed codecs) ---
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
@@ -427,6 +428,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     "sim_ivf_topk": vectors.ivf_topk_oracle(),
+    "sim_ann_multiprobe_topk": vectors.ann_multiprobe_topk_oracle(),
     # multimodal: the deterministic-fake codec is md5-derived, so even
     # the Pandas-UDF path has an exact SQL twin
     "mm_decode_metadata": """

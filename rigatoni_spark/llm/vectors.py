@@ -444,3 +444,109 @@ WITH cent AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def ann_multiprobe_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus all
+    NBITS Hamming-1 neighbor buckets (the standard recall knob — a
+    low-margin hyperplane side flip moves a near neighbor exactly one
+    bit away).
+
+    Scale shape: the probe set is generated by EXPLODING 1+NBITS probe
+    keys per query, keeping the candidate step an equi-join on the
+    bucket id — never a bit_count(xor) theta-join against the corpus.
+    Candidates can arrive via multiple probes, so the top-k window
+    dedups with a distinct before ranking.
+    """
+    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
+            for b in range(NBITS)
+        ],
+    )
+    q = (
+        with_bucket.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes).alias("probe_bucket"),
+        )
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("probe_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id", "cand_id", F.round(sim, 4).alias("cosine"),
+            sim.alias("_raw"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_multiprobe_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
+    proj_terms = []
+    for b in range(NBITS):
+        proj_terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}), "
+            f"i -> (embedding[i+1])::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{b}:' || i::VARCHAR), 1, 1))::INT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+    bucket_expr = " + ".join(proj_terms)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="q.q_emb", b="q.q_emb")
+    cc = dot.format(d=DIM, a="c.embedding", b="c.embedding")
+    qc = dot.format(d=DIM, a="q.q_emb", b="c.embedding")
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(NBITS)]
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         unnest([{probe_list}]) AS probe_bucket
+  FROM bucketed WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS cand_id,
+         ROUND({qc} / (sqrt({qq}) * sqrt({cc})), 4) AS cosine,
+         {qc} / (sqrt({qq}) * sqrt({cc})) AS raw
+  FROM q JOIN bucketed c
+    ON q.probe_bucket = c.bucket AND q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -141,3 +141,23 @@ class TestIVF:
         for q, ranks in per_query.items():
             assert ranks == sorted(ranks)
             assert len(ranks) <= 3
+
+
+class TestMultiProbe:
+    def test_recall_dominates_single_probe(self, spark, embeddings):
+        from rigatoni_spark.llm.vectors import (
+            ann_lsh_topk,
+            ann_multiprobe_topk,
+            cosine_topk,
+        )
+
+        def pairs(df):
+            return {(r["query_id"], r["cand_id"]) for r in df.collect()}
+
+        exact = pairs(cosine_topk(embeddings, n_queries=4, k=3))
+        single = pairs(ann_lsh_topk(embeddings, n_queries=4, k=3))
+        multi = pairs(ann_multiprobe_topk(embeddings, n_queries=4, k=3))
+        # multi-probe candidates are a superset of single-probe, so its
+        # overlap with the exact answer can only grow
+        assert len(multi & exact) >= len(single & exact)
+        assert len(multi) >= len(single)
