@@ -58,6 +58,19 @@ CHANGE_EVENT_SCHEMA = T.StructType(
         # update_description fields (event.rs:206-230)
         T.StructField("updated_fields", T.StringType(), True),
         T.StructField("removed_fields", T.ArrayType(T.StringType()), True),
+        # TruncatedArray {field, new_size} (event.rs:222-230)
+        T.StructField(
+            "truncated_arrays",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("field", T.StringType(), False),
+                        T.StructField("new_size", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
         # checkpoint token (event.rs:306-310); monotone within a stream
         T.StructField("resume_token", T.StringType(), True),
     ]

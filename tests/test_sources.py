@@ -97,3 +97,58 @@ class TestDebeziumParse:
         )
         assert out["operation"] == "delete"
         assert out["full_document"] is None
+
+
+class TestEnvelopeSerde:
+    """Serde round-trips — the reference's event_tests.rs JSON
+    round-trip layer (event_tests.rs:138,223) on the Spark envelope."""
+
+    def test_envelope_json_roundtrip_identity(self, spark, change_events):
+        # micros-precision timestampFormat: the default SSS truncates to
+        # milliseconds and breaks the identity
+        opts = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+        sample = change_events.limit(200)
+        back = (
+            sample.select(F.to_json(F.struct(*sample.columns), opts).alias("j"))
+            .select(F.from_json("j", sample.schema, opts).alias("s"))
+            .select("s.*")
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, sample.collect())
+        )
+
+    def test_truncated_arrays_shape(self, spark):
+        """TruncatedArray {field, new_size} (event.rs:222-230) survives
+        the full envelope schema round-trip."""
+        import json
+
+        from pyspark.sql import Row
+
+        from rigatoni_spark.schema import CHANGE_EVENT_SCHEMA
+
+        from datetime import datetime
+
+        row = Row(
+            operation="update",
+            database="app",
+            collection="c0",
+            cluster_time=datetime(2024, 1, 1, 0, 0, 0),
+            document_key='{"_id":1}',
+            full_document=None,
+            updated_fields='{"a":1}',
+            removed_fields=["b"],
+            truncated_arrays=[Row(field="tags", new_size=3)],
+            resume_token="7",
+        )
+        df = spark.createDataFrame([row], CHANGE_EVENT_SCHEMA)
+        j = df.select(F.to_json(F.struct(*df.columns)).alias("j")).first()["j"]
+        parsed = json.loads(j)
+        assert parsed["truncated_arrays"] == [{"field": "tags", "new_size": 3}]
+        back = (
+            spark.createDataFrame([(j,)], ["j"])
+            .select(F.from_json("j", CHANGE_EVENT_SCHEMA).alias("s"))
+            .select("s.*")
+            .first()
+        )
+        assert back["truncated_arrays"][0]["field"] == "tags"
+        assert back["removed_fields"] == ["b"]
