@@ -98,14 +98,20 @@ class Pipeline:
             batch_df = dedup_by_key(batch_df)
         batch_df = batch_df.persist()
         try:
-            n = batch_df.count()
+            # one job for count + invalidate detection (F3) together
+            probe = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(
+                        F.col("operation") == OP_INVALIDATE, F.col("collection")
+                    )
+                ).alias("invalidated"),
+            ).first()
+            n = probe["n"]
             if n == 0:
                 return
-            invalid = batch_df.filter(
-                F.col("operation") == OP_INVALIDATE
-            ).limit(1).collect()
-            if invalid:
-                self._invalidated = invalid[0]["collection"]
+            if probe["invalidated"] is not None:
+                self._invalidated = probe["invalidated"]
                 raise StreamInvalidatedError(
                     f"invalidate event on {self._invalidated}"
                 )
