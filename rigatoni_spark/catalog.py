@@ -188,6 +188,14 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             return advanced.customers_without_events(t["customer"], t["events"])
         if name == "running":
             return advanced.running_customer_totals(t["orders"])
+        if name == "q4":
+            return relational.q4_late_shipment_priority(
+                t["orders"], t["lineitem"]
+            )
+        if name == "q10":
+            return relational.q10_returned_revenue(
+                t["customer"], t["orders"], t["lineitem"], t["nation"]
+            )
         if name == "cube":
             return advanced.cube_order_stats(t["orders"])
         raise KeyError(name)
@@ -277,6 +285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_window_running": _rel("running"),
     "rel_cube": _rel("cube"),
     "rel_enrich_customers": _q_enrich,
+    "rel_q4_late_orders": _rel("q4"),
+    "rel_q10_returned_revenue": _rel("q10"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -412,6 +422,8 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_window_running": advanced.RUNNING_TOTALS_ORACLE,
     "rel_cube": advanced.CUBE_ORACLE,
     "rel_enrich_customers": f"{_CE_CTE}\n{advanced.ENRICH_ORACLE_BODY}",
+    "rel_q4_late_orders": relational.Q4_ORACLE,
+    "rel_q10_returned_revenue": relational.Q10_ORACLE,
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,

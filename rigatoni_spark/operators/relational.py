@@ -206,3 +206,88 @@ WITH totals AS (
 SELECT event_type, user_id, total_value, n_events, rank
 FROM ranked WHERE rank <= 3 ORDER BY event_type, rank
 """
+
+
+def q4_late_shipment_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: orders in a quarter having at
+    least one line shipped after the order date, counted by priority.
+
+    left_semi keeps the orders row-stream narrow (no lineitem columns
+    materialize); the join shuffles on orderkey — at 100 TB both sides
+    bucket on orderkey and the shuffle disappears entirely.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    has_late = o.join(
+        lineitem,
+        (o["o_orderkey"] == lineitem["l_orderkey"])
+        & (lineitem["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        has_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: top-k customers by revenue lost to returns.
+
+    lineitem filters on returnflag at the scan; customer/nation
+    broadcast; the orderkey join is the only real shuffle. Top-k via
+    global sort of the (small) per-customer aggregate, tie-broken on
+    custkey for determinism.
+    """
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    joined = (
+        returned.join(orders, returned["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
