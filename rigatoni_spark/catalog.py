@@ -150,6 +150,26 @@ def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics over the dynamic JSON payload half of the hybrid schema
+    (s3/destination.rs:266-275): get_json_object extraction + typed
+    aggregation, evaluated in the scan stage — the query pattern the
+    JSON-string document model exists to serve."""
+    ce = read_change_events(spark, sf_dir)
+    k = F.get_json_object(F.col("full_document"), "$.k").cast("bigint")
+    return (
+        ce.filter(F.col("full_document").isNotNull())
+        .groupBy("collection")
+        .agg(
+            F.count(k).alias("n_docs"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).alias("sum_k"),
+        )
+        .orderBy("collection")
+    )
+
+
 def _q_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = batching.bytes_batched(read_change_events(spark, sf_dir), 4096)
     return (
@@ -266,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_dedup_first_by_key": _q_dedup_first,
     "g3_dedup_latest_by_key": _q_dedup_latest,
     "cdc_materialize": _q_materialize,
+    "f1_json_analytics": _q_json_analytics,
     "b1_windowed_counts": _q_windowed_counts,
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
@@ -362,6 +383,18 @@ SELECT collection, document_key, operation, resume_token
 FROM ranked WHERE rn = 1 ORDER BY collection, document_key""",
     "cdc_materialize": f"""{_CE_CTE},
 {MATERIALIZE_ORACLE_BODY.strip()}""",
+    "f1_json_analytics": f"""{_CE_CTE}
+SELECT collection,
+       COUNT(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
+         AS n_docs,
+       MIN(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
+         AS min_k,
+       MAX(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
+         AS max_k,
+       SUM(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
+         AS sum_k
+FROM change_events WHERE full_document IS NOT NULL
+GROUP BY collection ORDER BY collection""",
     "b1_windowed_counts": f"""{_CE_CTE}
 SELECT date_trunc('hour', cluster_time) AS window_start, collection,
        COUNT(*) AS n_events,
