@@ -150,6 +150,23 @@ def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status, priority"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface (spark.sql over registered views) — identical
+    text runs on both engines; GROUPING SETS beyond rollup/cube."""
+    tables.load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def _q_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics over the dynamic JSON payload half of the hybrid schema
     (s3/destination.rs:266-275): get_json_object extraction + typed
@@ -215,6 +232,12 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
         if name == "q10":
             return relational.q10_returned_revenue(
                 t["customer"], t["orders"], t["lineitem"], t["nation"]
+            )
+        if name == "q15":
+            return relational.q15_top_supplier(t["lineitem"], t["supplier"])
+        if name == "q18":
+            return relational.q18_large_orders(
+                t["customer"], t["orders"], t["lineitem"]
             )
         if name == "cube":
             return advanced.cube_order_stats(t["orders"])
@@ -308,8 +331,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_enrich_customers": _q_enrich,
     "rel_q4_late_orders": _rel("q4"),
     "rel_q10_returned_revenue": _rel("q10"),
+    "rel_q15_top_supplier": _rel("q15"),
+    "rel_q18_large_orders": _rel("q18"),
+    "rel_grouping_sets": _q_grouping_sets,
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
+    "text_top_tokens": _doc(textstats.top_tokens),
     "text_quality_scores": _doc(textstats.quality_scores),
     "text_lang_profile": _doc(textstats.lang_profile),
     "text_langid_heuristic": _doc(textstats.langid_heuristic),
@@ -457,7 +484,11 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_enrich_customers": f"{_CE_CTE}\n{advanced.ENRICH_ORACLE_BODY}",
     "rel_q4_late_orders": relational.Q4_ORACLE,
     "rel_q10_returned_revenue": relational.Q10_ORACLE,
+    "rel_q15_top_supplier": relational.Q15_ORACLE,
+    "rel_q18_large_orders": relational.q18_oracle(),
+    "rel_grouping_sets": _GROUPING_SETS_SQL,
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
+    "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
     "text_langid_heuristic": textstats.LANGID_ORACLE,

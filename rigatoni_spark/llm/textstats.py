@@ -181,3 +181,28 @@ SELECT doc_id,
       chr(1))) AS bag_md5
 FROM documents ORDER BY doc_id
 """
+
+
+def top_tokens(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide token frequencies, top-k (the vocabulary head — the
+    first thing every corpus audit and stopword-list build looks at).
+
+    explode -> ONE groupBy(token) count (map-side combine crushes the
+    Zipf head before the exchange) -> small global top-k sort."""
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def top_tokens_oracle(k: int = 50) -> str:
+    return f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT {k}
+"""

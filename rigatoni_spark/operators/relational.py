@@ -291,3 +291,91 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with the maximum revenue in a
+    period (aggregate -> global max -> equality join back).
+
+    The max is a scalar broadcast; no second scan of lineitem — the
+    per-supplier aggregate is reused for both the max and the final
+    join (Spark reuses the exchange)."""
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).cast("double").alias("total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("m"))
+    return (
+        per_supp.join(F.broadcast(max_rev), per_supp["total_revenue"] == max_rev["m"])
+        .join(F.broadcast(supplier), per_supp["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+             (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: float = 150.0,
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a
+    threshold, with their customers.
+
+    The HAVING filter runs on the small per-order aggregate BEFORE the
+    joins, so only qualifying orderkeys (rare) join back — semi-join
+    shape, broadcast-able qualifying set."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+    )
+
+
+def q18_oracle(min_qty: float = 150.0) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > {min_qty}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
