@@ -112,3 +112,74 @@ class TestEventTimeWindows:
             q.stop()
         assert rows["s"] == 1000  # every event lands in exactly one session
         assert rows["c"] > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join (beyond-reference): correlate each
+    user's inserts with their deletes within a 1-hour interval. Both
+    sides carry watermarks so Spark bounds the join state; results must
+    equal the equivalent batch join over the same data."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.sources.change_events import (
+        as_change_events,
+        read_change_events_stream,
+    )
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(t, str(src / "all.parquet"))
+
+    def sides(ce):
+        ins = ce.filter(F.col("operation") == "insert").select(
+            F.col("document_key").alias("key"),
+            F.col("cluster_time").alias("t_ins"),
+        )
+        dels = ce.filter(F.col("operation") == "delete").select(
+            F.col("document_key").alias("d_key"),
+            F.col("cluster_time").alias("t_del"),
+        )
+        return ins, dels
+
+    cond = (
+        (F.col("key") == F.col("d_key"))
+        & (F.col("t_del") >= F.col("t_ins"))
+        & (F.col("t_del") <= F.col("t_ins") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    # streaming: both sides watermarked -> bounded state
+    stream_ce = read_change_events_stream(spark, str(src))
+    s_ins, s_dels = sides(stream_ce)
+    joined = s_ins.withWatermark("t_ins", "2 hours").join(
+        s_dels.withWatermark("t_del", "2 hours"), cond
+    )
+    got = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, _id: got.extend(
+                (r["key"], r["t_ins"], r["t_del"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch equivalent over the same files
+    batch_ce = as_change_events(
+        spark.read.parquet(str(src)).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    )
+    b_ins, b_dels = sides(batch_ce)
+    want = [
+        (r["key"], r["t_ins"], r["t_del"])
+        for r in b_ins.join(b_dels, cond).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0
