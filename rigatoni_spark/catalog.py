@@ -239,6 +239,8 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             return relational.q18_large_orders(
                 t["customer"], t["orders"], t["lineitem"]
             )
+        if name == "q14":
+            return relational.q14_promo_revenue(t["lineitem"], t["part"])
         if name == "cube":
             return advanced.cube_order_stats(t["orders"])
         raise KeyError(name)
@@ -334,6 +336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_q15_top_supplier": _rel("q15"),
     "rel_q18_large_orders": _rel("q18"),
     "rel_grouping_sets": _q_grouping_sets,
+    "rel_q14_promo_revenue": _rel("q14"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_top_tokens": _doc(textstats.top_tokens),
@@ -487,6 +490,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q15_top_supplier": relational.Q15_ORACLE,
     "rel_q18_large_orders": relational.q18_oracle(),
     "rel_grouping_sets": _GROUPING_SETS_SQL,
+    "rel_q14_promo_revenue": relational.Q14_ORACLE,
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,

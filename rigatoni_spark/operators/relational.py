@@ -379,3 +379,58 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey
 """
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share in a period.
+
+    part broadcasts (small dim); one shuffle-free scan+join+global agg.
+    Both sums are exact decimals; the percentage is one double division
+    rounded once — deterministic cross-engine.
+    """
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    period = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    joined = period.join(
+        F.broadcast(part), period["l_partkey"] == part["p_partkey"]
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / F.sum(revenue).cast("double"),
+            4,
+        ).alias("promo_revenue_pct"),
+        promo.cast("double").alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l_discount AS DECIMAL(18,4)))
+      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+               (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+    AS promo_revenue_pct,
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l_discount AS DECIMAL(18,4)))
+      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-02-01'
+"""
