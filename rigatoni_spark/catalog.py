@@ -187,6 +187,27 @@ def _q_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time activity rollup with EXACT distinct users per day
+    (count-distinct shuffles twice — by (day, user) then by day; the
+    approx_count_distinct single-shuffle variant is the 100 TB default,
+    exact kept here so the oracle hash-matches)."""
+    ce = read_change_events(spark, sf_dir)
+    # cast to date: DuckDB's date_trunc('day') yields DATE, Spark's a
+    # timestamp — align the types so value hashes compare
+    day = F.date_trunc("day", F.col("cluster_time")).cast("date")
+    uid = F.get_json_object(F.col("document_key"), "$._id").cast("bigint")
+    return (
+        ce.select(day.alias("day"), uid.alias("uid"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def _q_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = batching.bytes_batched(read_change_events(spark, sf_dir), 4096)
     return (
@@ -312,6 +333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_dedup_latest_by_key": _q_dedup_latest,
     "cdc_materialize": _q_materialize,
     "f1_json_analytics": _q_json_analytics,
+    "b1_daily_active_users": _q_daily_active,
     "b1_windowed_counts": _q_windowed_counts,
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
@@ -358,6 +380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
     "sim_ivf_topk": _emb(vectors.ivf_topk),
     "sim_ann_multiprobe_topk": _emb(vectors.ann_multiprobe_topk),
+    "sim_label_stats": _emb(vectors.label_stats),
     # --- LLM-pipeline: multimodal (Pandas-UDF plumbing, stubbed codecs) ---
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
@@ -425,6 +448,11 @@ SELECT collection,
          AS sum_k
 FROM change_events WHERE full_document IS NOT NULL
 GROUP BY collection ORDER BY collection""",
+    "b1_daily_active_users": f"""{_CE_CTE}
+SELECT date_trunc('day', cluster_time) AS day, COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(json_extract_string(document_key, '$._id')
+                           AS BIGINT)) AS n_users
+FROM change_events GROUP BY 1 ORDER BY 1""",
     "b1_windowed_counts": f"""{_CE_CTE}
 SELECT date_trunc('hour', cluster_time) AS window_start, collection,
        COUNT(*) AS n_events,
@@ -509,6 +537,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     "sim_ivf_topk": vectors.ivf_topk_oracle(),
     "sim_ann_multiprobe_topk": vectors.ann_multiprobe_topk_oracle(),
+    "sim_label_stats": vectors.label_stats_oracle(),
     # multimodal: the deterministic-fake codec is md5-derived, so even
     # the Pandas-UDF path has an exact SQL twin
     "mm_decode_metadata": """

@@ -550,3 +550,38 @@ WITH bucketed AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def label_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label corpus statistics: cardinality and norm distribution —
+    the embedding-space audit every labeled corpus gets before training
+    (catches collapsed/degenerate label clusters via norm spread).
+
+    One shuffle over #labels groups; the norm fold is scan-stage
+    compute. Norms are rounded once post-aggregation (min/max of exact
+    values, THEN round — order matters for cross-engine equality)."""
+    n = _norm(F.col("embedding"))
+    return (
+        embeddings.select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_stats_oracle() -> str:
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> ((embedding[i])::DOUBLE * (embedding[i])::DOUBLE)))"
+    )
+    return f"""
+WITH t AS (SELECT label, sqrt({dot}) AS nrm FROM embeddings)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM t GROUP BY label ORDER BY label
+"""
