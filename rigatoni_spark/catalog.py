@@ -374,7 +374,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
-    "dedup_embedding_cosine": _emb(vectors.embedding_neardup_pairs),
+    # threshold 0.3: the synthetic embeddings are near-random (max
+    # same-bucket cosine ~0.44), so the production default 0.95 finds
+    # nothing — check the pipeline on a non-empty result instead
+    "dedup_embedding_cosine": _emb(
+        lambda e: vectors.embedding_neardup_pairs(e, threshold=0.3)
+    ),
     # --- LLM-pipeline: similarity search ---
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
@@ -532,7 +537,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
-    "dedup_embedding_cosine": vectors.embedding_neardup_oracle(),
+    "dedup_embedding_cosine": vectors.embedding_neardup_oracle(threshold=0.3),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     "sim_ivf_topk": vectors.ivf_topk_oracle(),
