@@ -93,3 +93,37 @@ class TestWriteBatch:
         cfg = S3SinkConfig(bucket=str(tmp_path))
         empty = change_events.filter("operation = 'nope'")
         assert write_batch(empty, cfg) == []
+
+
+class TestReadBack:
+    """Consumer loop closure: every layout round-trips through
+    read_sink_output with no path parsing."""
+
+    def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.config import PartitionStrategy
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        sample = change_events.limit(500)
+        n = sample.count()
+        want = sorted(
+            (r["collection"], r["resume_token"])
+            for r in sample.select("collection", "resume_token").collect()
+        )
+        for strategy in PartitionStrategy:
+            out = tmp_path / strategy.name.lower()
+            cfg = S3SinkConfig(
+                bucket=str(out),
+                format=SerializationFormat.JSON,
+                partition_strategy=strategy,
+            )
+            keys = write_batch(sample, cfg, batch_id=1)
+            assert keys
+            back = read_sink_output(spark, cfg)
+            assert back.count() == n
+            got = sorted(
+                (r["collection"], r["resume_token"])
+                for r in back.select("collection", "resume_token").collect()
+            )
+            assert got == want, strategy
