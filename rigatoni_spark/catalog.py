@@ -167,6 +167,24 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, so values match bit-for-bit (verified). At 100 TB swap
+    to ``percentile_approx`` (t-digest, single pass, bounded memory) —
+    exact percentile materializes each group's values."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_total"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_json_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics over the dynamic JSON payload half of the hybrid schema
     (s3/destination.rs:266-275): get_json_object extraction + typed
@@ -359,6 +377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_q18_large_orders": _rel("q18"),
     "rel_grouping_sets": _q_grouping_sets,
     "rel_q14_promo_revenue": _rel("q14"),
+    "rel_percentiles": _q_percentiles,
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_top_tokens": _doc(textstats.top_tokens),
@@ -524,6 +543,12 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q18_large_orders": relational.q18_oracle(),
     "rel_grouping_sets": _GROUPING_SETS_SQL,
     "rel_q14_promo_revenue": relational.Q14_ORACLE,
+    "rel_percentiles": """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50_total,
+       quantile_cont(o_totalprice, 0.9) AS p90_total,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,
