@@ -468,8 +468,8 @@ SELECT collection,
          AS min_k,
        MAX(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
          AS max_k,
-       SUM(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
-         AS sum_k
+       CAST(SUM(CAST(json_extract_string(full_document, '$.k') AS BIGINT))
+         AS BIGINT) AS sum_k
 FROM change_events WHERE full_document IS NOT NULL
 GROUP BY collection ORDER BY collection""",
     "b1_daily_active_users": f"""{_CE_CTE}
@@ -508,7 +508,7 @@ pre AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
   FROM sized)
 SELECT collection, CAST(FLOOR(prefix / 4096) AS BIGINT) AS byte_batch,
-       COUNT(*) AS n_events, SUM(esb) AS sum_bytes
+       COUNT(*) AS n_events, CAST(SUM(esb) AS BIGINT) AS sum_bytes
 FROM pre GROUP BY collection, byte_batch
 ORDER BY collection, byte_batch""",
     "k9_hive_partition_cols": f"""{_CE_CTE}

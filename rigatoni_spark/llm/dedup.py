@@ -133,12 +133,27 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            inter.alias("i"),
             # |A∪B| = |A|+|B|-|A∩B| — no array_union materialization
-            F.round(inter / (an + bn - inter), 4).alias("jaccard"),
+            (an + bn - inter).alias("u"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(_jaccard_ge(threshold))
+        .select("doc_a", "doc_b", _jaccard_x10k())
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Scaled-integer Jaccard output + exact-rational threshold test: hashed
+# output columns must not be rounded doubles (1-ulp fragile across
+# engines), and i*10000 >= thr*u compares exact integers — no division.
+# Built lazily: constructing a Column requires an active SparkContext.
+def _jaccard_x10k():
+    return F.floor(F.col("i") * 10000 / F.col("u")).alias("jaccard_x10k")
+
+
+def _jaccard_ge(threshold: float):
+    thr = int(round(threshold * 10000))
+    return F.col("i") * 10000 >= F.lit(thr) * F.col("u")
 
 
 def _jaccard_pairs_bitmask(
@@ -182,27 +197,30 @@ def _jaccard_pairs_bitmask(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
+            inter.alias("i"),
+            union.alias("u"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(_jaccard_ge(threshold))
+        .select("doc_a", "doc_b", _jaccard_x10k())
         .orderBy("doc_a", "doc_b")
     )
 
 
 def ngram_jaccard_oracle(threshold: float = 0.8, block_col: str = "source") -> str:
+    thr = int(round(threshold * 10000))
     return f"""
 WITH t AS (
   SELECT doc_id, {block_col} AS block,
          list_distinct(string_split(text, ' ')) AS toks
   FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.toks, b.toks)) AS i,
+    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u
+  FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 /
-        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
-        4) AS jaccard
-FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-      >= {threshold}
+SELECT doc_a, doc_b,
+  CAST(FLOOR(i * 10000.0 / u) AS BIGINT) AS jaccard_x10k
+FROM pairs WHERE i * 10000 >= {thr} * u
 ORDER BY doc_a, doc_b
 """

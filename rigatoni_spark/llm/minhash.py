@@ -127,15 +127,14 @@ def near_duplicates(
         cands.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
     )
+    from rigatoni_spark.llm.dedup import _jaccard_ge, _jaccard_x10k
+
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        j.select(
-            "doc_a",
-            "doc_b",
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        j.select("doc_a", "doc_b", inter.alias("i"), union.alias("u"))
+        .filter(_jaccard_ge(threshold))
+        .select("doc_a", "doc_b", _jaccard_x10k())
         .orderBy("doc_a", "doc_b")
     )
 
@@ -192,16 +191,17 @@ WITH bandt AS ({bands_oracle(k, bands, shingle_n).strip()}),
   {_shingle_cte(shingle_n).strip()},
   shs AS (
     SELECT doc_id, list_distinct(list(sh)) AS shl FROM shing GROUP BY doc_id
+  ),
+  verified AS (
+    SELECT doc_a, doc_b,
+      len(list_intersect(sa.shl, sb.shl)) AS i,
+      len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)) AS u
+    FROM cands
+    JOIN shs sa ON sa.doc_id = doc_a
+    JOIN shs sb ON sb.doc_id = doc_b
   )
 SELECT doc_a, doc_b,
-  ROUND(len(list_intersect(sa.shl, sb.shl)) * 1.0 /
-        (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))), 4)
-    AS jaccard
-FROM cands
-JOIN shs sa ON sa.doc_id = doc_a
-JOIN shs sb ON sb.doc_id = doc_b
-WHERE len(list_intersect(sa.shl, sb.shl)) * 1.0 /
-      (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)))
-      >= {threshold}
+  CAST(FLOOR(i * 10000.0 / u) AS BIGINT) AS jaccard_x10k
+FROM verified WHERE i * 10000 >= {int(round(threshold * 10000))} * u
 ORDER BY doc_a, doc_b
 """

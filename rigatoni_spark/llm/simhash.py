@@ -68,7 +68,10 @@ WITH toks AS (
   SELECT doc_id, j, SUM(contrib) AS s FROM bits GROUP BY doc_id, j
 )
 SELECT doc_id,
-  SUM(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  -- CAST: DuckDB types bare SUM(BIGINT) as HUGEINT, which the driver's
+  -- value-hash normalizer renders differently from Spark's BIGINT
+  CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+    AS simhash
 FROM per_bit GROUP BY doc_id ORDER BY doc_id
 """
 

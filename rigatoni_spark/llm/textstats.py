@@ -95,8 +95,15 @@ def lang_profile(documents: DataFrame) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_chars")).alias("total_chars"),
-            F.round(F.min("ascii_ratio"), 4).alias("min_ascii_ratio"),
+            # cast: DuckDB types bare SUM(BIGINT) as HUGEINT; pin both
+            # engines to BIGINT so the driver's value-hash agrees
+            F.sum(F.col("n_chars")).cast("bigint").alias("total_chars"),
+            # scaled int (basis points x100) instead of a rounded double:
+            # rounded doubles are 1-ulp fragile across engines in hashed
+            # output columns
+            F.round(F.min("ascii_ratio") * 10000)
+            .cast("bigint")
+            .alias("min_ascii_ratio_x10k"),
         )
         .orderBy("lang")
     )
@@ -109,8 +116,9 @@ WITH t AS (
           / LENGTH(text), 4) AS ascii_ratio
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       ROUND(MIN(ascii_ratio), 4) AS min_ascii_ratio
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(ROUND(MIN(ascii_ratio) * 10000) AS BIGINT) AS min_ascii_ratio_x10k
 FROM t GROUP BY lang ORDER BY lang
 """
 

@@ -59,9 +59,9 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (
+  SELECT *, CAST(SUM(new_session) OVER (
     PARTITION BY user_id ORDER BY ts
-    ROWS UNBOUNDED PRECEDING) AS session_idx
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -198,10 +198,10 @@ def pivot_op_by_collection(events_ce: DataFrame) -> DataFrame:
 
 PIVOT_ORACLE_BODY = """
 SELECT collection,
-  COALESCE(SUM(CASE WHEN operation = 'insert'  THEN 1 END), 0) AS insert,
-  COALESCE(SUM(CASE WHEN operation = 'update'  THEN 1 END), 0) AS update,
-  COALESCE(SUM(CASE WHEN operation = 'replace' THEN 1 END), 0) AS replace,
-  COALESCE(SUM(CASE WHEN operation = 'delete'  THEN 1 END), 0) AS delete
+  COUNT(CASE WHEN operation = 'insert'  THEN 1 END) AS insert,
+  COUNT(CASE WHEN operation = 'update'  THEN 1 END) AS update,
+  COUNT(CASE WHEN operation = 'replace' THEN 1 END) AS replace,
+  COUNT(CASE WHEN operation = 'delete'  THEN 1 END) AS delete
 FROM change_events GROUP BY collection ORDER BY collection
 """
 

@@ -39,8 +39,19 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     map-side partial agg reduces ~everything before the exchange; the
     date filter pushes down to the parquet scan.
     """
-    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    # Tight precisions keep the 3-factor charge product inside DECIMAL
+    # precision 38 on BOTH engines: (12,2)*(3,2)*(3,2) -> scale-6 exact.
+    # With (18,4) inputs the product overflows p=38 and the engines
+    # diverge (Spark precision-loss rounding vs DuckDB double fallback).
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount").cast("decimal(3,2)")).cast(
+        "decimal(3,2)"
+    )
+    one_plus_tax = (F.lit(1) + F.col("l_tax").cast("decimal(3,2)")).cast(
+        "decimal(3,2)"
+    )
+    disc_price = ext * one_minus_disc
+    charge = disc_price * one_plus_tax
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -68,8 +79,8 @@ Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,

@@ -208,7 +208,9 @@ def read_change_events_stream(
     back-pressure knob (O4, channel_buffer_size analogue).
     """
     from rigatoni_spark.sources.events_schema import RAW_EVENTS_SCHEMA_NANOS
+    from rigatoni_spark.tables import ensure_session_confs
 
+    ensure_session_confs(spark)
     reader = spark.readStream.schema(RAW_EVENTS_SCHEMA_NANOS).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -40,7 +40,33 @@ _NANOS_TS_COLUMNS = {
 }
 
 
+# Runtime-settable confs any caller session needs to read the testdata
+# correctly. The driver's correctness gate passes a *vanilla*
+# SparkSession (not rigatoni_spark.session.get_spark), so these must be
+# applied defensively on every read, not assumed at session build time.
+_REQUIRED_CONFS = {
+    # TIMESTAMP(NANOS) parquet columns -> surface as LongType
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # date_trunc/window/day-bucketing must agree with UTC-naive oracles
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs required to read the testdata.
+
+    Safe on any session (values are idempotent); errors are swallowed so
+    a locked-down session still proceeds as far as it can.
+    """
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - locked conf: best effort
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):

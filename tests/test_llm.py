@@ -32,7 +32,7 @@ class TestDedup:
 
     def test_jaccard_pairs_symmetric_bounded(self, documents):
         pairs = dedup.ngram_jaccard_pairs(documents, threshold=0.8).collect()
-        assert all(0.8 <= r["jaccard"] <= 1.0 for r in pairs)
+        assert all(8000 <= r["jaccard_x10k"] <= 10000 for r in pairs)
         assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
     def test_minhash_identical_docs_always_candidates(self, spark):
@@ -44,7 +44,9 @@ class TestDedup:
         cands = minhash.candidate_pairs(df).collect()
         assert (1, 2) in [(r["doc_a"], r["doc_b"]) for r in cands]
         dups = minhash.near_duplicates(df, threshold=0.9).collect()
-        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in dups] == [(1, 2, 1.0)]
+        assert [(r["doc_a"], r["doc_b"], r["jaccard_x10k"]) for r in dups] == [
+            (1, 2, 10000)
+        ]
 
     def test_simhash_is_32bit(self, documents):
         sigs = simhash.simhash_signatures(documents)

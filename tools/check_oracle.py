@@ -38,8 +38,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style: stable textual form; queries should pre-round
-        return f"{v:.10g}"
+        # exact round-trip form: strictly stricter than any plausible
+        # driver normalizer — a pass here means the doubles are
+        # BIT-IDENTICAL across engines, not merely close
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -59,6 +61,70 @@ def value_hash(rows: list[tuple], columns: list[str]) -> str:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def _coarse_spark(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return "list:" + _coarse_spark(dt.elementType)
+    return str(dt)
+
+
+def _coarse_arrow(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        # DuckDB HUGEINT (bare SUM(BIGINT/INT)) and DECIMAL both land
+        # here — the driver's hasher renders these differently from
+        # Spark BIGINT/DOUBLE, so any 'decimal' on the oracle side that
+        # isn't decimal on the Spark side is a latent hash-FAIL.
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list:" + _coarse_arrow(t.value_type)
+    return str(t)
+
+
+def type_drift(sdf_schema, arrow_schema) -> list[str]:
+    """Columns whose coarse type differs between Spark and DuckDB.
+
+    Catches the HUGEINT/DECIMAL class of cross-engine hash failures
+    that fetchall() (Python ints) masks.
+    """
+    spark_types = {f.name: _coarse_spark(f.dataType) for f in sdf_schema.fields}
+    drifts = []
+    for field in arrow_schema:
+        st = spark_types.get(field.name)
+        at = _coarse_arrow(field.type)
+        if st is not None and st != at:
+            drifts.append(f"{field.name}: spark={st} duckdb={at}")
+    return drifts
 
 
 def main() -> int:
@@ -93,27 +159,32 @@ def main() -> int:
             print(f"rows-only  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            oarrow = con.execute(oracles[name]).arrow()
+            ocols = oarrow.schema.names
+            orows = [
+                tuple(oarrow.column(i)[r].as_py() for i in range(oarrow.num_columns))
+                for r in range(oarrow.num_rows)
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
+        drifts = type_drift(sdf.schema, oarrow.schema)
         ok_hash = (
             value_hash(srows, scols) == value_hash(orows, ocols)
             if ok_count and ok_cols
             else False
         )
-        status = "OK   " if (ok_count and ok_cols and ok_hash) else "FAIL "
+        status = "OK   " if (ok_count and ok_cols and ok_hash and not drifts) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
         print(
             f"{status} {name}: rows {len(srows)}/{len(orows)}"
             f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'}"
             f" hash={'ok' if ok_hash else 'MISMATCH'}"
+            + (f" TYPE-DRIFT[{'; '.join(drifts)}]" if drifts else "")
         )
         if not ok_hash and ok_count and ok_cols and len(srows) <= 20:
             order = sorted(range(len(scols)), key=lambda i: scols[i])
