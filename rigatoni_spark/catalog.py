@@ -31,10 +31,15 @@ from rigatoni_spark.operators import (
 )
 from rigatoni_spark.sources.change_events import (
     change_events_oracle_cte,
+    extended_envelope_oracle_cte,
     read_change_events,
 )
 
 _CE_CTE = f"WITH change_events AS ({change_events_oracle_cte()})"
+_CE_EXT_CTE = f"WITH change_events AS ({extended_envelope_oracle_cte()})"
+_CE_EXT_NOLOOKUP_CTE = (
+    f"WITH change_events AS ({extended_envelope_oracle_cte(update_lookup=False)})"
+)
 
 # The demonstrated $match pipeline (reference example
 # rigatoni-examples/change_stream_listener.rs:153-165: $in on
@@ -53,6 +58,26 @@ _MATCH_WHERE = (
     "AND CAST(json_extract_string(full_document, '$.k') AS BIGINT) >= 50"
 )
 
+# Nested $match: operationType + documentKey._id + fullDocument.* —
+# the _id constraint derives a raw user_id predicate that reaches the
+# parquet scan as a PushedFilter (see document_key_constraint).
+_NESTED_PIPELINE = [
+    {
+        "$match": {
+            "operationType": {"$in": ["insert", "update"]},
+            "documentKey._id": {"$gte": 4, "$lt": 12},
+            "fullDocument.k": {"$gte": 5},
+        }
+    }
+]
+
+_NESTED_WHERE = (
+    "operation IN ('insert','update') "
+    "AND CAST(json_extract_string(document_key, '$._id') AS BIGINT) >= 4 "
+    "AND CAST(json_extract_string(document_key, '$._id') AS BIGINT) < 12 "
+    "AND CAST(json_extract_string(full_document, '$.k') AS BIGINT) >= 5"
+)
+
 
 def _q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filters.project_envelope(read_change_events(spark, sf_dir))
@@ -61,6 +86,42 @@ def _q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = read_change_events(spark, sf_dir, pipeline=_MATCH_PIPELINE)
     return filters.project_envelope(ce)
+
+
+def _q_match_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = read_change_events(spark, sf_dir, pipeline=_NESTED_PIPELINE)
+    return filters.project_envelope(ce)
+
+
+def _q_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: pre-images (full_document_before_change, whenAvailable)."""
+    ce = read_change_events(spark, sf_dir, before_images="whenAvailable")
+    return ce.select(
+        "event_id",
+        "operation",
+        "document_key",
+        "full_document",
+        "full_document_before_change",
+    ).orderBy("event_id")
+
+
+def _q_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateDescription completion: removed_fields + truncated_arrays
+    (event.rs:206-230) carried through the batch envelope."""
+    ce = read_change_events(
+        spark, sf_dir, update_lookup=False, update_description=True
+    )
+    return (
+        ce.filter(F.col("operation") == "update")
+        .select(
+            "event_id",
+            "document_key",
+            "updated_fields",
+            "removed_fields",
+            F.to_json("truncated_arrays").alias("truncated_arrays_json"),
+        )
+        .orderBy("event_id")
+    )
 
 
 def _q_filter_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +418,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
     "s4_watch_collections": _q_watch_collections,
+    "s5_pre_images": _q_pre_images,
+    "f4_update_description": _q_update_description,
+    "f1_match_nested": _q_match_nested,
     # --- relational surface ---
     "rel_q1_pricing_summary": _rel("q1"),
     "rel_q3_top_orders": _rel("q3"),
@@ -421,6 +485,18 @@ FROM change_events""",
 SELECT operation, "database", collection, cluster_time, document_key,
        full_document, resume_token
 FROM change_events WHERE {_MATCH_WHERE}""",
+    "s5_pre_images": f"""{_CE_EXT_CTE}
+SELECT event_id, operation, document_key, full_document,
+       full_document_before_change
+FROM change_events ORDER BY event_id""",
+    "f4_update_description": f"""{_CE_EXT_NOLOOKUP_CTE}
+SELECT event_id, document_key, updated_fields, removed_fields,
+       truncated_arrays_json
+FROM change_events WHERE operation = 'update' ORDER BY event_id""",
+    "f1_match_nested": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE {_NESTED_WHERE}""",
     "f2_filter_inserts": f"""{_CE_CTE}
 SELECT operation, "database", collection, cluster_time, document_key,
        full_document, resume_token

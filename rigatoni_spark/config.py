@@ -101,8 +101,10 @@ class ChangeStreamConfig:
     pipeline: list[dict] = field(default_factory=list)
     # UpdateLookup: populate full_document on updates (stream.rs:477-481)
     full_document_on_update: bool = False
-    # pre-images (full_document_before_change)
-    full_document_before_change: bool = False
+    # pre-image mode: "off" | "whenAvailable" | "required"
+    # (FullDocumentBeforeChangeType, stream.rs:479-501); a bool is
+    # accepted for backward compat (True -> whenAvailable)
+    full_document_before_change: str | bool = "off"
     batch_size: int | None = None
     # reconnection policy (stream.rs:560-576)
     max_reconnect_attempts: int = 5  # 0 = infinite
@@ -110,6 +112,14 @@ class ChangeStreamConfig:
     max_backoff_ms: int = 30_000
 
     def __post_init__(self) -> None:
+        if isinstance(self.full_document_before_change, bool):
+            self.full_document_before_change = (
+                "whenAvailable" if self.full_document_before_change else "off"
+            )
+        if self.full_document_before_change not in ("off", "whenAvailable", "required"):
+            raise ValueError(
+                "full_document_before_change must be off|whenAvailable|required"
+            )
         if self.batch_size is not None and self.batch_size <= 0:
             raise ValueError("batch_size must be positive")
         if self.initial_backoff_ms <= 0 or self.max_backoff_ms < self.initial_backoff_ms:

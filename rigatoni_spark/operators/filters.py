@@ -88,9 +88,16 @@ def _condition(path: str, spec: Any) -> Column:
         conds: list[Column] = []
         for op, val in spec.items():
             if op == "$in":
-                conds.append(col.isin(*val))
+                # coerce from the first element so numeric membership on
+                # JSON-extracted strings agrees with $eq on the same value
+                conds.append(_coerce(col, val[0]).isin(*val) if val else F.lit(False))
             elif op == "$nin":
-                conds.append(~col.isin(*val))
+                # Mongo's $nin matches docs where the field is missing;
+                # NOT isin() null-propagates and would drop them
+                coerced = _coerce(col, val[0]) if val else col
+                conds.append(
+                    col.isNull() | ~coerced.isin(*val) if val else F.lit(True)
+                )
             elif op == "$eq":
                 conds.append(_coerce(col, val) == val)
             elif op == "$ne":

@@ -29,8 +29,15 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Pre-image modes (FullDocumentBeforeChangeType,
+# rigatoni-core/src/stream.rs:479-501; options mapping stream.rs:579-608)
+PRE_IMAGE_OFF = "off"
+PRE_IMAGE_WHEN_AVAILABLE = "whenAvailable"
+PRE_IMAGE_REQUIRED = "required"
+PRE_IMAGE_MODES = (PRE_IMAGE_OFF, PRE_IMAGE_WHEN_AVAILABLE, PRE_IMAGE_REQUIRED)
 
 # event_type -> operation (deterministic; covers 5 of the reference's op
 # types; remaining DDL ops are synthesized in tests)
@@ -79,12 +86,60 @@ def operation_constraint(pipeline: list[dict] | None) -> set[str] | None:
     return allowed
 
 
+_PUSHABLE_CMP = {"$eq", "$gt", "$gte", "$lt", "$lte", "$in"}
+
+
+def document_key_constraint(
+    pipeline: list[dict] | None,
+) -> list[tuple[str, object]]:
+    """Extract conjunctive ``documentKey._id`` comparison constraints
+    from top-level $match keys (the nested half of F1, mirroring the
+    reference pushing ``fullDocument.priority >= 5`` server-side,
+    stream.rs:909-917 / change_stream_listener.rs:153-165).
+
+    In the synthetic mapping ``documentKey = {"_id": user_id}``, so
+    these constraints translate to plain comparisons on the raw
+    ``user_id`` INT64 column — which parquet CAN evaluate against
+    row-group statistics (PushedFilters), unlike a JSON extraction.
+    Top-level $match keys AND together, so each extracted constraint is
+    a sound superset filter; constructs this skips ($or, $ne, $nin,
+    $exists) simply stay un-pushed — the exact translated predicate
+    still runs post-projection.
+    """
+    conds: list[tuple[str, object]] = []
+    for stage in pipeline or []:
+        spec = stage.get("$match", {}).get("documentKey._id")
+        if isinstance(spec, dict):
+            for op, val in spec.items():
+                if op == "$in":
+                    conds.append(("$in", list(val)))
+                elif op in _PUSHABLE_CMP:
+                    conds.append((op, val))
+        elif spec is not None:
+            conds.append(("$eq", spec))
+    return conds
+
+
 def _pushdown_raw(raw: DataFrame, pipeline: list[dict] | None) -> DataFrame:
     ops = operation_constraint(pipeline)
-    if ops is None:
-        return raw
-    ets = sorted(t for op in ops for t in _OP_TO_EVENT_TYPES.get(op, []))
-    return raw.filter(F.col("event_type").isin(ets) if ets else F.lit(False))
+    if ops is not None:
+        ets = sorted(t for op in ops for t in _OP_TO_EVENT_TYPES.get(op, []))
+        raw = raw.filter(F.col("event_type").isin(ets) if ets else F.lit(False))
+    uid = F.col("user_id")
+    for op, val in document_key_constraint(pipeline):
+        if op == "$eq":
+            raw = raw.filter(uid == val)
+        elif op == "$in":
+            raw = raw.filter(uid.isin(*val))
+        elif op == "$gt":
+            raw = raw.filter(uid > val)
+        elif op == "$gte":
+            raw = raw.filter(uid >= val)
+        elif op == "$lt":
+            raw = raw.filter(uid < val)
+        elif op == "$lte":
+            raw = raw.filter(uid <= val)
+    return raw
 
 
 def _operation_col() -> Column:
@@ -99,7 +154,12 @@ def _operation_col() -> Column:
     return col.otherwise(expr)
 
 
-def as_change_events(df: DataFrame, update_lookup: bool = True) -> DataFrame:
+def as_change_events(
+    df: DataFrame,
+    update_lookup: bool = True,
+    before_images: str = PRE_IMAGE_OFF,
+    update_description: bool = False,
+) -> DataFrame:
     """Lift an ``events``-shaped DataFrame into the ChangeEvent envelope.
 
     ``update_lookup`` mirrors ``full_document_on_update`` /
@@ -107,13 +167,46 @@ def as_change_events(df: DataFrame, update_lookup: bool = True) -> DataFrame:
     False, updates carry only ``updated_fields`` and ``full_document``
     is NULL — exactly the reference's opt-in lookup semantics.
 
-    Works identically on batch and streaming DataFrames.
+    ``before_images`` mirrors ``FullDocumentBeforeChangeType``
+    (stream.rs:479-501): ``whenAvailable`` adds a
+    ``full_document_before_change`` column carrying the document state
+    prior to the change (NULL when no prior state exists); ``required``
+    errors at execution if a modification lacks one, matching the
+    server's required-mode stream abort. The prior state is the previous
+    event's payload per document key (LAG window) — the synthetic-feed
+    analogue of the server-maintained pre-image collection, so it is
+    batch-only (the reference gets pre-images from the server; an
+    unbounded lag is inexpressible in a stream).
+
+    ``update_description`` completes the UpdateDescription model
+    (event.rs:206-230): adds ``removed_fields`` (keys present in the
+    prior document but absent in the update — computed generically via
+    JSON key-diff) and ``truncated_arrays`` (typed
+    array<struct<field,new_size>>; empty on this feed, which carries no
+    array-valued fields — the type plumbing and serialization are real
+    and unit-tested on crafted payloads).
+
+    Works identically on batch and streaming DataFrames when both
+    extensions are off.
     """
+    if before_images not in PRE_IMAGE_MODES:
+        raise ValueError(f"before_images must be one of {PRE_IMAGE_MODES}")
+    needs_prev = update_description or before_images != PRE_IMAGE_OFF
+    if needs_prev:
+        if df.isStreaming:
+            raise ValueError(
+                "pre-images / update descriptions require the batch source "
+                "(the reference obtains pre-images server-side; an unbounded "
+                "LAG is inexpressible in Structured Streaming)"
+            )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        df = df.withColumn("_prev_props", F.lag("props").over(w))
+
     operation = _operation_col()
     is_mod = F.col("event_type").isin("signup", "purchase", "view") | (
         F.lit(update_lookup) & (F.col("event_type") == "click")
     )
-    return df.select(
+    cols = [
         operation.alias("operation"),
         F.lit(DATABASE_NAME).alias("database"),
         F.concat(
@@ -131,7 +224,43 @@ def as_change_events(df: DataFrame, update_lookup: bool = True) -> DataFrame:
         # keep the raw value column for metric-style aggregations
         F.col("value").alias("value"),
         F.col("event_id").alias("event_id"),
-    )
+    ]
+    if before_images != PRE_IMAGE_OFF:
+        # update/replace/delete carry a pre-image (insert has no prior state)
+        is_change = F.col("event_type").isin("click", "view", "error")
+        prev = F.col("_prev_props")
+        pre = F.when(is_change, prev)
+        if before_images == PRE_IMAGE_REQUIRED:
+            pre = F.when(
+                is_change & prev.isNull(),
+                F.raise_error(
+                    "full_document_before_change=required but no pre-image "
+                    "is available for a modification event"
+                ),
+            ).otherwise(pre)
+        cols.append(pre.alias("full_document_before_change"))
+    if update_description:
+        upd_with_prev = (F.col("event_type") == "click") & F.col(
+            "_prev_props"
+        ).isNotNull()
+        cols.append(
+            F.when(
+                upd_with_prev,
+                F.array_sort(
+                    F.array_except(
+                        F.json_object_keys(F.col("_prev_props")),
+                        F.json_object_keys(F.col("props")),
+                    )
+                ),
+            ).alias("removed_fields")
+        )
+        cols.append(
+            F.when(
+                upd_with_prev,
+                F.array().cast("array<struct<field:string,new_size:int>>"),
+            ).alias("truncated_arrays")
+        )
+    return df.select(*cols)
 
 
 def change_events_oracle_cte(update_lookup: bool = True) -> str:
@@ -170,11 +299,47 @@ def change_events_oracle_cte(update_lookup: bool = True) -> str:
     """
 
 
+def extended_envelope_oracle_cte(update_lookup: bool = True) -> str:
+    """DuckDB equivalent of the extended envelope (pre-images + update
+    description): the LAG-per-document-key window over the raw feed,
+    then the same conditional projections as :func:`as_change_events`.
+    """
+    base = change_events_oracle_cte(update_lookup=update_lookup)
+    extra_cols_and_from = """,
+          CASE WHEN event_type IN ('click','view','error')
+               THEN prev_props END AS full_document_before_change,
+          CASE WHEN event_type = 'click' AND prev_props IS NOT NULL
+               THEN list_sort(list_filter(
+                      CAST(json_keys(prev_props) AS VARCHAR[]),
+                      k -> NOT list_contains(
+                             CAST(json_keys(props) AS VARCHAR[]), k)))
+          END AS removed_fields,
+          CASE WHEN event_type = 'click' AND prev_props IS NOT NULL
+               THEN '[]' END AS truncated_arrays_json
+        FROM raw_prev
+    """
+    # splice: add the LAG window as a prior CTE stage, re-point the
+    # envelope projection at it, and append the extended columns
+    body = base.rstrip().rstrip()
+    assert body.endswith("FROM events")
+    body = body[: -len("FROM events")].rstrip() + extra_cols_and_from
+    return f"""
+        WITH raw_prev AS (
+          SELECT *, LAG(props) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_props
+          FROM events
+        )
+        {body}
+    """
+
+
 def read_change_events(
     spark: SparkSession,
     sf_dir: str,
     update_lookup: bool = True,
     pipeline: list[dict] | None = None,
+    before_images: str = PRE_IMAGE_OFF,
+    update_description: bool = False,
 ) -> DataFrame:
     """Batch change-event source over the testdata events table.
 
@@ -182,12 +347,27 @@ def read_change_events(
     (F1): the operationType constraint is pushed onto the raw scan
     (PushedFilters / row-group pruning), then the exact translated
     predicate is applied post-projection.
+
+    When pre-images or update descriptions are requested, the raw-scan
+    pushdown is skipped: the LAG window must see the *unfiltered* event
+    history per document key, or a filtered-out event would corrupt the
+    pre-image (the reference's pre-images likewise come from the full
+    oplog, not the pipeline-filtered stream). The post-projection exact
+    predicate still applies.
     """
     from rigatoni_spark.operators.filters import match_pipeline
     from rigatoni_spark.tables import load_table
 
-    raw = _pushdown_raw(load_table(spark, sf_dir, "events"), pipeline)
-    ce = as_change_events(raw, update_lookup=update_lookup)
+    raw = load_table(spark, sf_dir, "events")
+    needs_prev = update_description or before_images != PRE_IMAGE_OFF
+    if not needs_prev:
+        raw = _pushdown_raw(raw, pipeline)
+    ce = as_change_events(
+        raw,
+        update_lookup=update_lookup,
+        before_images=before_images,
+        update_description=update_description,
+    )
     return match_pipeline(ce, pipeline) if pipeline else ce
 
 

@@ -80,6 +80,34 @@ class TestMatchTranslator:
         )
         assert two.count() == one.count()
 
+    def test_in_numeric_coercion_agrees_with_eq(self, change_events, duck):
+        """$in on a JSON-extracted numeric field must coerce like $eq
+        (get_json_object returns strings; '90' == 90 must not depend on
+        Spark's implicit cast rules)."""
+        via_in = filters.match_pipeline(
+            change_events, [{"$match": {"fullDocument.k": {"$in": [90, 91]}}}]
+        ).count()
+        via_eq = sum(
+            filters.match_pipeline(
+                change_events, [{"$match": {"fullDocument.k": {"$eq": v}}}]
+            ).count()
+            for v in (90, 91)
+        )
+        assert via_in == via_eq > 0
+
+    def test_nin_matches_missing_fields(self, change_events):
+        """Mongo's $nin matches documents where the field is absent —
+        delete events have full_document NULL and must be kept."""
+        got = filters.match_pipeline(
+            change_events, [{"$match": {"fullDocument.k": {"$nin": [90]}}}]
+        )
+        n_deletes = change_events.filter(F.col("operation") == "delete").count()
+        assert got.filter(F.col("operation") == "delete").count() == n_deletes
+        in_count = filters.match_pipeline(
+            change_events, [{"$match": {"fullDocument.k": {"$in": [90]}}}]
+        ).count()
+        assert got.count() + in_count == change_events.count()
+
     def test_unsupported_operator_raises(self, change_events):
         with pytest.raises(UnsupportedMatchExpression):
             filters.match_pipeline(
@@ -123,6 +151,46 @@ class TestMatchTranslator:
             [{"$match": {"operationType": {"$in": ["insert"]}}}],
         )
         assert ce.count() == base.count()
+
+    def test_nested_match_pushes_document_key_to_scan(self, spark):
+        """documentKey._id constraints derive raw user_id predicates that
+        reach the parquet scan as PushedFilters (row-group pruning) —
+        the nested half of server-side $match (stream.rs:909-917)."""
+        from rigatoni_spark.catalog import _NESTED_PIPELINE
+        from rigatoni_spark.sources.change_events import read_change_events
+
+        ce = read_change_events(
+            spark, "/root/testdata/sf0.001", pipeline=_NESTED_PIPELINE
+        )
+        plan = ce._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters")[1][:300]
+        assert "user_id" in pushed
+        assert "event_type" in pushed
+        # superset safety: raw pushdown + exact predicate == exact predicate
+        from rigatoni_spark.operators.filters import match_pipeline
+
+        base = match_pipeline(
+            read_change_events(spark, "/root/testdata/sf0.001"),
+            _NESTED_PIPELINE,
+        )
+        assert ce.count() == base.count() > 0
+
+    def test_document_key_constraint_extraction(self):
+        from rigatoni_spark.sources.change_events import (
+            document_key_constraint,
+        )
+
+        assert document_key_constraint(None) == []
+        assert document_key_constraint(
+            [{"$match": {"documentKey._id": 7}}]
+        ) == [("$eq", 7)]
+        assert document_key_constraint(
+            [{"$match": {"documentKey._id": {"$gte": 1, "$lt": 9}}}]
+        ) == [("$gte", 1), ("$lt", 9)]
+        # non-pushable operators are skipped, not mistranslated
+        assert document_key_constraint(
+            [{"$match": {"documentKey._id": {"$nin": [3]}}}]
+        ) == []
 
     def test_operation_constraint_extraction(self):
         from rigatoni_spark.sources.change_events import operation_constraint

@@ -42,6 +42,88 @@ class TestEnvelopeMapping:
         assert row["ns"].startswith("app.c")
 
 
+class TestPreImagesAndUpdateDescription:
+    """S5 pre-images + UpdateDescription completion (event.rs:206-230,
+    stream.rs:479-501). Testdata props are single-key, so the
+    interesting key-diff cases run on crafted multi-key payloads."""
+
+    @staticmethod
+    def _raw(spark, rows):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, 1, 0, i), uid, et, 1.0, props)
+                for i, (uid, et, props) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    def test_pre_image_is_previous_state(self, spark):
+        raw = self._raw(
+            spark,
+            [
+                (1, "signup", '{"a":1,"b":2}'),
+                (1, "click", '{"a":9}'),
+                (1, "error", '{"x":0}'),
+                (2, "click", '{"z":1}'),  # no prior state for user 2
+            ],
+        )
+        out = {
+            r["event_id"]: r["full_document_before_change"]
+            for r in as_change_events(raw, before_images="whenAvailable").collect()
+        }
+        assert out[0] is None  # insert: no pre-image by definition
+        assert out[1] == '{"a":1,"b":2}'
+        assert out[2] == '{"a":9}'
+        assert out[3] is None  # whenAvailable: NULL, no error
+
+    def test_pre_image_required_errors_when_missing(self, spark):
+        import pytest
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        raw = self._raw(spark, [(2, "click", '{"z":1}')])
+        df = as_change_events(raw, before_images="required")
+        with pytest.raises(SparkRuntimeException):
+            df.collect()
+
+    def test_removed_fields_key_diff(self, spark):
+        raw = self._raw(
+            spark,
+            [
+                (1, "signup", '{"a":1,"b":2,"c":3}'),
+                (1, "click", '{"b":5}'),  # a and c removed
+                (2, "click", '{"z":1}'),  # no prior state -> NULL
+            ],
+        )
+        rows = {
+            r["event_id"]: r
+            for r in as_change_events(raw, update_description=True).collect()
+        }
+        assert rows[1]["removed_fields"] == ["a", "c"]
+        assert rows[1]["truncated_arrays"] == []
+        assert rows[2]["removed_fields"] is None
+        assert rows[0]["removed_fields"] is None  # not an update
+
+    def test_streaming_rejects_extended_envelope(self, spark, tmp_path):
+        from rigatoni_spark.sources.change_events import (
+            read_change_events_stream,
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="batch source"):
+            sdf = read_change_events_stream(spark, str(tmp_path))
+            as_change_events(sdf, before_images="whenAvailable")
+
+    def test_invalid_mode_rejected(self, spark, change_events):
+        import pytest
+
+        raw = self._raw(spark, [(1, "signup", "{}")])
+        with pytest.raises(ValueError, match="before_images"):
+            as_change_events(raw, before_images="sometimes")
+
+
 class TestDebeziumParse:
     def _event(self, **over):
         base = {
