@@ -79,14 +79,29 @@ ORDER BY d.doc_id
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.8, block_col: str = "source"
+    documents: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within a blocking key.
 
     Jaccard over distinct unigram sets: |A∩B| / |A∪B| — set semantics,
     order-insensitive, so exact integer arithmetic + one deterministic
-    division. The self-join is blocked on ``block_col`` (at scale: LSH
-    band buckets) and de-duplicated with doc_a < doc_b.
+    division. The self-join is blocked on ``block_col`` and
+    de-duplicated with doc_a < doc_b.
+
+    Scale hatch: a blocked self-join is O(n²/2) *within* a block, so a
+    dominant blocking key is the 100 TB failure mode. Blocks larger
+    than ``max_block_rows`` are therefore routed through MinHash-LSH
+    banding (llm/minhash.py) to generate bounded candidates, then
+    verified with the same exact unigram Jaccard — candidate counts
+    scale with true-duplicate density instead of block size². Within
+    small blocks the result is exact; within oversized blocks recall
+    follows the banding curve 1-(1-J^r)^b (≈0.98 at J=threshold=0.8
+    with k=8, b=4), which is the standard large-corpus trade. The
+    size split is declarative (broadcast of per-block counts — no
+    driver-side probe job), so Catalyst/AQE sees one plan.
 
     Fast path: when the global vocabulary fits in 63 bits (categorical/
     controlled token streams — probed cheaply with
@@ -94,8 +109,18 @@ def ngram_jaccard_pairs(
     and the per-pair cost drops from O(|A|+|B|) array intersection to
     three bit_count instructions. Results are bit-identical to the
     generic path. Natural-language corpora exceed the probe and take
-    the generic path (and should prefer MinHash-LSH, llm/minhash.py).
+    the generic path.
     """
+    sizes = documents.groupBy(block_col).agg(
+        F.count(F.lit(1)).alias("_block_rows")
+    )
+    sized = documents.join(F.broadcast(sizes), block_col)
+    big = sized.filter(F.col("_block_rows") > max_block_rows).drop("_block_rows")
+    documents = sized.filter(F.col("_block_rows") <= max_block_rows).drop(
+        "_block_rows"
+    )
+    big_pairs = _jaccard_pairs_lsh_blocked(big, threshold, block_col)
+
     toks = F.array_distinct(F.split(F.col("text"), " "))
     approx_vocab = (
         documents.select(F.explode(toks).alias("t"))
@@ -107,8 +132,15 @@ def ngram_jaccard_pairs(
             r["t"]
             for r in documents.select(F.explode(toks).alias("t")).distinct().collect()
         )
-        if len(vocab) <= 63:
-            return _jaccard_pairs_bitmask(documents, vocab, threshold, block_col)
+        # non-empty guard: vocab [] means the small-block subset is
+        # empty (everything routed to LSH) — bitmask can't type an
+        # empty literal array; the generic path handles it trivially
+        if vocab and len(vocab) <= 63:
+            return (
+                _jaccard_pairs_bitmask(documents, vocab, threshold, block_col)
+                .unionByName(big_pairs)
+                .orderBy("doc_a", "doc_b")
+            )
     t = spread(documents).select(
         "doc_id",
         F.col(block_col).alias("block"),
@@ -139,7 +171,65 @@ def ngram_jaccard_pairs(
         )
         .filter(_jaccard_ge(threshold))
         .select("doc_a", "doc_b", _jaccard_x10k())
+        .unionByName(big_pairs)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _jaccard_pairs_lsh_blocked(
+    documents: DataFrame, threshold: float, block_col: str
+) -> DataFrame:
+    """The oversized-block path: MinHash-banded candidates within the
+    block, exact unigram-Jaccard verify. Candidate volume is bounded by
+    bucket collisions (duplicate density), not block size² — the plan
+    that survives a dominant blocking key at 100 TB. Unsorted; the
+    caller unions and sorts."""
+    from rigatoni_spark.llm.minhash import lsh_bands
+
+    bands = lsh_bands(documents, k=8, bands=4, shingle_n=1).join(
+        documents.select("doc_id", F.col(block_col).alias("_blk")), "doc_id"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    t = documents.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    j = cands.join(
+        t.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("toks").alias("t_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        t.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("t_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("u"),
+        )
+        .filter(_jaccard_ge(threshold))
+        .select("doc_a", "doc_b", _jaccard_x10k())
     )
 
 
@@ -202,7 +292,6 @@ def _jaccard_pairs_bitmask(
         )
         .filter(_jaccard_ge(threshold))
         .select("doc_a", "doc_b", _jaccard_x10k())
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -40,10 +40,21 @@ from rigatoni_spark.sources.change_events import read_change_events_stream
 class MaterializedView:
     """Maintain a current-state snapshot table from a change-event feed.
 
-    ``snapshot()`` is readable at any time between batches; the swap is
-    atomic at the directory level (write new, move old out, move new
-    in), so readers never observe a half-merged table.
+    ``snapshot()`` is readable at any time between batches. Publication
+    is versioned: each batch writes a fresh ``v-<batch_id>`` directory
+    under ``snapshot_dir`` and then atomically replaces the ``_CURRENT``
+    pointer file (``os.replace`` — a single POSIX rename), so a reader
+    always resolves a COMPLETE snapshot; there is never a moment where
+    the table "does not exist" mid-swap. The previous version is kept
+    until the next publication, so a DataFrame acquired just before a
+    swap keeps reading its (old) files; re-acquire via ``snapshot()``
+    per batch for current data. This is a two-line file-system
+    approximation of what Delta/Iceberg's versioned manifest commit does
+    at 100 TB; the dataflow is unchanged when the sink is swapped for a
+    real table format.
     """
+
+    _POINTER = "_CURRENT"
 
     def __init__(
         self,
@@ -62,14 +73,44 @@ class MaterializedView:
 
     # -- merge one batch of per-key deltas into the snapshot --------------
 
+    def _current_version_dir(self) -> str | None:
+        """Resolve the published snapshot directory via the pointer file
+        (None before the first commit)."""
+        pointer = os.path.join(self.snapshot_dir, self._POINTER)
+        try:
+            with open(pointer, encoding="utf-8") as fh:
+                version = fh.read().strip()
+        except FileNotFoundError:
+            return None
+        path = os.path.join(self.snapshot_dir, version)
+        return path if os.path.exists(path) else None
+
+    def _publish(self, version: str) -> None:
+        """Atomically re-point ``_CURRENT`` at ``version`` and prune all
+        versions except the new one and its immediate predecessor (kept
+        for readers that resolved the pointer just before the swap)."""
+        pointer = os.path.join(self.snapshot_dir, self._POINTER)
+        prev = self._current_version_dir()
+        tmp = pointer + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp, pointer)  # single atomic rename
+        keep = {version, os.path.basename(prev) if prev else None}
+        for name in os.listdir(self.snapshot_dir):
+            if name.startswith("v-") and name not in keep:
+                shutil.rmtree(
+                    os.path.join(self.snapshot_dir, name), ignore_errors=True
+                )
+
     def _merge(self, delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
         parts = [
             delta.select(*SNAPSHOT_COLUMNS)  # incl. delete tombstones
         ]
-        if os.path.exists(self.snapshot_dir):
+        current = self._current_version_dir()
+        if current is not None:
             parts.append(
-                spark.read.parquet(self.snapshot_dir).select(*SNAPSHOT_COLUMNS)
+                spark.read.parquet(current).select(*SNAPSHOT_COLUMNS)
             )
         merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         # same winnow as operators/materialize.materialize: max version
@@ -93,13 +134,12 @@ class MaterializedView:
                 "version",
             )
         )
-        tmp = self.snapshot_dir.rstrip("/") + f".tmp-{batch_id}"
-        old = self.snapshot_dir.rstrip("/") + f".old-{batch_id}"
-        new_snap.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.snapshot_dir):
-            os.rename(self.snapshot_dir, old)
-        os.rename(tmp, self.snapshot_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        # overwrite handles a replayed batch_id from a crashed attempt
+        version = f"v-{batch_id}"
+        new_snap.write.mode("overwrite").parquet(
+            os.path.join(self.snapshot_dir, version)
+        )
+        self._publish(version)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -132,9 +172,12 @@ class MaterializedView:
 
     def snapshot(self) -> DataFrame:
         """The current materialized table (empty-schema DF if no batch
-        has committed yet)."""
-        if not os.path.exists(self.snapshot_dir):
+        has committed yet). Resolves the ``_CURRENT`` pointer at call
+        time — re-acquire per batch; a held DataFrame keeps reading the
+        version it resolved (retained for one more publication)."""
+        current = self._current_version_dir()
+        if current is None:
             from rigatoni_spark.operators.materialize import _OUT_SCHEMA
 
             return self.spark.createDataFrame([], _OUT_SCHEMA)
-        return self.spark.read.parquet(self.snapshot_dir)
+        return self.spark.read.parquet(current)

@@ -35,6 +35,47 @@ class TestDedup:
         assert all(8000 <= r["jaccard_x10k"] <= 10000 for r in pairs)
         assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
+    def test_oversized_block_routes_through_lsh(self, spark):
+        """Blocks above max_block_rows must NOT take the O(n²) blocked
+        self-join — they route through MinHash banding (bounded
+        candidates), verified by exact Jaccard. Results are a subset of
+        the exact pairs (banding recall), and identical docs — equal
+        signatures, always bucketed together — are always found."""
+        rows = [(i, f"unique{i} a b c d e", "s0") for i in range(20)]
+        rows += [(100, "dup1 dup2 dup3 dup4 dup5", "s0"),
+                 (101, "dup1 dup2 dup3 dup4 dup5", "s0")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["jaccard_x10k"]
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+        }
+        hatch = dedup.ngram_jaccard_pairs(df, threshold=0.8, max_block_rows=10)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard_x10k"]
+            for r in hatch.collect()
+        }
+        assert got.get((100, 101)) == 10000
+        assert set(got) <= set(exact)
+        assert all(exact[k] == v for k, v in got.items())
+        # plan shape: the oversized block joins on LSH bucket keys, not
+        # on the block alone
+        plan = hatch._jdf.queryExecution().executedPlan().toString()
+        assert "band_hash" in plan
+
+    def test_mixed_block_sizes_combine_exact_and_lsh(self, spark):
+        rows = [(i, f"unique{i} a b c d e", "big") for i in range(15)]
+        rows += [(100, "p q r s t", "big"), (101, "p q r s t", "big")]
+        rows += [(200, "m n o", "small"), (201, "m n o", "small")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.8, max_block_rows=10
+            ).collect()
+        }
+        assert (200, 201) in got  # small block: exact path
+        assert (100, 101) in got  # oversized block: LSH path
+
     def test_minhash_identical_docs_always_candidates(self, spark):
         # identical text -> identical signature -> all bands collide
         df = spark.createDataFrame(

@@ -147,6 +147,44 @@ class TestMaterializedView:
             map(tuple, expected.collect())
         )
 
+    def test_versioned_publication_never_unlinks_current(self, spark, tmp_path):
+        """The swap is pointer-based: _CURRENT always resolves to a
+        complete snapshot, the predecessor version survives one more
+        publication (held readers keep working), older versions are
+        pruned."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from rigatoni_spark.streaming.materialized import MaterializedView
+
+        src = tmp_path / "src"
+        snap = str(tmp_path / "snapshot")
+        src.mkdir()
+        t = pq.read_table(SF_EVENTS)
+        n = t.num_rows
+
+        view = MaterializedView(spark, str(src), snap, str(tmp_path / "ck"))
+        for i, sl in enumerate(
+            [t.slice(0, n // 3), t.slice(n // 3, n // 3), t.slice(2 * n // 3)]
+        ):
+            pq.write_table(sl, str(src / f"{i}.parquet"))
+            view.start(available_now=True)
+            view.await_termination(120)
+            view.stop()
+            # pointer resolves and the snapshot is readable right now
+            assert os.path.exists(os.path.join(snap, "_CURRENT"))
+            held = view.snapshot()
+            assert held.count() > 0
+        versions = sorted(
+            d for d in os.listdir(snap) if d.startswith("v-")
+        )
+        # current + one predecessor only
+        assert len(versions) == 2
+        # a DataFrame held across ONE publication still reads (its
+        # version dir is retained)
+        assert held.count() > 0
+
     def test_empty_snapshot_before_first_batch(self, spark, tmp_path):
         from rigatoni_spark.streaming.materialized import MaterializedView
 
