@@ -87,6 +87,14 @@ def main() -> None:
     # --- streaming e2e: micro-batched pipeline, events/sec ---------------
     # (the figure comparable to the reference's claimed 10K-100K
     # events/s production throughput, architecture.md:383-385)
+    #
+    # Throughput floor at this SF: each micro-batch costs exactly two
+    # Spark jobs (one fused probe: dedup+persist+count+invalidate+group
+    # times; one partitioned write, file count bounded by batch size)
+    # plus one checkpoint WAL commit (~1.1 s total at 25k-row batches on
+    # local[32]). That fixed cost amortizes with batch size — the knob a
+    # production deployment would turn — and is the documented reason
+    # the streaming figure trails the batch spine here.
     import pyarrow.parquet as pq
 
     from rigatoni_spark.config import PipelineConfig

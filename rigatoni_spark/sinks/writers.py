@@ -94,15 +94,31 @@ def _staged_writer(df: DataFrame, cfg: S3SinkConfig, staging: str, part_cols: li
     raise ValueError(f"unknown format {fmt}")
 
 
+# Bound the output file count by batch size (the classic small-file
+# mitigation): a micro-batch of n events never writes more than
+# ceil(n / _TARGET_ROWS_PER_FILE) tasks' worth of part-files. Without
+# this, a 25k-row batch on a 32-core session writes 32 x |collections|
+# ~200-row files — per-file fixed cost dominates, locally AND on S3.
+_TARGET_ROWS_PER_FILE = 5_000
+
+
 def write_batch(
     df: DataFrame,
     cfg: S3SinkConfig,
     batch_id: int | None = None,
+    group_times: dict | None = None,
+    n_events: int | None = None,
 ) -> list[str]:
     """Write one batch of change events; returns the keys written.
 
     The returned manifest mirrors the reference's generated keys
     (testability; s3_destination_test.rs:41).
+
+    ``group_times`` (collection -> max cluster_time) lets a caller that
+    already aggregated the batch (the streaming pipeline folds it into
+    its invalidate/count probe) skip this function's own probe job AND
+    its defensive persist — one Spark job per micro-batch instead of
+    two, which is the dominant fixed cost at small batch sizes.
     """
     base = cfg.base_uri
     if not (base.startswith("/") or base.startswith("file:")):
@@ -111,29 +127,42 @@ def write_batch(
             "s3a:// works on a cluster with hadoop-aws configured"
         )
 
+    events = df.select(*ENVELOPE_COLUMNS)
+    if group_times is not None:
+        return _write_persisted(events, cfg, batch_id, group_times, n_events)
     # the upstream may be arbitrarily expensive (filter+dedup windows);
     # it feeds BOTH the group-time agg and the write -> persist once
-    events = df.select(*ENVELOPE_COLUMNS).persist()
+    events = events.persist()
     try:
-        return _write_persisted(events, cfg, batch_id)
+        return _write_persisted(events, cfg, batch_id, None, n_events)
     finally:
         events.unpersist()
 
 
 def _write_persisted(
-    events: DataFrame, cfg: S3SinkConfig, batch_id: int | None
+    events: DataFrame,
+    cfg: S3SinkConfig,
+    batch_id: int | None,
+    group_times: dict | None,
+    n_events: int | None = None,
 ) -> list[str]:
     out_root = cfg.base_uri.replace("file:", "")
     strategy = cfg.partition_strategy
 
-    # group-time (max cluster_time per collection) drives the key stem:
-    # deterministic, unlike the reference's wall-clock naming
-    group_times = {
-        r["collection"]: r["t"]
-        for r in events.groupBy("collection")
-        .agg(F.max("cluster_time").alias("t"))
-        .collect()
-    }
+    if group_times is None:
+        # group-time (max cluster_time per collection) drives the key
+        # stem: deterministic, unlike the reference's wall-clock naming
+        # (one probe job: times + count together)
+        probe = (
+            events.groupBy("collection")
+            .agg(
+                F.max("cluster_time").alias("t"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        group_times = {r["collection"]: r["t"] for r in probe}
+        n_events = sum(r["n"] for r in probe)
     if not group_times:
         return []
 
@@ -160,6 +189,13 @@ def _write_persisted(
         # hash-partition on the layout keys: each group lands wholly in
         # one task -> exactly one part-file per partition dir
         to_write = to_write.repartition(*part_cols)
+    elif n_events is not None:
+        # multi-file groups: still bound the file count by batch size
+        # (coalesce is narrow — no shuffle; only bites on small batches,
+        # where write parallelism is irrelevant anyway)
+        want = max(1, -(-n_events // _TARGET_ROWS_PER_FILE))
+        if want < to_write.rdd.getNumPartitions():
+            to_write = to_write.coalesce(want)
     _staged_writer(to_write, cfg, staging, part_cols)
 
     # move staged part-files onto the key layout

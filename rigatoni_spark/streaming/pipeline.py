@@ -98,23 +98,36 @@ class Pipeline:
             batch_df = dedup_by_key(batch_df)
         batch_df = batch_df.persist()
         try:
-            # one job for count + invalidate detection (F3) together
-            probe = batch_df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(
-                    F.when(
-                        F.col("operation") == OP_INVALIDATE, F.col("collection")
-                    )
-                ).alias("invalidated"),
-            ).first()
-            n = probe["n"]
+            # ONE probe job per micro-batch: count + invalidate detection
+            # (F3) + the per-collection group times the sink needs —
+            # folding the sink's own probe away halves the fixed per-batch
+            # job count, the dominant cost at small batch sizes
+            per_coll = (
+                batch_df.groupBy("collection")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("cluster_time").alias("t"),
+                    F.max(
+                        F.when(
+                            F.col("operation") == OP_INVALIDATE,
+                            F.col("collection"),
+                        )
+                    ).alias("invalidated"),
+                )
+                .collect()
+            )
+            n = sum(r["n"] for r in per_coll)
             if n == 0:
                 return
-            if probe["invalidated"] is not None:
-                self._invalidated = probe["invalidated"]
+            invalidated = next(
+                (r["invalidated"] for r in per_coll if r["invalidated"]), None
+            )
+            if invalidated is not None:
+                self._invalidated = invalidated
                 raise StreamInvalidatedError(
                     f"invalidate event on {self._invalidated}"
                 )
+            group_times = {r["collection"]: r["t"] for r in per_coll}
 
             policy = RetryPolicy(
                 max_retries=self.config.max_retries,
@@ -128,7 +141,10 @@ class Pipeline:
                 self.metrics.inc(M.RETRIES)
 
             def _write() -> list[str]:
-                return write_batch(batch_df, self.sink, batch_id=batch_id)
+                return write_batch(
+                    batch_df, self.sink, batch_id=batch_id,
+                    group_times=group_times, n_events=n,
+                )
 
             try:
                 keys = with_retry(_write, policy, on_retry=_on_retry)
