@@ -31,6 +31,7 @@ from rigatoni_spark.operators import (
 )
 from rigatoni_spark.sources.change_events import (
     change_events_oracle_cte,
+    ddl_events_oracle_cte,
     extended_envelope_oracle_cte,
     read_change_events,
 )
@@ -121,6 +122,22 @@ def _q_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json("truncated_arrays").alias("truncated_arrays_json"),
         )
         .orderBy("event_id")
+    )
+
+
+def _q_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/F3 DDL surface: the synthetic feed extended with its
+    deterministic DDL tail (drop per collection, rename, dropDatabase,
+    invalidate), then filter_ddl selects the schema-change events —
+    all 9 OperationType variants now flow through the engine."""
+    from rigatoni_spark.sources.change_events import synthesize_ddl_events
+
+    ce = read_change_events(spark, sf_dir)
+    whole = ce.unionByName(synthesize_ddl_events(ce))
+    return (
+        filters.filter_ddl(whole)
+        .select("operation", "collection", "cluster_time", "resume_token")
+        .orderBy("operation", "collection")
     )
 
 
@@ -421,6 +438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s5_pre_images": _q_pre_images,
     "f4_update_description": _q_update_description,
     "f1_match_nested": _q_match_nested,
+    "s2_ddl_lifecycle": _q_ddl_lifecycle,
     # --- relational surface ---
     "rel_q1_pricing_summary": _rel("q1"),
     "rel_q3_top_orders": _rel("q3"),
@@ -497,6 +515,12 @@ FROM change_events WHERE operation = 'update' ORDER BY event_id""",
 SELECT operation, "database", collection, cluster_time, document_key,
        full_document, resume_token
 FROM change_events WHERE {_NESTED_WHERE}""",
+    "s2_ddl_lifecycle": f"""
+WITH ddl AS ({ddl_events_oracle_cte()})
+SELECT operation, collection, cluster_time, resume_token
+FROM ddl
+WHERE operation IN ('drop','dropDatabase','rename','invalidate')
+ORDER BY operation, collection""",
     "f2_filter_inserts": f"""{_CE_CTE}
 SELECT operation, "database", collection, cluster_time, document_key,
        full_document, resume_token

@@ -81,13 +81,22 @@ def _staged_writer(df: DataFrame, cfg: S3SinkConfig, staging: str, part_cols: li
             "compression", _PARQUET_CODECS[cfg.compression]
         ).parquet(staging)
     if fmt is SerializationFormat.AVRO:
+        # Feature-gated like the reference's `avro` cargo feature
+        # (rigatoni-destinations/src/lib.rs:28-37, serializer at
+        # s3/destination.rs:401-471): spark-avro is an external module.
+        # Enable with
+        #   spark-submit --packages org.apache.spark:spark-avro_2.13:<spark version>
+        # or spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark version>;
+        # the writer below then works unchanged
+        # (tests/test_writers.py::test_avro_gate covers both worlds).
         try:
             return writer.format("avro").save(staging)
         except Exception as e:  # noqa: BLE001
             if "avro" in str(e).lower() or "Failed to find" in str(e):
                 raise FormatNotAvailable(
                     "spark-avro not on the classpath; add "
-                    "org.apache.spark:spark-avro to use AVRO "
+                    "org.apache.spark:spark-avro_2.13:<spark version> "
+                    "via spark.jars.packages to use AVRO "
                     "(JSON/CSV/PARQUET are always available)"
                 ) from e
             raise

@@ -299,6 +299,86 @@ def change_events_oracle_cte(update_lookup: bool = True) -> str:
     """
 
 
+def synthesize_ddl_events(ce: DataFrame) -> DataFrame:
+    """Deterministic DDL/invalidate tail for the synthetic feed.
+
+    The testdata's 5 event types cover only the data-flow operations;
+    the reference's OperationType has 9 variants (event.rs:88-122), the
+    DDL four ending a stream's life: each collection is dropped after
+    its last data event, c0 is additionally renamed, then the database
+    is dropped and the stream invalidated (the server's drop ->
+    invalidate sequence, stream.rs:1211-1220). All derived
+    declaratively from per-collection max times/tokens — no literals,
+    reproducible, oracle-checkable.
+    """
+    per_coll = ce.groupBy("collection").agg(
+        F.max("cluster_time").alias("t"), F.max("event_id").alias("eid")
+    )
+    whole = ce.agg(
+        F.max("cluster_time").alias("t"), F.max("event_id").alias("eid")
+    )
+
+    def _ddl(src: DataFrame, op: str, offset_s: int, coll):
+        return src.select(
+            F.lit(op).alias("operation"),
+            F.lit(DATABASE_NAME).alias("database"),
+            coll.alias("collection"),
+            (F.col("t") + F.expr(f"INTERVAL {offset_s} SECOND")).alias(
+                "cluster_time"
+            ),
+            F.lit(None).cast("string").alias("document_key"),
+            F.lit(None).cast("string").alias("full_document"),
+            F.lit(None).cast("string").alias("updated_fields"),
+            F.concat(F.col("eid").cast("string"), F.lit(f":{op}")).alias(
+                "resume_token"
+            ),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("bigint").alias("event_id"),
+        )
+
+    return (
+        _ddl(per_coll, "drop", 1, F.col("collection"))
+        .unionByName(
+            _ddl(
+                per_coll.filter(F.col("collection") == "c0"), "rename", 2,
+                F.col("collection"),
+            )
+        )
+        .unionByName(_ddl(whole, "dropDatabase", 3, F.lit(None).cast("string")))
+        .unionByName(_ddl(whole, "invalidate", 4, F.lit(None).cast("string")))
+    )
+
+
+def ddl_events_oracle_cte() -> str:
+    """DuckDB equivalent of :func:`synthesize_ddl_events` over the
+    change_events CTE."""
+    base = change_events_oracle_cte()
+
+    def _sel(op: str, off: int, coll: str, group: str) -> str:
+        return f"""
+        SELECT '{op}' AS operation, 'app' AS "database", {coll} AS collection,
+               MAX(cluster_time) + INTERVAL {off} SECOND AS cluster_time,
+               CAST(NULL AS VARCHAR) AS document_key,
+               CAST(NULL AS VARCHAR) AS full_document,
+               CAST(NULL AS VARCHAR) AS updated_fields,
+               CAST(MAX(event_id) AS VARCHAR) || ':{op}' AS resume_token,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(NULL AS BIGINT) AS event_id
+        FROM ce {group}"""
+
+    return f"""
+        WITH ce AS ({base})
+        {_sel('drop', 1, 'collection', 'GROUP BY collection')}
+        UNION ALL
+        {_sel('rename', 2, 'collection',
+              "WHERE collection = 'c0' GROUP BY collection")}
+        UNION ALL
+        {_sel('dropDatabase', 3, 'CAST(NULL AS VARCHAR)', '')}
+        UNION ALL
+        {_sel('invalidate', 4, 'CAST(NULL AS VARCHAR)', '')}
+    """
+
+
 def extended_envelope_oracle_cte(update_lookup: bool = True) -> str:
     """DuckDB equivalent of the extended envelope (pre-images + update
     description): the LAG-per-document-key window over the raw feed,
