@@ -28,6 +28,7 @@ from rigatoni_spark.operators import (
     filters,
     grouping,
     relational,
+    tpch,
 )
 from rigatoni_spark.sources.change_events import (
     change_events_oracle_cte,
@@ -360,6 +361,39 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             return relational.q14_promo_revenue(t["lineitem"], t["part"])
         if name == "cube":
             return advanced.cube_order_stats(t["orders"])
+        if name == "q2":
+            return tpch.q2_min_supplier_per_part(
+                t["region"], t["nation"], t["supplier"], t["part"], t["lineitem"]
+            )
+        if name == "q7":
+            return tpch.q7_volume_shipping(
+                t["nation"], t["customer"], t["orders"], t["lineitem"],
+                t["supplier"],
+            )
+        if name == "q8":
+            return tpch.q8_market_share(
+                t["region"], t["nation"], t["customer"], t["orders"],
+                t["lineitem"], t["supplier"], t["part"],
+            )
+        if name == "q9":
+            return tpch.q9_product_profit(
+                t["nation"], t["orders"], t["lineitem"], t["supplier"],
+                t["part"],
+            )
+        if name == "q13":
+            return tpch.q13_order_distribution(t["customer"], t["orders"])
+        if name == "q16":
+            return tpch.q16_supplier_count(t["part"], t["lineitem"])
+        if name == "q17":
+            return tpch.q17_small_quantity_revenue(t["lineitem"], t["part"])
+        if name == "q19":
+            return tpch.q19_discounted_revenue(t["lineitem"], t["part"])
+        if name == "q20":
+            return tpch.q20_excess_share_suppliers(
+                t["supplier"], t["part"], t["lineitem"]
+            )
+        if name == "q22":
+            return tpch.q22_global_sales_opportunity(t["customer"], t["orders"])
         raise KeyError(name)
 
     return fn
@@ -460,6 +494,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": _q_grouping_sets,
     "rel_q14_promo_revenue": _rel("q14"),
     "rel_percentiles": _q_percentiles,
+    "rel_q2_min_supplier": _rel("q2"),
+    "rel_q7_volume_shipping": _rel("q7"),
+    "rel_q8_market_share": _rel("q8"),
+    "rel_q9_product_profit": _rel("q9"),
+    "rel_q13_order_distribution": _rel("q13"),
+    "rel_q16_supplier_count": _rel("q16"),
+    "rel_q17_small_qty_revenue": _rel("q17"),
+    "rel_q19_discounted_revenue": _rel("q19"),
+    "rel_q20_excess_share": _rel("q20"),
+    "rel_q22_sales_opportunity": _rel("q22"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_top_tokens": _doc(textstats.top_tokens),
@@ -643,6 +687,16 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q18_large_orders": relational.q18_oracle(),
     "rel_grouping_sets": _GROUPING_SETS_SQL,
     "rel_q14_promo_revenue": relational.Q14_ORACLE,
+    "rel_q2_min_supplier": tpch.q2_oracle(),
+    "rel_q7_volume_shipping": tpch.q7_oracle(),
+    "rel_q8_market_share": tpch.q8_oracle(),
+    "rel_q9_product_profit": tpch.q9_oracle(),
+    "rel_q13_order_distribution": tpch.q13_oracle(),
+    "rel_q16_supplier_count": tpch.Q16_ORACLE,
+    "rel_q17_small_qty_revenue": tpch.q17_oracle(),
+    "rel_q19_discounted_revenue": tpch.Q19_ORACLE,
+    "rel_q20_excess_share": tpch.q20_oracle(),
+    "rel_q22_sales_opportunity": tpch.q22_oracle(),
     "rel_percentiles": """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.5) AS p50_total,

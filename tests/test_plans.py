@@ -62,6 +62,29 @@ class TestPlanProperties:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_q7_q8_q9_broadcast_dims(self, spark):
+        """The TPC-H part-2 star joins keep nation/supplier/part on the
+        broadcast side — no sort-merge against a dim."""
+        for name in (
+            "rel_q7_volume_shipping",
+            "rel_q8_market_share",
+            "rel_q9_product_profit",
+        ):
+            plan = _plan(spark, name)
+            assert "BroadcastHashJoin" in plan, name
+
+    def test_q22_anti_join_not_not_in(self, spark):
+        """The lapsed-customer test is a hash anti-join (LeftAnti), never
+        a NOT IN that would degenerate to nested-loop over a shuffle."""
+        plan = _plan(spark, "rel_q22_sales_opportunity")
+        assert "LeftAnti" in plan
+
+    def test_q17_no_correlated_reexecution(self, spark):
+        """The per-part average joins back as an aggregate (two hash
+        aggs), not a correlated subquery re-executed per row."""
+        plan = _plan(spark, "rel_q17_small_qty_revenue")
+        assert plan.count("Subquery") == 0
+
     def test_no_cartesian_products_anywhere(self, spark):
         # cross joins are only ever broadcast-nested-loop against tiny
         # literal-bounded sides (ANN centroids/queries); a CartesianProduct
