@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rigatoni_spark import tables
-from rigatoni_spark.llm import corpus
+from rigatoni_spark.llm import corpus, sampling
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
@@ -511,6 +511,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_profile": _doc(textstats.lang_profile),
     "text_langid_heuristic": _doc(textstats.langid_heuristic),
     "text_fingerprints": _doc(textstats.fingerprints),
+    "text_tfidf_top_terms": _doc(textstats.tfidf_top_terms),
+    "text_bigrams_top": _doc(textstats.bigram_counts),
+    "text_regex_tokens": _doc(textstats.regex_token_counts),
+    # deterministic sampling (hash-thresholded; reproducible data mixes)
+    "sample_fraction_hash": _doc(
+        lambda d: sampling.sample_fraction(d, 0.25).orderBy("doc_id")
+    ),
+    "sample_stratified": _doc(
+        lambda d: sampling.stratified_sample(
+            d, {"en": 0.1, "de": 1.0, "fr": 0.5}
+        ).orderBy("doc_id")
+    ),
+    "sample_n_per_group": _doc(
+        lambda d: sampling.sample_n_per_stratum(d, 5, "lang").orderBy("doc_id")
+    ),
     # --- LLM-pipeline: dedup ---
     "text_clean_corpus": _doc(corpus.clean_corpus),
     "dedup_exact_groups": _doc(ldedup.exact_duplicates),
@@ -709,6 +724,16 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
     "text_langid_heuristic": textstats.LANGID_ORACLE,
     "text_fingerprints": textstats.FINGERPRINTS_ORACLE,
+    "text_tfidf_top_terms": textstats.tfidf_oracle(),
+    "text_bigrams_top": textstats.bigram_oracle(),
+    "text_regex_tokens": textstats.REGEX_TOKENS_ORACLE,
+    "sample_fraction_hash": f"""SELECT * FROM documents
+WHERE {sampling.sample_fraction_oracle(0.25)} ORDER BY doc_id""",
+    "sample_stratified": f"""SELECT * FROM documents
+WHERE {sampling.stratified_sample_oracle({"en": 0.1, "de": 1.0, "fr": 0.5})}
+ORDER BY doc_id""",
+    "sample_n_per_group": f"""WITH picked AS ({sampling.sample_n_per_stratum_oracle_cte(5, "lang")})
+SELECT * FROM picked ORDER BY doc_id""",
     "text_clean_corpus": corpus.clean_corpus_oracle(),
     "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,

@@ -1,0 +1,135 @@
+"""Deterministic sampling for training-data pipelines.
+
+Reproducible subsampling is a core corpus operation (data mixes,
+ablations, held-out splits). Random `.sample()` is partition-order
+dependent and unreproducible across engines/runs; these operators
+derive the keep/drop decision from ``md5(salt || key)`` instead:
+
+- same row -> same decision, on any engine, any partitioning, any run;
+- the fraction is enforced in expectation by comparing the hex digest
+  (uniform over 16^32) against a precomputed hex threshold — a pure
+  string comparison, identical in Spark and DuckDB (both emit lowercase
+  hex), so every operator here is oracle-checkable;
+- changing ``salt`` draws an independent sample (the analogue of a new
+  seed).
+
+All pure column expressions — no UDFs, no RNG, no driver state. The
+filter is a narrow map over the scan: at 100 TB a 1% sample reads the
+full input once and shuffles nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(fraction: float) -> str:
+    """First-8-hex-digit threshold: P(md5 < t) == fraction to ~6e-10.
+
+    fraction 1.0 maps to 'g' — lexicographically after every hex
+    digest in both engines — so keep-all strata really keep ALL rows
+    (16**8 would be a 9-digit prefix and break the string compare).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(round(fraction * 16**8)), "08x") + "0" * 24
+
+
+def _digest(key_col: str, salt: str):
+    return F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+
+
+def sample_fraction(
+    documents: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by keyed hash."""
+    return documents.filter(_digest(key_col, salt) < _threshold_hex(fraction))
+
+
+def sample_fraction_oracle(
+    fraction: float, key_col: str = "doc_id", salt: str = "s0"
+) -> str:
+    return (
+        f"md5('{salt}:' || CAST({key_col} AS VARCHAR)) "
+        f"< '{_threshold_hex(fraction)}'"
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep fractions (the data-mix operator: e.g. keep 100%
+    of low-resource languages, 10% of the dominant one). One scan, one
+    narrow filter; the per-stratum threshold is a CASE over the strata
+    column."""
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return documents.filter(_digest(key_col, salt) < thr)
+
+
+def stratified_sample_oracle(
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+    default_fraction: float = 0.0,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN '{_threshold_hex(f)}'"
+        for v, f in sorted(fractions.items())
+    )
+    return (
+        f"md5('{salt}:' || CAST({key_col} AS VARCHAR)) < "
+        f"(CASE {cases} ELSE '{_threshold_hex(default_fraction)}' END)"
+    )
+
+
+def sample_n_per_stratum(
+    documents: DataFrame,
+    n: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum — the deterministic
+    reservoir: rank rows by keyed hash within the stratum, keep the
+    first n. One shuffle on the strata key; the hash order is uniform,
+    so the pick is an unbiased sample, and stable run-to-run."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _digest(key_col, salt), F.col(key_col)
+    )
+    return (
+        documents.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def sample_n_per_stratum_oracle_cte(
+    n: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+    table: str = "documents",
+) -> str:
+    return f"""
+  SELECT * EXCLUDE (_rn) FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY {strata_col}
+      ORDER BY md5('{salt}:' || CAST({key_col} AS VARCHAR)), {key_col}
+    ) AS _rn FROM {table}
+  ) WHERE _rn <= {n}"""

@@ -214,3 +214,142 @@ SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token LIMIT {k}
 """
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF ordering.
+
+    The score is the exact-integer surrogate ``floor(tf * N * 10000 /
+    df)`` (linear inverse document frequency instead of log): identical
+    ordering properties for ranking within a document, but pure integer
+    arithmetic — no ``ln`` whose last-ulp differs between libm
+    implementations, so the output hash-matches across engines.
+
+    Shape: tf = one groupBy (doc, token); df = one groupBy (token) over
+    distinct (doc, token) — both map-side-combined; df joins back on
+    token (at 100 TB: broadcast the vocabulary head, shuffle the tail).
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    tf = (
+        documents.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n"))
+    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.floor(
+                F.col("tf") * F.col("n") * 10000 / F.col("df")
+            ).alias("score_x10k"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x10k").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_oracle(k: int = 3) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' ')))
+          AS token FROM documents)
+  GROUP BY token
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+    CAST(FLOOR(tf * n * 10000.0 / df) AS BIGINT) AS score_x10k
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_x10k DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, score_x10k, rank
+FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+def bigram_counts(documents: DataFrame, k: int = 30) -> DataFrame:
+    """Top-k word bigrams corpus-wide (the LM-style n-gram count table,
+    n=2). One explode of per-row 2-grams -> one count shuffle."""
+    toks = _tokens()
+    # guard: Spark's sequence(1, 0) counts DOWN (step defaults to -1),
+    # unlike DuckDB's empty generate_series — make <2-token docs
+    # explicitly empty so both engines agree
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def bigram_oracle(k: int = 30) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+grams AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(w) - 1, 0)),
+    i -> array_to_string(w[i:i+1], ' '))) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM grams GROUP BY bigram ORDER BY n DESC, bigram LIMIT {k}
+"""
+
+
+# Conservative character-class pattern shared by Java regex (Spark) and
+# RE2 (DuckDB): letter runs | digit runs | single other non-space chars
+# — the GPT-style pre-tokenizer shape without engine-specific syntax.
+_BPE_PATTERN = "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"
+
+
+def regex_token_counts(documents: DataFrame) -> DataFrame:
+    """BPE-ish regex tokenization (pre-tokenizer counts): letter runs,
+    digit runs, and punctuation singletons counted per document —
+    the accurate sibling of token_counts' 4-chars heuristic."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_regex_tokens"),
+    ).orderBy("doc_id")
+
+
+REGEX_TOKENS_ORACLE = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+    AS n_regex_tokens,
+  len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}')))
+    AS n_distinct_regex_tokens
+FROM documents ORDER BY doc_id
+"""

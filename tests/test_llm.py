@@ -204,3 +204,62 @@ class TestMultiProbe:
         # overlap with the exact answer can only grow
         assert len(multi & exact) >= len(single & exact)
         assert len(multi) >= len(single)
+
+
+class TestSampling:
+    """Deterministic hash sampling: same input -> same sample, any
+    partitioning, any run; fractions hold in expectation."""
+
+    def test_fraction_reproducible_and_partition_invariant(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        a = {r["doc_id"] for r in sampling.sample_fraction(documents, 0.25).collect()}
+        b = {
+            r["doc_id"]
+            for r in sampling.sample_fraction(
+                documents.repartition(7), 0.25
+            ).collect()
+        }
+        assert a == b and a  # identical under different partitioning
+        n = documents.count()
+        assert 0.15 * n < len(a) < 0.35 * n  # ~25% within tolerance
+
+    def test_different_salt_different_sample(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        a = {r["doc_id"] for r in sampling.sample_fraction(documents, 0.25, salt="s0").collect()}
+        b = {r["doc_id"] for r in sampling.sample_fraction(documents, 0.25, salt="s1").collect()}
+        assert a != b
+
+    def test_stratified_respects_per_stratum_fractions(self, documents):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm import sampling
+
+        out = sampling.stratified_sample(
+            documents, {"de": 1.0, "en": 0.0}, strata_col="lang"
+        )
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_de = documents.filter(F.col("lang") == "de").count()
+        assert by_lang.get("de") == n_de  # keep-all stratum intact
+        assert "en" not in by_lang  # keep-none stratum empty
+        assert set(by_lang) <= {"de"}  # default fraction 0 drops the rest
+
+    def test_n_per_stratum_exact(self, documents):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm import sampling
+
+        out = sampling.sample_n_per_stratum(documents, 5, "lang")
+        counts = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        sizes = {
+            r["lang"]: r["n"]
+            for r in documents.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in counts:
+            assert r["n"] == min(5, sizes[r["lang"]])
