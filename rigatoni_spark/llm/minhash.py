@@ -92,10 +92,27 @@ def lsh_bands(
 
 def candidate_pairs(
     documents: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
-    shingle_n: int = 3,
+    shingle_n: int = 3, max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH bucket."""
+    """Distinct (doc_a < doc_b) pairs sharing >= 1 LSH bucket.
+
+    ``max_bucket`` is the degenerate-bucket guardrail: a bucket of m
+    docs emits m²/2 candidate pairs, so one pathological band value
+    (boilerplate shingles, empty docs) can dominate the whole join at
+    corpus scale. Buckets larger than ``max_bucket`` are dropped —
+    standard LSH practice: members of a mega-bucket are near-duplicates
+    of *many* things and surface through their other (b-1) bands, so
+    recall loss is confined to docs whose every band degenerates.
+    """
     b = lsh_bands(documents, k=k, bands=bands, shingle_n=shingle_n)
+    if max_bucket is not None:
+        sizes = b.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_rows")
+        )
+        b = (
+            b.join(F.broadcast(sizes.filter(F.col("_bucket_rows") > max_bucket)),
+                   ["band", "band_hash"], "left_anti")
+        )
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
@@ -117,9 +134,13 @@ def near_duplicates(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set Jaccard."""
-    cands = candidate_pairs(documents, k=k, bands=bands, shingle_n=shingle_n)
+    cands = candidate_pairs(
+        documents, k=k, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
     t = spread(documents).select(
         "doc_id", _shingles(n=shingle_n).alias("sh")
     )

@@ -89,6 +89,24 @@ class TestDedup:
             (1, 2, 10000)
         ]
 
+    def test_minhash_bucket_cap_drops_mega_buckets(self, spark):
+        """The max_bucket guardrail: a degenerate bucket (here: 20
+        identical docs -> one bucket per band of size 20) is dropped,
+        while normal-sized buckets keep producing candidates."""
+        rows = [(i, "same same same same same same") for i in range(20)]
+        rows += [(100, "pair pair pair pair pair pair"),
+                 (101, "pair pair pair pair pair pair")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash.candidate_pairs(df, max_bucket=5).collect()
+        }
+        assert (100, 101) in capped  # size-2 bucket survives
+        assert not any(a < 20 and b < 20 for a, b in capped)  # mega dropped
+        # uncapped: the mega bucket floods 20*19/2 pairs
+        full = minhash.candidate_pairs(df).count()
+        assert full >= 190
+
     def test_simhash_is_32bit(self, documents):
         sigs = simhash.simhash_signatures(documents)
         row = sigs.agg(
