@@ -198,6 +198,35 @@ def _q_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/B1 through the REAL streaming engine: the change-event stream
+    (availableNow trigger) folded into a complete-mode windowed
+    aggregation on a memory sink. Complete-mode agg over a drained
+    bounded source equals the batch aggregation regardless of
+    micro-batch boundaries — so the STREAMING path itself is
+    hash-verified against the same SQL oracle as its batch twin
+    (b1_windowed_counts), not just pytest-smoke-tested."""
+    import tempfile
+    import uuid
+
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_wc_ckpt_")
+    sdf = read_change_events_stream(spark, sf_dir, path_glob="events.parquet")
+    q = (
+        batching.windowed_counts(sdf, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "collection")
+
+
 def _q_watch_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S4 COLLECTION watch level = per-collection selection
     ce = read_change_events(spark, sf_dir)
@@ -465,6 +494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f1_json_analytics": _q_json_analytics,
     "b1_daily_active_users": _q_daily_active,
     "b1_windowed_counts": _q_windowed_counts,
+    "s1_stream_windowed_counts": _q_stream_windowed_counts,
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
@@ -532,6 +562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
+    "dedup_clusters": _doc(ldedup.duplicate_clusters),
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
     # threshold 0.3: the synthetic embeddings are near-random (max
@@ -641,6 +672,11 @@ SELECT date_trunc('hour', cluster_time) AS window_start, collection,
        COUNT(*) AS n_events,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM change_events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "s1_stream_windowed_counts": f"""{_CE_CTE}
+SELECT date_trunc('hour', cluster_time) AS window_start, collection,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM change_events GROUP BY 1, 2 ORDER BY 1, 2""",
     "b2_size_batched": f"""{_CE_CTE},
 ranked AS (
   SELECT *, CAST(CEIL(ROW_NUMBER() OVER (
@@ -739,6 +775,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
+    "dedup_clusters": ldedup.duplicate_clusters_oracle(),
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_embedding_cosine": vectors.embedding_neardup_oracle(threshold=0.3),

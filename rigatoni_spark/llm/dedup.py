@@ -313,3 +313,113 @@ SELECT doc_a, doc_b,
 FROM pairs WHERE i * 10000 >= {thr} * u
 ORDER BY doc_a, doc_b
 """
+
+
+def duplicate_clusters(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every
+    document labeled with the min doc_id of its duplicate cluster — the
+    canonical keep-one-per-cluster operator (pairs alone under-merge:
+    A~B, B~C must collapse to ONE cluster even when A~C misses the
+    threshold).
+
+    Distributed min-label propagation: each round joins the current
+    label of every node to its neighbors and takes the min (two hash
+    joins + one aggregation per round, all keyed on doc_id); converges
+    in O(diameter) <= O(log n) rounds for near-dup graphs (tiny
+    components), far under ``max_iterations``. The convergence probe is
+    one count per round — a driver-side scalar, not data. Labels are
+    min doc_ids, so the fixpoint is unique and engine-independent
+    (DuckDB oracle: WITH RECURSIVE reaching the same fixpoint).
+
+    Scale: each round's shuffle carries |edges| rows keyed by doc_id.
+    For 100 TB corpora the standard alternating large-star/small-star
+    optimization halves rounds; the simple propagation here is the
+    readable baseline and the per-round plan shape is identical.
+    """
+    pairs = ngram_jaccard_pairs(documents, threshold, block_col).select(
+        "doc_a", "doc_b"
+    )
+    # undirected edge list, both directions; every node self-edges so
+    # isolated docs keep their own label
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = documents.select(
+        F.col("doc_id"), F.col("doc_id").alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            # neighbor's current label, propagated to each node
+            prop = (
+                edges.join(
+                    labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                        "label", "nbr_label"
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("nbr_label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(prop, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("label", "old"), "doc_id"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.orderBy("doc_id")
+    finally:
+        edges.unpersist()
+
+
+def duplicate_clusters_oracle(
+    threshold: float = 0.8, block_col: str = "source"
+) -> str:
+    """Same fixpoint via DuckDB recursive CTE (min-label propagation)."""
+    pairs = ngram_jaccard_oracle(threshold, block_col).strip().rstrip()
+    # strip the trailing ORDER BY from the pair query for use as a CTE
+    pairs_body = pairs[: pairs.rindex("ORDER BY")]
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_body}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, w.label
+  FROM walk w JOIN edges e ON e.dst = w.doc_id
+  WHERE w.label < e.src
+),
+final AS (
+  SELECT doc_id, MIN(label) AS label FROM walk GROUP BY doc_id
+)
+SELECT doc_id, label FROM final ORDER BY doc_id
+"""

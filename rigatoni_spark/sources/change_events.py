@@ -457,6 +457,7 @@ def read_change_events_stream(
     max_files_per_trigger: int | None = None,
     update_lookup: bool = True,
     pipeline: list[dict] | None = None,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """Streaming change-event source over a growing parquet directory.
 
@@ -474,6 +475,10 @@ def read_change_events_stream(
     reader = spark.readStream.schema(RAW_EVENTS_SCHEMA_NANOS).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path_glob is not None:
+        # select specific files inside a mixed directory (the streaming
+        # source requires a directory basePath)
+        reader = reader.option("pathGlobFilter", path_glob)
     raw = _pushdown_raw(
         reader.load(events_dir).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")

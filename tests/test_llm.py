@@ -76,6 +76,24 @@ class TestDedup:
         assert (200, 201) in got  # small block: exact path
         assert (100, 101) in got  # oversized block: LSH path
 
+    def test_duplicate_clusters_transitive_merge(self, spark):
+        """A~B and B~C must land in ONE cluster even when A~C itself
+        misses the threshold (the reason pairs alone under-merge)."""
+        # A and B share 9/10 tokens; B and C share 9/10; A and C 8/12
+        a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 xa"
+        b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 xb"
+        c = "t2 t3 t4 t5 t6 t7 t8 t9 xb xc"
+        df = spark.createDataFrame(
+            [(1, a, "s"), (2, b, "s"), (3, c, "s"), (9, "zz yy ww", "s")],
+            "doc_id bigint, text string, source string",
+        )
+        labels = {
+            r["doc_id"]: r["label"]
+            for r in dedup.duplicate_clusters(df, threshold=0.8).collect()
+        }
+        assert labels[1] == labels[2] == labels[3] == 1  # one cluster
+        assert labels[9] == 9  # isolated doc keeps its own label
+
     def test_minhash_identical_docs_always_candidates(self, spark):
         # identical text -> identical signature -> all bands collide
         df = spark.createDataFrame(
