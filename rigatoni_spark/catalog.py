@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rigatoni_spark import tables
-from rigatoni_spark.llm import corpus, sampling
+from rigatoni_spark.llm import contamination, corpus, sampling
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
@@ -479,6 +479,32 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_embeddings_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table curation mix: documents joined to their embedding
+    rows (doc_id == vec_id in the synthetic testdata), quality-gated on
+    length, per (lang, label) composition. The join both sides of which
+    are corpus-sized shuffles on the id — the canonical metadata/vector
+    alignment step of a multimodal curation pipeline."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    return (
+        j.filter(F.col("n_chars") >= 200)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "label")
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return advanced.value_histogram(
+        tables.load_table(spark, sf_dir, "events"), width=10.0
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- CDC operator inventory (SURVEY.md §2) ---
     "f4_envelope_projection": _q_envelope,
@@ -581,6 +607,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
     "mm_frame_sample": _q_mm_frame_sample,
+    # --- LLM-pipeline: decontamination / repetition / curation mix ---
+    "decon_contamination_hits": _doc(contamination.contamination_hits),
+    "decon_clean_corpus": _doc(contamination.decontaminated_corpus),
+    "text_repetition_stats": _doc(contamination.repetition_stats),
+    "xjoin_docs_embeddings_mix": _q_docs_embeddings_mix,
+    "events_value_histogram": _q_value_histogram,
 }
 
 
@@ -808,4 +840,14 @@ FROM documents ORDER BY asset_id""",
 SELECT doc_id AS asset_id,
   CAST(1 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS BIGINT) AS n_frames
 FROM documents WHERE (doc_id % 3) = 2 ORDER BY asset_id""",
+    "decon_contamination_hits": contamination.contamination_oracle(),
+    "decon_clean_corpus": contamination.decontaminated_oracle(),
+    "text_repetition_stats": contamination.REPETITION_ORACLE,
+    "xjoin_docs_embeddings_mix": """
+SELECT d.lang, e.label, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.n_chars >= 200
+GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
+    "events_value_histogram": advanced.value_histogram_oracle(10.0),
 }

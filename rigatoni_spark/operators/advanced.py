@@ -373,3 +373,32 @@ JOIN customer c
 GROUP BY c.c_mktsegment, e.operation
 ORDER BY c.c_mktsegment, e.operation
 """
+
+
+def value_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
+    """Fixed-width histogram over a numeric measure — the distribution
+    profile every corpus/metric audit starts with.
+
+    One hash aggregate over ~range/width bins (map-side combine crushes
+    the per-partition histograms before a tiny exchange); min/max per
+    bin are picked values, not float sums, so the output is
+    order-independent and hash-stable across engines.
+    """
+    bin_ = F.floor(F.col("value") / F.lit(width)).cast("bigint")
+    return (
+        events.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+def value_histogram_oracle(width: float = 10.0) -> str:
+    return f"""
+SELECT CAST(FLOOR(value / {width}) AS BIGINT) AS bin, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1 ORDER BY bin
+"""

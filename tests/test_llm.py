@@ -299,3 +299,45 @@ class TestSampling:
         }
         for r in counts:
             assert r["n"] == min(5, sizes[r["lang"]])
+
+
+class TestContamination:
+    def test_benchmark_docs_excluded_from_training_side(self, documents):
+        from rigatoni_spark.llm import contamination
+
+        hits = contamination.contamination_hits(documents).collect()
+        assert all(r["doc_id"] % 97 != 0 for r in hits)
+        assert all(r["n_contaminated_grams"] >= 1 for r in hits)
+
+    def test_clean_corpus_disjoint_from_hits(self, documents):
+        from rigatoni_spark.llm import contamination
+
+        hit_ids = {
+            r["doc_id"]
+            for r in contamination.contamination_hits(documents).collect()
+        }
+        clean_ids = {
+            r["doc_id"]
+            for r in contamination.decontaminated_corpus(documents).collect()
+        }
+        n_train = documents.filter(F.col("doc_id") % 97 != 0).count()
+        assert hit_ids.isdisjoint(clean_ids)
+        assert len(hit_ids) + len(clean_ids) == n_train
+
+    def test_contamination_plan_broadcasts_benchmark(self, documents):
+        """The benchmark gram set must broadcast — a corpus-sized
+        shuffle of training n-grams for a tiny eval set is the scale
+        bug this operator is designed to avoid."""
+        from rigatoni_spark.llm import contamination
+
+        plan = contamination.contamination_hits(documents)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_repetition_bounds(self, documents):
+        from rigatoni_spark.llm import contamination
+
+        rows = contamination.repetition_stats(documents).collect()
+        assert len(rows) == documents.count()
+        for r in rows:
+            assert 0 <= r["dup_token_frac_x10k"] <= 10000
+            assert 0 < r["top_bigram_frac_x10k"] <= 10000
