@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_stats": _doc(contamination.repetition_stats),
     "xjoin_docs_embeddings_mix": _q_docs_embeddings_mix,
     "events_value_histogram": _q_value_histogram,
+    "text_pack_sequences": _doc(
+        lambda d: sampling.pack_sequences(d, seq_len=512)
+    ),
 }
 
 
@@ -850,4 +853,5 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.n_chars >= 200
 GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_value_histogram": advanced.value_histogram_oracle(10.0),
+    "text_pack_sequences": sampling.pack_sequences_oracle(512),
 }

@@ -133,3 +133,60 @@ def sample_n_per_stratum_oracle_cte(
       ORDER BY md5('{salt}:' || CAST({key_col} AS VARCHAR)), {key_col}
     ) AS _rn FROM {table}
   ) WHERE _rn <= {n}"""
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing: lay documents head-to-tail per shard and chunk
+    the stream every ``seq_len`` tokens — the concatenate-and-chunk
+    layout used to build fixed-length LM training sequences. Each doc
+    gets its pack id, its token offset inside the pack, and whether it
+    straddles a pack boundary (the fraction of straddlers is the
+    packing-efficiency metric).
+
+    Deterministic: the layout is a running token total per shard
+    ordered by doc_id — same assignment on any engine or partitioning.
+    Scale: ONE window per shard (hash-partition by shard, sort within);
+    shards bound both the sort and any skew, so a 100 TB corpus packs
+    as parallel per-shard streams — use a finer shard key (e.g. a hash
+    bucket column) if shards outgrow executor memory.
+    """
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    start = (cum - n_tokens).cast("bigint")
+    pack_id = F.floor(start / seq_len).cast("bigint")
+    return documents.select(
+        F.col(shard_col).alias("shard"),
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        pack_id.alias("pack_id"),
+        (start % seq_len).alias("pack_offset"),
+        (F.floor((cum - 1) / seq_len) > pack_id).alias("straddles"),
+    ).orderBy("shard", "doc_id")
+
+
+def pack_sequences_oracle(seq_len: int = 512, shard_col: str = "source") -> str:
+    return f"""
+WITH t AS (
+  SELECT {shard_col} AS shard, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    SUM(len(string_split(text, ' '))) OVER (
+      PARTITION BY {shard_col} ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT shard, doc_id, n_tokens,
+  CAST(FLOOR((cum - n_tokens) * 1.0 / {seq_len}) AS BIGINT) AS pack_id,
+  CAST((cum - n_tokens) % {seq_len} AS BIGINT) AS pack_offset,
+  FLOOR((cum - 1) * 1.0 / {seq_len})
+    > FLOOR((cum - n_tokens) * 1.0 / {seq_len}) AS straddles
+FROM t ORDER BY shard, doc_id
+"""

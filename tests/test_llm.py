@@ -341,3 +341,23 @@ class TestContamination:
         for r in rows:
             assert 0 <= r["dup_token_frac_x10k"] <= 10000
             assert 0 < r["top_bigram_frac_x10k"] <= 10000
+
+
+class TestPacking:
+    def test_pack_layout_invariants(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        rows = sampling.pack_sequences(documents, seq_len=512).collect()
+        assert len(rows) == documents.count()
+        by_shard: dict[str, list] = {}
+        for r in rows:
+            assert 0 <= r["pack_offset"] < 512
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard_rows in by_shard.values():
+            # docs laid head-to-tail: each start == previous start + len
+            cum = 0
+            for r in shard_rows:  # already ordered by doc_id
+                assert r["pack_id"] * 512 + r["pack_offset"] == cum
+                end = cum + r["n_tokens"]
+                assert r["straddles"] == ((end - 1) // 512 > r["pack_id"])
+                cum = end
