@@ -616,6 +616,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pack_sequences": _doc(
         lambda d: sampling.pack_sequences(d, seq_len=512)
     ),
+    "rel_range_join_tiers": lambda spark, sf_dir: advanced.range_join_value_tiers(
+        tables.load_table(spark, sf_dir, "events")
+    ),
+    "rel_skew_salted_join": lambda spark, sf_dir: advanced.skew_salted_enrich(
+        tables.load_table(spark, sf_dir, "events"),
+        tables.load_table(spark, sf_dir, "customer"),
+    ),
 }
 
 
@@ -854,4 +861,6 @@ WHERE d.n_chars >= 200
 GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_value_histogram": advanced.value_histogram_oracle(10.0),
     "text_pack_sequences": sampling.pack_sequences_oracle(512),
+    "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
+    "rel_skew_salted_join": advanced.SKEW_SALTED_ORACLE,
 }

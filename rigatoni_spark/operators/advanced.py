@@ -402,3 +402,82 @@ SELECT CAST(FLOOR(value / {width}) AS BIGINT) AS bin, COUNT(*) AS n,
        MIN(value) AS min_value, MAX(value) AS max_value
 FROM events GROUP BY 1 ORDER BY bin
 """
+
+
+VALUE_TIERS: list[tuple[str, float, float]] = [
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 1000.0),
+]
+
+
+def range_join_value_tiers(events: DataFrame) -> DataFrame:
+    """Range join: band each event's measure into a tier dimension via
+    a non-equi ``lo <= value < hi`` condition — the banding/bucketing
+    join Spark has no native operator for.
+
+    The tier table is tiny and broadcast, so the plan is a
+    BroadcastNestedLoopJoin: each event row scans ~|tiers| broadcast
+    rows — linear in the fact table, no shuffle, which is the only
+    range-join shape that survives 100 TB (a shuffle range join would
+    need an interval partitioner). Non-overlapping tiers guarantee
+    one output row per event.
+    """
+    spark = events.sparkSession
+    tiers = spark.createDataFrame(VALUE_TIERS, "tier string, lo double, hi double")
+    j = events.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000.0)
+)
+SELECT tier, COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY tier ORDER BY tier
+"""
+
+
+def skew_salted_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """The salted skew join surfaced as a query: events fact ⋈ customer
+    dim on the hot user key, routed through operators/skew.salted_join
+    so each hot key spreads over n salt partitions. Result is identical
+    to the plain join (that is what the oracle checks); the salt only
+    changes the physical partitioning. At this dim size Spark would
+    broadcast anyway — the operator targets dims past the broadcast
+    threshold under pathological key skew.
+    """
+    from rigatoni_spark.operators.skew import salted_join
+
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(events.select("event_id", "user_id"), dim, ["user_id"], n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SKEW_SALTED_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
