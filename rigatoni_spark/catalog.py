@@ -423,6 +423,10 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             )
         if name == "q22":
             return tpch.q22_global_sales_opportunity(t["customer"], t["orders"])
+        if name == "q11":
+            return tpch.q11_important_stock(
+                t["nation"], t["supplier"], t["part"], t["lineitem"]
+            )
         raise KeyError(name)
 
     return fn
@@ -560,6 +564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_q19_discounted_revenue": _rel("q19"),
     "rel_q20_excess_share": _rel("q20"),
     "rel_q22_sales_opportunity": _rel("q22"),
+    "rel_q11_important_stock": _rel("q11"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_top_tokens": _doc(textstats.top_tokens),
@@ -790,6 +795,7 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q19_discounted_revenue": tpch.Q19_ORACLE,
     "rel_q20_excess_share": tpch.q20_oracle(),
     "rel_q22_sales_opportunity": tpch.q22_oracle(),
+    "rel_q11_important_stock": tpch.q11_oracle(),
     "rel_percentiles": """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.5) AS p50_total,

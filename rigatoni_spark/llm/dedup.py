@@ -100,47 +100,57 @@ def ngram_jaccard_pairs(
     small blocks the result is exact; within oversized blocks recall
     follows the banding curve 1-(1-J^r)^b (≈0.98 at J=threshold=0.8
     with k=8, b=4), which is the standard large-corpus trade. The
-    size split is declarative (broadcast of per-block counts — no
-    driver-side probe job), so Catalyst/AQE sees one plan.
+    split is gated on a single-scalar probe (max block size) — safe to
+    collect at any corpus scale — so the common no-oversized-block case
+    never pays the LSH branch's plan cost.
 
     Fast path: when the global vocabulary fits in 63 bits (categorical/
-    controlled token streams — probed cheaply with
-    approx_count_distinct), each token set becomes one bigint bitmask
-    and the per-pair cost drops from O(|A|+|B|) array intersection to
-    three bit_count instructions. Results are bit-identical to the
-    generic path. Natural-language corpora exceed the probe and take
-    the generic path.
+    controlled token streams — probed with a 64-row LIMIT over the
+    distinct vocabulary, one bounded job), each token set becomes one
+    bigint bitmask and the per-pair cost drops from O(|A|+|B|) array
+    intersection to three bit_count instructions. Results are
+    bit-identical to the generic path. Natural-language corpora exceed
+    the probe and take the generic path.
     """
     sizes = documents.groupBy(block_col).agg(
         F.count(F.lit(1)).alias("_block_rows")
     )
-    sized = documents.join(F.broadcast(sizes), block_col)
-    big = sized.filter(F.col("_block_rows") > max_block_rows).drop("_block_rows")
-    documents = sized.filter(F.col("_block_rows") <= max_block_rows).drop(
-        "_block_rows"
-    )
-    big_pairs = _jaccard_pairs_lsh_blocked(big, threshold, block_col)
+    # One-scalar probe (max block size — safe to collect at any corpus
+    # scale, unlike per-block rows): when NO block is oversized, skip
+    # the LSH branch entirely instead of paying ~6 empty-stage jobs to
+    # discover an empty candidate set at execution time.
+    max_block = sizes.agg(F.max("_block_rows").alias("m")).collect()[0]["m"] or 0
+    if max_block > max_block_rows:
+        sized = documents.join(F.broadcast(sizes), block_col)
+        big = sized.filter(F.col("_block_rows") > max_block_rows).drop(
+            "_block_rows"
+        )
+        documents = sized.filter(F.col("_block_rows") <= max_block_rows).drop(
+            "_block_rows"
+        )
+        big_pairs = _jaccard_pairs_lsh_blocked(big, threshold, block_col)
+    else:
+        big_pairs = None
 
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    approx_vocab = (
-        documents.select(F.explode(toks).alias("t"))
-        .agg(F.approx_count_distinct("t").alias("v"))
-        .collect()[0]["v"]
+    # Single bounded probe: a 64-row LIMIT over the distinct vocabulary
+    # either returns the COMPLETE vocab (<= 63 tokens -> bitmask fast
+    # path) or proves it's too wide (64 rows -> generic path). Replaces
+    # the former approx_count_distinct + full-distinct double scan.
+    vocab_rows = (
+        documents.select(F.explode(toks).alias("t")).distinct().limit(64).collect()
     )
-    if approx_vocab <= 50:  # approx_count_distinct err ~2-5%; stay clear of 63
-        vocab = sorted(
-            r["t"]
-            for r in documents.select(F.explode(toks).alias("t")).distinct().collect()
+    vocab = sorted(r["t"] for r in vocab_rows)
+    # non-empty guard: vocab [] means the small-block subset is
+    # empty (everything routed to LSH) — bitmask can't type an
+    # empty literal map; the generic path handles it trivially
+    if vocab and len(vocab) <= 63:
+        small_pairs = _jaccard_pairs_bitmask(
+            documents, vocab, threshold, block_col
         )
-        # non-empty guard: vocab [] means the small-block subset is
-        # empty (everything routed to LSH) — bitmask can't type an
-        # empty literal array; the generic path handles it trivially
-        if vocab and len(vocab) <= 63:
-            return (
-                _jaccard_pairs_bitmask(documents, vocab, threshold, block_col)
-                .unionByName(big_pairs)
-                .orderBy("doc_a", "doc_b")
-            )
+        if big_pairs is not None:
+            small_pairs = small_pairs.unionByName(big_pairs)
+        return small_pairs.orderBy("doc_a", "doc_b")
     t = spread(documents).select(
         "doc_id",
         F.col(block_col).alias("block"),
@@ -155,7 +165,7 @@ def ngram_jaccard_pairs(
     # can't qualify — pruned BEFORE the O(|A|+|B|) intersect
     size_ok = F.least(an, bn) >= F.ceil(F.greatest(an, bn) * F.lit(threshold))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    return (
+    generic = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -171,9 +181,10 @@ def ngram_jaccard_pairs(
         )
         .filter(_jaccard_ge(threshold))
         .select("doc_a", "doc_b", _jaccard_x10k())
-        .unionByName(big_pairs)
-        .orderBy("doc_a", "doc_b")
     )
+    if big_pairs is not None:
+        generic = generic.unionByName(big_pairs)
+    return generic.orderBy("doc_a", "doc_b")
 
 
 def _jaccard_pairs_lsh_blocked(
@@ -251,22 +262,28 @@ def _jaccard_pairs_bitmask(
 ) -> DataFrame:
     """Exact Jaccard via 63-bit token-set bitmasks (see
     ngram_jaccard_pairs). bit_count(a&b) / bit_count(a|b) — identical
-    values to the array formulation, ~50x less per-pair work."""
+    values to the array formulation, ~50x less per-pair work.
+
+    Mask construction is O(|toks|): one map lookup (token -> its power
+    of two) per distinct token, summed — distinct tokens make the sum a
+    bitwise OR. (The previous formulation scanned the vocab per token
+    and ran pow() per bit — O(|vocab|*|toks|) with heavy codegen.)
+    """
     toks = F.array_distinct(F.split(F.col("text"), " "))
-    vocab_arr = F.array([F.lit(v) for v in vocab])
-    mask = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(vocab) - 1)),
-            lambda i: F.when(
-                F.array_contains(toks, F.element_at(vocab_arr, i + 1)),
-                F.expr("1").cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            * F.pow(F.lit(2.0), i).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    bit_map = F.create_map(
+        *[
+            lit
+            for i, v in enumerate(vocab)
+            for lit in (F.lit(v), F.lit(1 << i).cast("bigint"))
+        ]
     )
-    t = documents.select(
+    mask = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc
+        + F.coalesce(F.element_at(bit_map, tok), F.lit(0).cast("bigint")),
+    )
+    t = spread(documents).select(
         "doc_id",
         F.col(block_col).alias("block"),
         mask.alias("m"),

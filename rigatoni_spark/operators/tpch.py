@@ -582,6 +582,93 @@ def q22_global_sales_opportunity(
     )
 
 
+def q11_important_stock(
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    n_name: str = "NATION_3",
+    mult_x10: int = 15,
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one nation's suppliers,
+    keeping parts whose value exceeds ``mult_x10/10`` times the nation's
+    MEAN per-part value (the scalar-subquery-threshold shape; TPC-H's
+    fixed-fraction threshold is restated against the mean so the
+    selectivity is scale-free — a fixed fraction of the total degenerates
+    to zero rows once the part count exceeds its reciprocal).
+
+    partsupp stand-in (module docstring): DISTINCT (l_partkey,
+    l_suppkey) pairs from lineitem with availqty := lineitem count per
+    pair and supplycost := 0.1 * p_retailprice (Q9's stand-in). All
+    value arithmetic stays exact decimal through both aggregations;
+    each side is cast to double exactly once before the IEEE-identical
+    threshold compare, so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Plan: nation-filtered supplier keys broadcast onto lineitem, one
+    hash-agg per (part, supp) pair, part broadcast for retailprice, one
+    hash-agg per part, and the nation total is a broadcast 1-row
+    aggregate — no shuffle carries more than the pair cardinality.
+    """
+    sup_keys = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    cost = F.col("p_retailprice").cast("decimal(12,2)") * F.lit(0.1).cast(
+        "decimal(2,1)"
+    )
+    pair_value = (
+        lineitem.join(
+            F.broadcast(sup_keys), lineitem.l_suppkey == sup_keys.s_suppkey
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("availqty"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (cost * F.col("availqty").cast("decimal(18,0)")).alias("v"),
+        )
+    )
+    per_part = pair_value.groupBy("ps_partkey").agg(F.sum("v").alias("vdec"))
+    total = per_part.agg(
+        F.sum("vdec").cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("vdec").cast("double") * 10 * F.col("_nparts")
+            > F.col("_total") * mult_x10
+        )
+        .select("ps_partkey", F.col("vdec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+def q11_oracle(n_name: str = "NATION_3", mult_x10: int = 15) -> str:
+    return f"""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey,
+    (CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1)))
+      * CAST(COUNT(*) AS DECIMAL(18,0)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE n_name = '{n_name}'
+  GROUP BY l_partkey, l_suppkey, p_retailprice
+),
+g AS (SELECT ps_partkey, SUM(v) AS vdec FROM ps GROUP BY ps_partkey),
+tot AS (SELECT CAST(SUM(vdec) AS DOUBLE) AS t, COUNT(*) AS n FROM g)
+SELECT ps_partkey, CAST(vdec AS DOUBLE) AS value
+FROM g, tot
+WHERE CAST(vdec AS DOUBLE) * 10 * n > t * {mult_x10}
+ORDER BY value DESC, ps_partkey
+"""
+
+
 def q22_oracle(groups: int = 5, since: str = "2001-01-01") -> str:
     return f"""
 WITH avg_bal AS (
