@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 
 def _word_ngrams(toks, n: int):
     """Sliding word n-grams of a token array; explicit empty array for
@@ -41,18 +43,24 @@ def _word_ngrams(toks, n: int):
 
 def _doc_grams(documents: DataFrame, n: int) -> DataFrame:
     toks = F.split(F.col("text"), " ")
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
     )
 
 
 def contamination_hits(
-    documents: DataFrame, n: int = 8, benchmark_mod: int = 97
+    documents: DataFrame, n: int = 4, benchmark_mod: int = 97
 ) -> DataFrame:
     """Per-training-document count of distinct word n-grams that also
     occur in the benchmark split (docs with doc_id % benchmark_mod == 0
     stand in for the eval set — deterministic, engine-independent).
+
+    Default n=4: production decontamination uses 8-13-grams over
+    natural language, but the testdata's 32-token vocabulary makes a
+    4-gram (~20 bits of entropy) the statistical analogue — 8-grams
+    never collide on this corpus and the operator degenerates to an
+    empty result at every SF.
 
     Plan: benchmark grams are distinct'd and BROADCAST (eval sets are a
     small fixed artifact even when the corpus is 100 TB); the training
@@ -74,7 +82,7 @@ def contamination_hits(
     )
 
 
-def contamination_oracle(n: int = 8, benchmark_mod: int = 97) -> str:
+def contamination_oracle(n: int = 4, benchmark_mod: int = 97) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
 grams AS (
@@ -92,7 +100,7 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def decontaminated_corpus(
-    documents: DataFrame, n: int = 8, benchmark_mod: int = 97
+    documents: DataFrame, n: int = 4, benchmark_mod: int = 97
 ) -> DataFrame:
     """The actionable output: training documents with ZERO benchmark
     n-gram overlap (left-anti join against the hit set) — what a
@@ -107,7 +115,7 @@ def decontaminated_corpus(
     )
 
 
-def decontaminated_oracle(n: int = 8, benchmark_mod: int = 97) -> str:
+def decontaminated_oracle(n: int = 4, benchmark_mod: int = 97) -> str:
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
 grams AS (
@@ -146,7 +154,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     so no skew at any corpus size.
     """
     toks = F.split(F.col("text"), " ")
-    base = documents.select(
+    base = spread(documents).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),

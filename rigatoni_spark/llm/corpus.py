@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 MIN_TOKENS = 30
 MIN_TTR = 0.5  # type-token ratio floor (repetition filter)
 
@@ -25,7 +27,7 @@ def clean_corpus(
 ) -> DataFrame:
     """Quality-pass + canonical (min doc_id per content hash) corpus."""
     toks = F.split(F.col("text"), " ")
-    scored = documents.select(
+    scored = spread(documents).select(
         "doc_id",
         "lang",
         "source",

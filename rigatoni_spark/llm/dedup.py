@@ -78,6 +78,93 @@ ORDER BY d.doc_id
 """
 
 
+def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: CCNet/RefinedWeb-style
+    repeated-passage removal, adapted to fixed ``chunk_tokens`` token
+    windows (the testdata carries no newline/paragraph structure).
+
+    Every document is cut into consecutive non-overlapping chunks; a
+    chunk is a DUPLICATE if an identical chunk occurs earlier in the
+    corpus (corpus order = (doc_id, chunk_idx); the earliest occurrence
+    is canonical and kept). Output per document: chunk counts and the
+    duplicate-chunk fraction as a scaled integer — the signal a cleaning
+    pass thresholds on to drop boilerplate-heavy documents.
+
+    Order-key trick: first occurrence = MIN(doc_id * 1000 + chunk_idx)
+    per chunk text — pure integer arithmetic, hash-stable across
+    engines (chunk_idx < 1000 holds for any document under 10,000
+    tokens at the default window; assert-guarded).
+
+    Plan shape: explode to one row per chunk -> hash-agg MIN(order_key)
+    keyed on md5(chunk) (narrow shuffle rows; partial agg crushes
+    boilerplate chunks map-side) -> equi-join back on the hash -> per-doc
+    hash-agg. Three shuffles, all carrying |tokens|/chunk_tokens rows.
+    A corpus-dominant boilerplate chunk is a hot join key — AQE skew
+    handling splits it; the MIN agg itself is skew-immune (map-side
+    partial)."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    chunks = spread(documents).select(
+        "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk")).alias("h"),
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("order_key"),
+    )
+    firsts = chunks.groupBy("h").agg(F.min("order_key").alias("first_key"))
+    marked = chunks.join(firsts, "h").select(
+        "doc_id",
+        (F.col("order_key") != F.col("first_key")).cast("int").alias("is_dup"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.floor(F.col("n_dup_chunks") * 10000 / F.col("n_chunks"))
+            .cast("bigint")
+            .alias("dup_chunk_frac_x10k"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def chunk_dedup_oracle(chunk_tokens: int = 10) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+    md5(array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ')) AS h,
+    doc_id * 1000 + (i - 1) AS order_key
+  FROM toks, LATERAL unnest(generate_series(
+    1, CAST(ceil(len(w) * 1.0 / {chunk_tokens}) AS BIGINT))) AS g(i)
+),
+firsts AS (SELECT h, MIN(order_key) AS first_key FROM chunks GROUP BY h),
+marked AS (
+  SELECT doc_id,
+    CASE WHEN order_key != first_key THEN 1 ELSE 0 END AS is_dup
+  FROM chunks JOIN firsts USING (h)
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+  CAST(FLOOR(SUM(is_dup) * 10000.0 / COUNT(*)) AS BIGINT)
+    AS dup_chunk_frac_x10k
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,

@@ -190,3 +190,55 @@ SELECT shard, doc_id, n_tokens,
     > FLOOR((cum - n_tokens) * 1.0 / {seq_len}) AS straddles
 FROM t ORDER BY shard, doc_id
 """
+
+
+def training_shuffle(
+    documents: DataFrame, seed: str = "epoch0", shards: int = 16
+) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    reproducible shard and a pseudo-random position within it (keyed
+    md5 over seed+doc_id) — the randomize-then-shard step that turns a
+    curated corpus into an LM training stream. Training order is
+    shard-major: (shard 0 by position, shard 1 by position, ...).
+    Changing ``seed`` re-shuffles (new epoch); same seed reproduces the
+    exact order on any engine or cluster layout.
+
+    Scale: shard from the digest's tail nibbles; position =
+    row_number over a window PARTITIONED BY shard — shards process in
+    parallel and a global ORDER BY would be the anti-pattern (Spark
+    funnels a partition-less window through ONE task). The digest is
+    uniform so shards are balanced regardless of corpus skew; writers
+    consume (shard, shuffle_pos)-sorted output for sequential per-shard
+    reads.
+    """
+    digest = _digest("doc_id", seed)
+    shard = (
+        F.conv(F.substring(digest, 25, 8), 16, 10).cast("bigint") % shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select(
+            "doc_id", digest.alias("h"), shard.alias("shard")
+        )
+        .select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("bigint").alias("shuffle_pos"),
+        )
+        .orderBy("shard", "shuffle_pos")
+    )
+
+
+def training_shuffle_oracle(seed: str = "epoch0", shards: int = 16) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h,
+    CAST(CAST(('0x' || substring(md5('{seed}:' || CAST(doc_id AS VARCHAR)),
+      25, 8))::UBIGINT AS BIGINT) % {shards} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+    AS BIGINT) AS shuffle_pos
+FROM d ORDER BY shard, shuffle_pos
+"""

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 BITS = 32
 N_CHUNKS = 4  # 8-bit chunks -> catches pairs with hamming <= 3 fully;
 # with verify threshold d, recall is partial beyond d >= N_CHUNKS
@@ -29,7 +31,7 @@ def _token_hash():
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit signature as bigint."""
-    toks = documents.select(
+    toks = spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
     ).withColumn("h", _token_hash())

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rigatoni_spark.tables import spread
+
 
 def _tokens(col: str = "text"):
     """Whitespace tokenization. ``split`` on single space matches the
@@ -197,7 +199,7 @@ def top_tokens(documents: DataFrame, k: int = 50) -> DataFrame:
 
     explode -> ONE groupBy(token) count (map-side combine crushes the
     Zipf head before the exchange) -> small global top-k sort."""
-    toks = documents.select(
+    toks = spread(documents).select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     return (
@@ -229,6 +231,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     distinct (doc, token) — both map-side-combined; df joins back on
     token (at 100 TB: broadcast the vocabulary head, shuffle the tail).
     """
+    documents = spread(documents)
     toks = documents.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )
@@ -305,7 +308,7 @@ def bigram_counts(documents: DataFrame, k: int = 30) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select(F.explode(grams).alias("bigram"))
+        spread(documents).select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

@@ -361,3 +361,61 @@ class TestPacking:
                 end = cum + r["n_tokens"]
                 assert r["straddles"] == ((end - 1) // 512 > r["pack_id"])
                 cum = end
+
+
+class TestChunkDedup:
+    def test_chunk_counts_and_bounds(self, documents):
+        rows = dedup.chunk_dedup_stats(documents, chunk_tokens=10).collect()
+        assert len(rows) == documents.count()
+        n_toks = {
+            r["doc_id"]: r["n"]
+            for r in documents.select(
+                "doc_id", F.size(F.split("text", " ")).alias("n")
+            ).collect()
+        }
+        for r in rows:
+            expect = -(-n_toks[r["doc_id"]] // 10)  # ceil
+            assert r["n_chunks"] == expect
+            assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+            assert (
+                r["dup_chunk_frac_x10k"]
+                == r["n_dup_chunks"] * 10000 // r["n_chunks"]
+            )
+
+    def test_identical_docs_second_is_all_dup(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l")],
+            "doc_id int, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in dedup.chunk_dedup_stats(docs, chunk_tokens=10).collect()
+        }
+        assert rows[1]["n_dup_chunks"] == 0  # earliest occurrence canonical
+        assert rows[2]["n_dup_chunks"] == rows[2]["n_chunks"]
+
+
+class TestTrainingShuffle:
+    def test_reproducible_and_partition_invariant(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        a = sampling.training_shuffle(documents, seed="epoch0").collect()
+        b = sampling.training_shuffle(
+            documents.repartition(7), seed="epoch0"
+        ).collect()
+        assert a == b
+
+    def test_new_seed_reshuffles_same_rows(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        e0 = sampling.training_shuffle(documents, seed="epoch0").collect()
+        e1 = sampling.training_shuffle(documents, seed="epoch1").collect()
+        assert {r["doc_id"] for r in e0} == {r["doc_id"] for r in e1}
+        assert e0 != e1  # order actually changed
+        # positions are dense 0..n-1 within every shard
+        for rows in (e0, e1):
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
+            for pos in by_shard.values():
+                assert sorted(pos) == list(range(len(pos)))
