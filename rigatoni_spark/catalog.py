@@ -610,6 +610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": _emb(vectors.ivf_topk),
     "sim_ann_multiprobe_topk": _emb(vectors.ann_multiprobe_topk),
     "sim_label_stats": _emb(vectors.label_stats),
+    "sim_quantize_int8": _emb(vectors.quantize_int8),
     # --- LLM-pipeline: multimodal (Pandas-UDF plumbing, stubbed codecs) ---
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
@@ -836,6 +837,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "sim_ivf_topk": vectors.ivf_topk_oracle(),
     "sim_ann_multiprobe_topk": vectors.ann_multiprobe_topk_oracle(),
     "sim_label_stats": vectors.label_stats_oracle(),
+    "sim_quantize_int8": vectors.quantize_int8_oracle(),
     # multimodal: the deterministic-fake codec is md5-derived, so even
     # the Pandas-UDF path has an exact SQL twin
     "mm_decode_metadata": """

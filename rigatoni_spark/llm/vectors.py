@@ -585,3 +585,90 @@ SELECT label, COUNT(*) AS n_vecs,
        ROUND(MAX(nrm), 4) AS max_norm
 FROM t GROUP BY label ORDER BY label
 """
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric-range int8 quantization of the embedding column — the
+    4x-compression step an embedding store applies before ANN serving.
+
+    Per-DIMENSION min/max over the corpus define each dimension's
+    scale; code = floor((x - mn) * 255 / (mx - mn)), clamped to [0,255]
+    (mn == mx degenerates to code 0). Output per vector: the code
+    vector's sum / min / max — integer invariants that pin down the
+    whole quantization (any code drift moves the sum), engine-stable
+    because every step is IEEE double arithmetic in a fixed order.
+
+    Plan: one posexplode -> hash-agg per dimension (64 groups — tiny),
+    broadcast the 64-row scale table back, quantize elementwise in the
+    scan projection. The corpus is never shuffled; at 100 TB the
+    explode-agg is the only pass that touches every element and it
+    partial-aggregates map-side to 64 rows per task.
+    """
+    dims = (
+        spread(embeddings)
+        .select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        # collect_list gives no cross-partition order guarantee —
+        # sort_array over (d, value) structs pins the dimension order
+        .agg(
+            F.sort_array(F.collect_list(F.struct("d", "mn"))).alias("amn"),
+            F.sort_array(F.collect_list(F.struct("d", "mx"))).alias("amx"),
+        )
+        .select(
+            F.expr("transform(amn, s -> s.mn)").alias("mns"),
+            F.expr("transform(amx, s -> s.mx)").alias("mxs"),
+        )
+    )
+    codes = F.expr(
+        "transform(embedding, (x, i) -> "
+        "CASE WHEN mxs[i] > mns[i] THEN "
+        "LEAST(255, GREATEST(0, CAST(floor((CAST(x AS DOUBLE) - mns[i]) * 255.0D "
+        "/ (mxs[i] - mns[i])) AS INT))) ELSE 0 END)"
+    )
+    return (
+        spread(embeddings)
+        .join(F.broadcast(dims))
+        .select("vec_id", codes.alias("q"))
+        .select(
+            "vec_id",
+            F.aggregate(
+                "q", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min("q").alias("q_min"),
+            F.array_max("q").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def quantize_int8_oracle() -> str:
+    return """
+WITH dim AS (
+  SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+    SELECT unnest(list_transform(embedding, y -> CAST(y AS DOUBLE))) AS x,
+           unnest(generate_series(0, len(embedding) - 1)) AS d
+    FROM embeddings
+  ) GROUP BY d
+),
+scales AS (
+  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dim
+),
+q AS (
+  SELECT vec_id, list_transform(
+    generate_series(1, len(embedding)),
+    i -> CASE WHEN mxs[i] > mns[i] THEN
+      LEAST(255, GREATEST(0, CAST(floor(
+        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i])
+      ) AS INT))) ELSE 0 END) AS codes
+  FROM embeddings, scales
+)
+SELECT vec_id,
+  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+  CAST(list_min(codes) AS INT) AS q_min,
+  CAST(list_max(codes) AS INT) AS q_max
+FROM q ORDER BY vec_id
+"""

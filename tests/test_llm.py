@@ -419,3 +419,15 @@ class TestTrainingShuffle:
                 by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
             for pos in by_shard.values():
                 assert sorted(pos) == list(range(len(pos)))
+
+
+class TestQuantize:
+    def test_codes_bounded_and_deterministic(self, embeddings):
+        q = vectors.quantize_int8(embeddings)
+        rows = q.collect()
+        assert len(rows) == embeddings.count()
+        for r in rows:
+            assert 0 <= r["q_min"] <= r["q_max"] <= 255
+            # sum is consistent with 64 dims of [0,255] codes
+            assert 0 <= r["q_sum"] <= 255 * 64
+        assert rows == vectors.quantize_int8(embeddings.repartition(5)).collect()
