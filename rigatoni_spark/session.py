@@ -48,6 +48,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long sessions running many distinct queries accumulate
+        # broadcast/shuffle state that the ContextCleaner only releases
+        # on driver GC (default periodic trigger: 30 min) — tighten it
+        # so a query catalog sweep doesn't age the session into slow
+        # broadcast rebuilds
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        # the generated-class cache defaults to 100 entries; a ~90-query
+        # catalog sweep spans several hundred codegen'd stages, so the
+        # default thrashes and queries re-JIT on every revisit (observed
+        # as random 5-30x stage slowdowns in long sessions)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
