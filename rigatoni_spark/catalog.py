@@ -472,6 +472,14 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs)
+    return multimodal.resize_images(
+        assets, deterministic_fake=True
+    ).orderBy("asset_id")
+
+
 def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_assets(docs)
@@ -615,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_metadata": _q_mm_metadata,
     "mm_extract_features": _q_mm_features,
     "mm_frame_sample": _q_mm_frame_sample,
+    "mm_resize_images": _q_mm_resize,
     # --- LLM-pipeline: decontamination / repetition / curation mix ---
     "decon_contamination_hits": _doc(contamination.contamination_hits),
     "decon_clean_corpus": _doc(contamination.decontaminated_corpus),
@@ -862,6 +871,30 @@ FROM documents ORDER BY asset_id""",
 SELECT doc_id AS asset_id,
   CAST(1 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS BIGINT) AS n_frames
 FROM documents WHERE (doc_id % 3) = 2 ORDER BY asset_id""",
+    "mm_resize_images": """
+WITH dims AS (
+  SELECT doc_id AS asset_id,
+    CAST(16 * (1 + ('0x' || substr(md5(text), 1, 2))::INT % 64) AS INT)
+      AS width,
+    CAST(16 * (1 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS INT)
+      AS height,
+    CAST(len(text) AS BIGINT) AS n_bytes
+  FROM documents WHERE (doc_id % 3) = 0
+),
+scaled AS (
+  SELECT asset_id, width, height, n_bytes,
+    CASE WHEN GREATEST(width, height) > 256
+      THEN width * 256 // GREATEST(width, height) ELSE width END AS new_width,
+    CASE WHEN GREATEST(width, height) > 256
+      THEN height * 256 // GREATEST(width, height) ELSE height END AS new_height
+  FROM dims
+)
+SELECT asset_id, width, height,
+  CAST(new_width AS INT) AS new_width,
+  CAST(new_height AS INT) AS new_height,
+  CAST(n_bytes * (new_width * new_height) // (width * height) AS BIGINT)
+    AS resized_bytes
+FROM scaled ORDER BY asset_id""",
     "decon_contamination_hits": contamination.contamination_oracle(),
     "decon_clean_corpus": contamination.decontaminated_oracle(),
     "text_repetition_stats": contamination.REPETITION_ORACLE,

@@ -181,3 +181,61 @@ def frame_sample(
     return assets.filter(F.col("media_type") == "video").mapInPandas(
         run, schema=out_schema
     )
+
+
+def resize_images(
+    assets: DataFrame, max_side: int = 256, deterministic_fake: bool = False
+) -> DataFrame:
+    """Image resize to a bounding box (aspect-ratio preserving) — the
+    standard normalization step before feature extraction. Real codec
+    would decode, resample, and re-encode; the fake reproduces the
+    SIZE arithmetic exactly (source dims from the decode fake, target
+    dims by integer floor-scale, resized byte count proportional to
+    pixel count) so the distributed shape and the downstream schema are
+    exercised and oracle-checkable end to end.
+
+    Only images flow in (filter BEFORE the Python stage — Catalyst
+    prunes the other media types at the scan, so the Arrow channel
+    never carries audio/video bytes)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("new_width", T.IntegerType()),
+            T.StructField("new_height", T.IntegerType()),
+            T.StructField("resized_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise CodecNotAvailable(
+                    "no media codec in this environment; pass "
+                    "deterministic_fake=True to exercise the pipeline"
+                )
+            rows = {k.name: [] for k in out_schema.fields}
+            for aid, p, nb in zip(
+                pdf["asset_id"], pdf["payload"], pdf["n_bytes"]
+            ):
+                d = hashlib.md5(bytes(p)).digest()
+                w = 16 * (1 + d[0] % 64)
+                h = 16 * (1 + d[1] % 64)
+                longest = max(w, h)
+                if longest > max_side:
+                    nw = w * max_side // longest
+                    nh = h * max_side // longest
+                else:
+                    nw, nh = w, h
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["resized_bytes"].append(int(nb) * (nw * nh) // (w * h))
+            yield pd.DataFrame(rows)
+
+    return assets.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=out_schema
+    )

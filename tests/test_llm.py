@@ -431,3 +431,26 @@ class TestQuantize:
             # sum is consistent with 64 dims of [0,255] codes
             assert 0 <= r["q_sum"] <= 255 * 64
         assert rows == vectors.quantize_int8(embeddings.repartition(5)).collect()
+
+
+class TestResize:
+    def test_resize_bounds_and_aspect(self, documents):
+        assets = multimodal.synthesize_assets(documents)
+        rows = multimodal.resize_images(
+            assets, max_side=256, deterministic_fake=True
+        ).collect()
+        assert rows  # image subset is non-empty
+        for r in rows:
+            assert max(r["new_width"], r["new_height"]) <= 256
+            if max(r["width"], r["height"]) <= 256:
+                assert (r["new_width"], r["new_height"]) == (
+                    r["width"],
+                    r["height"],
+                )
+            assert r["resized_bytes"] <= r["width"] * r["height"] * 10
+
+    def test_only_images_reach_python(self, documents):
+        assets = multimodal.synthesize_assets(documents)
+        df = multimodal.resize_images(assets, deterministic_fake=True)
+        ids = {r["asset_id"] for r in df.collect()}
+        assert all(i % 3 == 0 for i in ids)
