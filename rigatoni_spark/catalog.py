@@ -606,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
     "dedup_chunk_stats": _doc(ldedup.chunk_dedup_stats),
     "text_training_shuffle": _doc(sampling.training_shuffle),
+    "sample_train_val_test": _doc(sampling.train_val_test_split),
     # threshold 0.3: the synthetic embeddings are near-random (max
     # same-bucket cosine ~0.44), so the production default 0.95 finds
     # nothing — check the pipeline on a non-empty result instead
@@ -840,6 +841,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),
     "text_training_shuffle": sampling.training_shuffle_oracle(),
+    "sample_train_val_test": sampling.train_val_test_oracle(),
     "dedup_embedding_cosine": vectors.embedding_neardup_oracle(threshold=0.3),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),

@@ -242,3 +242,55 @@ SELECT doc_id, shard,
     AS BIGINT) AS shuffle_pos
 FROM d ORDER BY shard, shuffle_pos
 """
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic 3-way corpus split with per-(split, lang)
+    composition counts — the hold-out carving step every training run
+    starts with. Membership is a pure function of (salt, doc_id): the
+    keyed digest lands in [0,1) and two thresholds cut train/val/test,
+    so the split is reproducible across engines, partitionings, and
+    reruns, and documents never migrate between splits when the corpus
+    grows (a row-number split would reshuffle everything on every
+    ingest).
+
+    Scale: split assignment is a scan-stage projection (no shuffle);
+    the composition count is one map-side-combined hash agg over
+    (split, lang) — cardinality 3 x |langs|.
+    """
+    d = _digest("doc_id", salt)
+    t_val = _threshold_hex(val_fraction)
+    t_test = _threshold_hex(val_fraction + test_fraction)
+    split = (
+        F.when(d < t_val, "val")
+        .when(d < t_test, "test")
+        .otherwise("train")
+    )
+    return (
+        documents.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def train_val_test_oracle(
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split0",
+) -> str:
+    t_val = _threshold_hex(val_fraction)
+    t_test = _threshold_hex(val_fraction + test_fraction)
+    return f"""
+SELECT CASE
+    WHEN md5('{salt}:' || CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val'
+    WHEN md5('{salt}:' || CAST(doc_id AS VARCHAR)) < '{t_test}' THEN 'test'
+    ELSE 'train' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM documents GROUP BY split, lang ORDER BY split, lang
+"""

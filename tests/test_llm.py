@@ -454,3 +454,19 @@ class TestResize:
         df = multimodal.resize_images(assets, deterministic_fake=True)
         ids = {r["asset_id"] for r in df.collect()}
         assert all(i % 3 == 0 for i in ids)
+
+
+class TestTrainValTest:
+    def test_splits_partition_the_corpus(self, documents):
+        from rigatoni_spark.llm import sampling
+
+        rows = sampling.train_val_test_split(documents).collect()
+        total = sum(r["n_docs"] for r in rows)
+        assert total == documents.count()
+        by_split: dict[str, int] = {}
+        for r in rows:
+            by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+        assert set(by_split) == {"train", "val", "test"}
+        # 10%/10% in expectation; loose bounds for a 500-doc corpus
+        assert by_split["train"] > by_split["val"]
+        assert by_split["train"] > by_split["test"]
