@@ -92,3 +92,29 @@ class TestPlanProperties:
         for name in QUERIES:
             plan = _plan(spark, name)
             assert "CartesianProduct" not in plan, name
+
+
+class TestNewOperatorPlans:
+    def test_q11_broadcasts_dims_and_scalar(self, spark):
+        plan = _plan(spark, "rel_q11_important_stock")
+        # supplier-keys, part, and the 1-row total all broadcast; the
+        # only shuffles are the two hash-agg exchanges
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row total join
+
+    def test_chunk_dedup_no_cartesian(self, spark):
+        plan = _plan(spark, "dedup_chunk_stats")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # first-occurrence join is an equi-join on the chunk hash
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        )
+
+    def test_train_val_test_is_scan_plus_one_agg(self, spark):
+        plan = _plan(spark, "sample_train_val_test")
+        # split projection fused into the scan stage; one partial+final
+        # agg pair; the orderBy adds its range exchange
+        assert plan.count("Exchange") <= 2
+        assert "Join" not in plan
