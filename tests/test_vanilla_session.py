@@ -56,6 +56,8 @@ class TestVanillaSession:
             "rel_q1_pricing_summary",  # relational path (lineitem)
             "f1_match_pushdown",  # change-events path (nanos ts)
             "b1_daily_active_users",  # timezone-sensitive day bucketing
+            "dedup_chunk_stats",  # documents path + probe collects
+            "sim_quantize_int8",  # embeddings path + broadcast scales
         ]:
             _unset_required(vanillaish)
             assert qs[name](vanillaish, SF_DIR).count() > 0, name
