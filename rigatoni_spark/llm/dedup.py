@@ -435,14 +435,16 @@ def duplicate_clusters(
     label of every node to its neighbors and takes the min (two hash
     joins + one aggregation per round, all keyed on doc_id); converges
     in O(diameter) <= O(log n) rounds for near-dup graphs (tiny
-    components), far under ``max_iterations``. The convergence probe is
-    one count per round — a driver-side scalar, not data. Labels are
-    min doc_ids, so the fixpoint is unique and engine-independent
-    (DuckDB oracle: WITH RECURSIVE reaching the same fixpoint).
+    components), far under ``max_iterations``. The convergence probe
+    rides the round's own materialization job as an ``Observation``
+    metric (sum of improved-label flags) — one Spark job per round, no
+    separate count. Labels are min doc_ids, so the fixpoint is unique
+    and engine-independent (DuckDB oracle: WITH RECURSIVE reaching the
+    same fixpoint).
 
     Scale: the iteration runs over EDGE NODES ONLY — docs in at least
     one near-dup pair, a set proportional to the duplicate mass, not
-    the corpus (3.3K nodes of 50K docs at sf0.1) — and every round's
+    the corpus (3.3K edge nodes of 5K docs at sf0.1) — and every round's
     result is lineage-truncated (``localCheckpoint``): without that,
     the logical plan doubles per round and Catalyst re-analysis turns
     round 5 from ~1s into ~60s (measured). On a multi-node cluster use
@@ -466,14 +468,28 @@ def duplicate_clusters(
         )
         .localCheckpoint()
     )
+    # Size-gate the iteration parallelism: the edge set is proportional
+    # to duplicate mass, usually ORDERS smaller than the corpus. Tiny
+    # graphs should not pay wide-cluster scheduling (32+ tasks x ~6 jobs
+    # per round of pure overhead); big graphs keep full parallelism.
+    # edges is already materialized, so count() is a metadata-cheap job.
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    parts = max(1, min(
+        spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
+    ))
+    edges = edges.repartition(parts, "dst").localCheckpoint()
     # iterate only over nodes that appear in some pair; isolated docs
     # are re-attached with label = own id after convergence
     labels = (
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
+        .repartition(parts, "doc_id")
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         # neighbor's current label, propagated to each node
         prop = (
@@ -487,20 +503,28 @@ def duplicate_clusters(
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
         # localCheckpoint (eager) materializes the round AND cuts the
-        # lineage, so the next round's plan is flat
-        new_labels = labels.join(prop, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("label"),
-        ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
+        # lineage, so the next round's plan is flat. The convergence
+        # probe rides the SAME job as an Observation (sum of
+        # did-this-node-improve flags) — one job per round, not two.
+        obs = Observation()
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
+            )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .select("doc_id", "label")
+            .localCheckpoint()
         )
         labels = new_labels
-        if changed == 0:
+        if not (obs.get["changed"] or 0):
             break
     return (
         documents.select("doc_id")
