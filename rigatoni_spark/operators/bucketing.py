@@ -1,0 +1,62 @@
+"""Bucketed-table co-location: the pre-shuffle that makes repeated
+fact-to-fact joins shuffle-free.
+
+The reference never joins, so this is pure beyond-reference Spark
+surface — but it is THE tool for the 100 TB join problem: a table
+bucketed (and optionally sorted) by its join key is physically
+hash-partitioned on disk, so every later equi-join or aggregation on
+that key reads co-located buckets and skips the Exchange entirely.
+One shuffle at write time is amortized over every downstream join.
+
+Rules that make it work (asserted in tests/test_bucketing.py):
+
+- both sides bucketed by the join key with the SAME bucket count
+  (mismatched counts re-shuffle the smaller side);
+- bucket pruning: an equality filter on the bucket column reads 1/N of
+  the files;
+- `sortBy` inside buckets upgrades the join to a zero-sort merge join.
+
+At 100 TB the bucket count is sized so one bucket of the larger table
+fits an executor core's working set (e.g. 4096 buckets for a 10 TB
+fact table ~ 2.5 GB/bucket); both fact tables use the same count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed by ``bucket_col``.
+
+    ``table`` may be qualified (``db.name``); create the database with
+    an explicit LOCATION first to control where files land.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession, left: str, right: str, key_left: str, key_right: str
+) -> DataFrame:
+    """Equi-join two co-bucketed tables on their bucket keys.
+
+    With matching bucket counts Catalyst plans this WITHOUT a shuffle
+    on either side (no Exchange above the scans) — the property the
+    plan test pins down.
+    """
+    lt = spark.table(left)
+    rt = spark.table(right)
+    return lt.join(rt, lt[key_left] == rt[key_right])
