@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rigatoni_spark import tables
-from rigatoni_spark.llm import contamination, corpus, sampling
+from rigatoni_spark.llm import contamination, corpus, mixing, sampling
 from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
@@ -630,6 +630,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decon_clean_corpus": _doc(contamination.decontaminated_corpus),
     "text_repetition_stats": _doc(contamination.repetition_stats),
     "xjoin_docs_embeddings_mix": _q_docs_embeddings_mix,
+    # --- LLM-pipeline: data-mix construction / incremental corpus ---
+    "mix_temperature_sample": _doc(mixing.temperature_mix),
+    "dedup_incremental_new": _doc(
+        lambda d: mixing.incremental_new_docs(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0),
+        )
+    ),
+    "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
     "events_value_histogram": _q_value_histogram,
     "text_pack_sequences": _doc(
         lambda d: sampling.pack_sequences(d, seq_len=512)
@@ -906,6 +915,9 @@ SELECT d.lang, e.label, COUNT(*) AS n_docs,
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 WHERE d.n_chars >= 200
 GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
+    "mix_temperature_sample": mixing.temperature_mix_oracle(),
+    "dedup_incremental_new": mixing.INCREMENTAL_ORACLE,
+    "text_quantile_length_gate": mixing.quantile_gate_oracle(),
     "events_value_histogram": advanced.value_histogram_oracle(10.0),
     "text_pack_sequences": sampling.pack_sequences_oracle(512),
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
