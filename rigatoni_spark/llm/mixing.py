@@ -117,7 +117,7 @@ def temperature_mix(
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        rates.join(kept, strata_col, "left")
+        rates.join(F.broadcast(kept), strata_col, "left")
         .select(
             strata_col,
             F.col("n").cast("bigint").alias("n_total"),
@@ -222,7 +222,7 @@ def quantile_length_gate(
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        med.join(kept, strata_col, "left")
+        med.join(F.broadcast(kept), strata_col, "left")
         .select(
             strata_col,
             F.col("n_total").cast("bigint").alias("n_total"),

@@ -118,3 +118,23 @@ class TestNewOperatorPlans:
         # agg pair; the orderBy adds its range exchange
         assert plan.count("Exchange") <= 2
         assert "Join" not in plan
+
+    def test_temperature_mix_broadcasts_rates(self, spark):
+        # the per-stratum rate table must come back to the corpus as a
+        # broadcast — a shuffled join here would shuffle the whole
+        # corpus by strata (skewed: one dominant language) at 100 TB
+        plan = _plan(spark, "mix_temperature_sample")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_incremental_dedup_is_equi_anti_join(self, spark):
+        plan = _plan(spark, "dedup_incremental_new")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_quantile_gate_broadcasts_thresholds(self, spark):
+        plan = _plan(spark, "text_quantile_length_gate")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
