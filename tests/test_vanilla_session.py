@@ -58,6 +58,7 @@ class TestVanillaSession:
             "b1_daily_active_users",  # timezone-sensitive day bucketing
             "dedup_chunk_stats",  # documents path + probe collects
             "sim_quantize_int8",  # embeddings path + broadcast scales
+            "mix_temperature_sample",  # data-mix path + hex thresholds
         ]:
             _unset_required(vanillaish)
             assert qs[name](vanillaish, SF_DIR).count() > 0, name
