@@ -639,6 +639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         )
     ),
     "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
+    "text_denylist_scrub": _doc(corpus.denylist_scrub),
     "events_value_histogram": _q_value_histogram,
     "text_pack_sequences": _doc(
         lambda d: sampling.pack_sequences(d, seq_len=512)
@@ -918,6 +919,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "mix_temperature_sample": mixing.temperature_mix_oracle(),
     "dedup_incremental_new": mixing.INCREMENTAL_ORACLE,
     "text_quantile_length_gate": mixing.quantile_gate_oracle(),
+    "text_denylist_scrub": corpus.denylist_scrub_oracle(),
     "events_value_histogram": advanced.value_histogram_oracle(10.0),
     "text_pack_sequences": sampling.pack_sequences_oracle(512),
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
