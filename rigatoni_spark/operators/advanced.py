@@ -25,7 +25,12 @@ def sessionize(
     the plan). Streaming equivalent: ``session_window(ts, gap)``.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # cast through timestamp first: a TIMESTAMP_NTZ input (plain
+    # parquet timestamps) cannot cast straight to long, while
+    # NTZ->timestamp resolves in the session tz (UTC) — no-op for the
+    # already-TIMESTAMP path
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     with_session = (
         events.withColumn(
             "new_session",
