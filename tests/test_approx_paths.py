@@ -1,0 +1,98 @@
+"""The documented 100 TB approx substitutions, tested against their
+exact twins.
+
+SCALE.md prescribes swapping exact operators for sketch-based ones
+past certain scales: ``countDistinct`` -> ``approx_count_distinct``
+(daily actives), ``percentile`` -> ``percentile_approx`` (quantile
+gates). Those swaps only hold if the approximation is actually close
+on realistic data — these tests pin the error bounds so the scale
+advice ships with evidence, not just a docstring claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    from rigatoni_spark.sources.change_events import read_change_events
+
+    ce = read_change_events(spark, SF_DIR)
+    uid = F.get_json_object(F.col("document_key"), "$._id").cast("bigint")
+    day = F.date_trunc("day", F.col("cluster_time")).cast("date")
+    per_day = (
+        ce.select(day.alias("day"), uid.alias("uid"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("uid").alias("exact"),
+            F.approx_count_distinct("uid", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert per_day
+    for r in per_day:
+        assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2.0), (
+            r.day, r.exact, r.approx
+        )
+
+
+def test_percentile_approx_matches_exact_median_closely(spark):
+    from rigatoni_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("exact"),
+            F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # percentile_approx returns an actual data value while the
+        # exact median interpolates between order statistics, so the
+        # difference includes the inter-order-statistic gap, not just
+        # sketch error — 5% covers both on per-language distributions
+        assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 1.0), (
+            r.lang, r.exact, r.approx
+        )
+
+
+def test_quantile_gate_approx_swap_keeps_same_rows(spark):
+    """The SCALE.md swap for quantile_length_gate: replacing the exact
+    per-stratum threshold with percentile_approx must admit (nearly)
+    the same document set. On this corpus the thresholds coincide, so
+    the gate output is identical — the strongest form of the claim."""
+    from rigatoni_spark.llm.mixing import quantile_length_gate
+    from rigatoni_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.lang, r.n_kept)
+        for r in quantile_length_gate(docs).collect()
+    }
+
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile_approx(n_chars, 0.5, 10000)").alias("med")
+    )
+    approx = {
+        (r.lang, r.n_kept)
+        for r in (
+            docs.join(F.broadcast(med), "lang")
+            .filter(F.col("n_chars") >= F.col("med"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .collect()
+        )
+    }
+    # allow the boundary rows to differ by the interpolation gap: the
+    # approx threshold is an actual data value, the exact one is
+    # interpolated — counts may differ by the ties at the boundary
+    for lang, n_exact in exact:
+        n_approx = dict(approx)[lang]
+        assert abs(n_approx - n_exact) <= max(0.05 * n_exact, 3.0), (
+            lang, n_exact, n_approx
+        )
