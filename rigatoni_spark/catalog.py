@@ -640,6 +640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
     "text_denylist_scrub": _doc(corpus.denylist_scrub),
+    "pipeline_corpus_report": _doc(corpus.corpus_pipeline_report),
     "events_value_histogram": _q_value_histogram,
     "text_pack_sequences": _doc(
         lambda d: sampling.pack_sequences(d, seq_len=512)
@@ -920,6 +921,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "dedup_incremental_new": mixing.INCREMENTAL_ORACLE,
     "text_quantile_length_gate": mixing.quantile_gate_oracle(),
     "text_denylist_scrub": corpus.denylist_scrub_oracle(),
+    "pipeline_corpus_report": corpus.corpus_pipeline_oracle(),
     "events_value_histogram": advanced.value_histogram_oracle(10.0),
     "text_pack_sequences": sampling.pack_sequences_oracle(512),
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,

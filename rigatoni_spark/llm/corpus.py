@@ -121,3 +121,125 @@ WITH s AS (
 SELECT doc_id, n_redacted, scrubbed_hash FROM s
 WHERE n_redacted > 0 ORDER BY doc_id
 """
+
+
+def corpus_pipeline_report(
+    documents: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_ttr: float = MIN_TTR,
+    n: int = 4,
+    benchmark_mod: int = 97,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split0",
+) -> DataFrame:
+    """End-to-end corpus preparation, composed and verified as ONE
+    query: quality gate -> exact-dedup canonicalization -> benchmark
+    decontamination -> deterministic train/val/test split -> per-
+    (split, lang) composition report. The pipeline a user actually
+    runs between raw crawl and training shards, demonstrating that the
+    stage operators compose without materialization barriers.
+
+    Plan shape at 100 TB: the gate and split are scan-stage
+    projections; canonicalization is one md5-keyed hash agg + semi
+    join; decontamination broadcasts the (small, fixed) benchmark gram
+    set and anti-joins the hit ids; the final report is one map-side-
+    combined agg over 3 x |langs| groups. The corpus is shuffled only
+    by the dedup hash agg — every other stage rides the scan or a
+    broadcast.
+    """
+    from rigatoni_spark.llm.contamination import contamination_hits
+    from rigatoni_spark.llm.sampling import _digest, _threshold_hex
+
+    toks = F.split(F.col("text"), " ")
+    scored = spread(documents).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("_ttr"),
+    )
+    passed = scored.filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("_ttr") >= min_ttr)
+    )
+    canon = passed.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    cleaned = passed.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+    hits = contamination_hits(documents, n, benchmark_mod).select("doc_id")
+    decon = cleaned.filter(
+        F.col("doc_id") % benchmark_mod != 0
+    ).join(hits, "doc_id", "left_anti")
+
+    d = _digest("doc_id", salt)
+    split = (
+        F.when(d < _threshold_hex(val_fraction), "val")
+        .when(d < _threshold_hex(val_fraction + test_fraction), "test")
+        .otherwise("train")
+    )
+    return (
+        decon.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_pipeline_oracle(
+    min_tokens: int = MIN_TOKENS,
+    min_ttr: float = MIN_TTR,
+    n: int = 4,
+    benchmark_mod: int = 97,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split0",
+) -> str:
+    from rigatoni_spark.llm.sampling import _threshold_hex
+
+    t_val = _threshold_hex(val_fraction)
+    t_test = _threshold_hex(val_fraction + test_fraction)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+), passed AS (
+  SELECT * FROM scored WHERE n_tokens >= {min_tokens} AND ttr >= {min_ttr}
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM passed GROUP BY md5(text)
+), cleaned AS (
+  SELECT p.* FROM passed p JOIN canon USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - {n} + 1, 0)),
+    i -> array_to_string(w[i:i+{n - 1}], ' ')))) AS gram
+  FROM toks
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {benchmark_mod} = 0
+), hits AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % {benchmark_mod} != 0
+), decon AS (
+  SELECT c.* FROM cleaned c
+  WHERE c.doc_id % {benchmark_mod} != 0
+    AND c.doc_id NOT IN (SELECT doc_id FROM hits)
+), labeled AS (
+  SELECT CASE
+      WHEN md5('{salt}:' || CAST(doc_id AS VARCHAR)) < '{t_val}' THEN 'val'
+      WHEN md5('{salt}:' || CAST(doc_id AS VARCHAR)) < '{t_test}' THEN 'test'
+      ELSE 'train' END AS split,
+    lang, n_tokens
+  FROM decon
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+"""
