@@ -119,7 +119,10 @@ def _q_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "document_key",
             "updated_fields",
-            "removed_fields",
+            # scalar-only rule: no array/struct column may reach a final
+            # query output — the driver's pandas canonicalizer
+            # sort_values over an object column dies on lists
+            F.to_json("removed_fields").alias("removed_fields_json"),
             F.to_json("truncated_arrays").alias("truncated_arrays_json"),
         )
         .orderBy("event_id")
@@ -223,7 +226,18 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            "streaming windowed-counts query did not drain in 300s"
+            + (f": {exc}" if exc else "")
+        )
+    if q.exception() is not None:
+        raise RuntimeError(
+            f"streaming windowed-counts query failed: {q.exception()}"
+        )
     return spark.table(name).orderBy("window_start", "collection")
 
 
@@ -669,7 +683,8 @@ SELECT event_id, operation, document_key, full_document,
        full_document_before_change
 FROM change_events ORDER BY event_id""",
     "f4_update_description": f"""{_CE_EXT_NOLOOKUP_CTE}
-SELECT event_id, document_key, updated_fields, removed_fields,
+SELECT event_id, document_key, updated_fields,
+       CAST(to_json(removed_fields) AS VARCHAR) AS removed_fields_json,
        truncated_arrays_json
 FROM change_events WHERE operation = 'update' ORDER BY event_id""",
     "f1_match_nested": f"""{_CE_CTE}

@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Pre-image modes (FullDocumentBeforeChangeType,
 # rigatoni-core/src/stream.rs:479-501; options mapping stream.rs:579-608)
@@ -467,22 +468,56 @@ def read_change_events_stream(
     restart/retry/resume (R2/R3) is Spark-managed via
     ``checkpointLocation``. ``max_files_per_trigger`` is the
     back-pressure knob (O4, channel_buffer_size analogue).
+
+    The ``ts`` physical type is probed from the static parquet footer
+    (a metadata-only batch schema read, no job): TIMESTAMP(NANOS) files
+    surface as LongType under nanosAsLong and need the ``div 1000``
+    conversion; TIMESTAMP(MICROS) files surface as TIMESTAMP_NTZ and
+    must pass through untouched. Hardcoding either assumption lands
+    event-times 1000x off when the data is the other kind.
     """
-    from rigatoni_spark.sources.events_schema import RAW_EVENTS_SCHEMA_NANOS
+    from rigatoni_spark.sources.events_schema import (
+        RAW_EVENTS_SCHEMA_NANOS,
+        raw_events_schema_for,
+    )
     from rigatoni_spark.tables import ensure_session_confs
 
+    from rigatoni_spark.tables import normalize_ts
+
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(RAW_EVENTS_SCHEMA_NANOS).format("parquet")
+    ts_type = _probe_ts_type(spark, events_dir, path_glob)
+    if isinstance(ts_type, T.LongType):
+        schema = RAW_EVENTS_SCHEMA_NANOS
+    else:
+        schema = raw_events_schema_for(ts_type)
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if path_glob is not None:
         # select specific files inside a mixed directory (the streaming
         # source requires a directory basePath)
         reader = reader.option("pathGlobFilter", path_glob)
-    raw = _pushdown_raw(
-        reader.load(events_dir).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        ),
-        pipeline,
-    )
+    # normalize_ts lands ts on TimestampType from either physical kind —
+    # required for withWatermark (rejects TIMESTAMP_NTZ) and keeps the
+    # streaming output schema identical across testdata regens
+    raw = _pushdown_raw(normalize_ts(reader.load(events_dir), "ts"), pipeline)
     return as_change_events(raw, update_lookup=update_lookup)
+
+
+def _probe_ts_type(
+    spark: SparkSession, events_dir: str, path_glob: str | None
+) -> T.DataType:
+    """Footer-probe the physical type of ``ts`` in the events directory.
+
+    A batch ``spark.read.parquet`` schema access reads only footers (no
+    Spark job). Falls back to TIMESTAMP_NTZ (the micros representation
+    pyarrow and the current testdata write) when the directory is empty
+    or unreadable at start — new files appended later must then match.
+    """
+    reader = spark.read.format("parquet")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    try:
+        return reader.load(events_dir).schema["ts"].dataType
+    except Exception:  # noqa: BLE001 - empty dir at stream start
+        return T.TimestampNTZType()

@@ -65,13 +65,33 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+def normalize_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Type-guarded conversion of a physical ts column to TimestampType.
+
+    The driver has shipped the same logical column as TIMESTAMP(NANOS)
+    (surfaces as LongType under nanosAsLong — convert with integer
+    division, matching DuckDB's truncation to microseconds) and as
+    TIMESTAMP(MICROS) isAdjustedToUTC=false (surfaces as TIMESTAMP_NTZ
+    — cast; value-preserving because the session timeZone is pinned
+    UTC). Both land on TimestampType so downstream schemas — including
+    withWatermark, which rejects TIMESTAMP_NTZ — are stable across
+    testdata regens. NEVER inline either conversion at a call site.
+    """
+    for c in cols:
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return normalize_ts(df, *_NANOS_TS_COLUMNS.get(name, []))
 
 
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -15,6 +15,7 @@ from rigatoni_spark.sources.change_events import (
     read_change_events,
     read_change_events_stream,
 )
+from rigatoni_spark.tables import normalize_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_EVENTS = os.path.join(SF_DIR, "events.parquet")
@@ -101,7 +102,11 @@ class TestStreamingMaterialize:
                 r["full_document"],
                 r["version"],
             )
-            for r in materialize(as_change_events(spark.read.parquet(str(src)).withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))).collect()
+            for r in materialize(
+                as_change_events(
+                    normalize_ts(spark.read.parquet(str(src)), "ts")
+                )
+            ).collect()
         }
         assert upserts == expected
 
@@ -136,11 +141,7 @@ class TestMaterializedView:
         view2.stop()
 
         expected = materialize(
-            as_change_events(
-                spark.read.parquet(str(src)).withColumn(
-                    "ts", F.expr("timestamp_micros(ts div 1000)")
-                )
-            )
+            as_change_events(normalize_ts(spark.read.parquet(str(src)), "ts"))
         )
         got = view2.snapshot()
         assert sorted(map(tuple, got.collect())) == sorted(

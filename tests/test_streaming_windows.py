@@ -171,11 +171,9 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
 
     # batch equivalent over the same files
-    batch_ce = as_change_events(
-        spark.read.parquet(str(src)).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    )
+    from rigatoni_spark.tables import normalize_ts
+
+    batch_ce = as_change_events(normalize_ts(spark.read.parquet(str(src)), "ts"))
     b_ins, b_dels = sides(batch_ce)
     want = [
         (r["key"], r["t_ins"], r["t_del"])

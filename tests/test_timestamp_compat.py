@@ -1,12 +1,13 @@
 """Timestamp-encoding compatibility and incremental-dedup convergence.
 
-The testdata stores event timestamps as TIMESTAMP(NANOS); any real
-deployment will also feed plain micros parquet (Spark reads it as
-TIMESTAMP_NTZ). The engine's contract is that results are identical
-for either physical encoding of the same instants — load_table
-normalizes the nanos path, and operators must not assume a
-timezone-carrying TimestampType (the empty-input sweep caught
-sessionize doing exactly that).
+The driver's testdata has shipped event timestamps as TIMESTAMP(NANOS)
+(rounds 1-2 pre-regen; Spark surfaces LongType under nanosAsLong) AND
+as TIMESTAMP(MICROS) (current; surfaces TIMESTAMP_NTZ). The engine's
+contract is that BATCH AND STREAMING results are identical for either
+physical encoding of the same instants — ``tables.normalize_ts`` is
+the single conversion point and ``read_change_events_stream`` probes
+the footer to pick its schema. This module is the canary that fires if
+the driver regenerates the testdata in either direction again.
 
 Also pins the incremental-dedup convergence law: admitting a corpus in
 successive batches through ``incremental_new_docs`` yields exactly the
@@ -53,17 +54,77 @@ def ntz_dir(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def nanos_dir(tmp_path_factory):
+    """The same data re-encoded as TIMESTAMP(NANOS) parquet (the rounds
+    1-2 physical layout; Spark surfaces LongType under nanosAsLong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("sf_nanos"))
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        cols = [
+            tab.column(n).cast(pa.timestamp("ns"))
+            if pa.types.is_timestamp(tab.schema.field(n).type)
+            else tab.column(n)
+            for n in tab.schema.names
+        ]
+        pq.write_table(
+            pa.table(dict(zip(tab.schema.names, cols))),
+            os.path.join(d, f"{t}.parquet"),
+            version="2.6",
+        )
+    return d
+
+
 def _canon(df):
     cols = sorted(df.columns)
     return sorted(tuple(str(row[c]) for c in cols) for row in df.collect())
 
 
+@pytest.mark.parametrize("encoding", ["ntz", "nanos"])
 @pytest.mark.parametrize("name", _TS_QUERIES)
-def test_nanos_and_micros_encodings_agree(spark, ntz_dir, name):
+def test_physical_encodings_agree(spark, ntz_dir, nanos_dir, name, encoding):
     import __spark_entry__
 
+    other = ntz_dir if encoding == "ntz" else nanos_dir
     q = __spark_entry__.queries()[name]
-    assert _canon(q(spark, SF_DIR)) == _canon(q(spark, ntz_dir)), name
+    assert _canon(q(spark, SF_DIR)) == _canon(q(spark, other)), name
+
+
+@pytest.mark.parametrize("encoding", ["ntz", "nanos"])
+def test_streaming_source_handles_both_encodings(
+    spark, ntz_dir, nanos_dir, encoding
+):
+    """read_change_events_stream footer-probes the ts physical type; the
+    streamed windowed counts must equal the batch result whichever way
+    the files were written (the round-2 regen bug: hardcoded nanos
+    conversion put every micros event in January 1970)."""
+    from rigatoni_spark.operators.batching import windowed_counts
+    from rigatoni_spark.sources.change_events import (
+        read_change_events,
+        read_change_events_stream,
+    )
+
+    src = ntz_dir if encoding == "ntz" else nanos_dir
+    sdf = read_change_events_stream(spark, src, path_glob="events.parquet")
+    assert dict(sdf.dtypes)["cluster_time"] == "timestamp", encoding
+    name = f"ts_canary_{encoding}"
+    q = (
+        windowed_counts(sdf, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    got = _canon(spark.table(name))
+    want = _canon(windowed_counts(read_change_events(spark, SF_DIR), "1 hour"))
+    assert got == want
+    # sanity: event-times are in the data's real year, not 1970
+    assert all("1970" not in str(r) for r in got[:3])
 
 
 def test_incremental_dedup_converges_to_exact_dedup(spark):
