@@ -424,6 +424,7 @@ def duplicate_clusters(
     threshold: float = 0.8,
     block_col: str = "source",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
     document labeled with the min doc_id of its duplicate cluster — the
@@ -445,28 +446,42 @@ def duplicate_clusters(
     Scale: the iteration runs over EDGE NODES ONLY — docs in at least
     one near-dup pair, a set proportional to the duplicate mass, not
     the corpus (3.3K edge nodes of 5K docs at sf0.1) — and every round's
-    result is lineage-truncated (``localCheckpoint``): without that,
-    the logical plan doubles per round and Catalyst re-analysis turns
-    round 5 from ~1s into ~60s (measured). On a multi-node cluster use
-    ``setCheckpointDir`` + ``checkpoint()`` instead — localCheckpoint
-    stores shuffle files on executors and does not survive executor
-    loss. Each round's shuffle carries |edges| rows keyed by doc_id.
-    For 100 TB corpora the standard alternating large-star/small-star
-    optimization halves rounds; the simple propagation here is the
-    readable baseline and the per-round plan shape is identical.
+    result is lineage-truncated: without that, the logical plan doubles
+    per round and Catalyst re-analysis turns round 5 from ~1s into ~60s
+    (measured). ``checkpoint_dir=None`` truncates via ``localCheckpoint``
+    (fastest; shuffle files live on executors, so an executor loss kills
+    the job — fine single-node and for short jobs). On a multi-node
+    cluster pass a reliable ``checkpoint_dir`` (HDFS/S3): the rounds
+    then go through ``setCheckpointDir`` + ``checkpoint()`` and survive
+    executor loss. Each round's shuffle carries |edges| rows keyed by
+    doc_id. For 100 TB corpora the standard alternating
+    large-star/small-star optimization halves rounds; the simple
+    propagation here is the readable baseline and the per-round plan
+    shape is identical.
     """
+    spark = documents.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     pairs = ngram_jaccard_pairs(documents, threshold, block_col).select(
         "doc_a", "doc_b"
     )
     # undirected edge list, both directions
-    edges = (
+    edges = _truncate(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .localCheckpoint()
     )
     # Size-gate the iteration parallelism: the edge set is proportional
     # to duplicate mass, usually ORDERS smaller than the corpus. Tiny
@@ -474,19 +489,17 @@ def duplicate_clusters(
     # per round of pure overhead); big graphs keep full parallelism.
     # edges is already materialized, so count() is a metadata-cheap job.
     n_edges = edges.count()
-    spark = edges.sparkSession
     parts = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
     ))
-    edges = edges.repartition(parts, "dst").localCheckpoint()
+    edges = _truncate(edges.repartition(parts, "dst"))
     # iterate only over nodes that appear in some pair; isolated docs
     # are re-attached with label = own id after convergence
-    labels = (
+    labels = _truncate(
         edges.select("src")
         .distinct()
         .select(F.col("src").alias("doc_id"), F.col("src").alias("label"))
         .repartition(parts, "doc_id")
-        .localCheckpoint()
     )
     from pyspark.sql import Observation
 
@@ -502,12 +515,12 @@ def duplicate_clusters(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        # localCheckpoint (eager) materializes the round AND cuts the
+        # eager truncation materializes the round AND cuts the
         # lineage, so the next round's plan is flat. The convergence
         # probe rides the SAME job as an Observation (sum of
         # did-this-node-improve flags) — one job per round, not two.
         obs = Observation()
-        new_labels = (
+        new_labels = _truncate(
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
@@ -521,7 +534,6 @@ def duplicate_clusters(
             )
             .observe(obs, F.sum("_chg").alias("changed"))
             .select("doc_id", "label")
-            .localCheckpoint()
         )
         labels = new_labels
         if not (obs.get["changed"] or 0):

@@ -63,44 +63,82 @@ class FormatNotAvailable(RuntimeError):
     rigatoni-destinations/src/lib.rs:28-37)."""
 
 
-def _staged_writer(df: DataFrame, cfg: S3SinkConfig, staging: str, part_cols: list[str]):
+def _staged_writer(
+    df: DataFrame, cfg: S3SinkConfig, staging: str, part_cols: list[str]
+) -> str | None:
+    """Write the staged partitioned output; returns ``"avro_fallback"``
+    when the staged files still need a driver-side Avro conversion
+    during the rename pass, else None."""
     fmt = cfg.format
     writer = df.write.mode("overwrite").partitionBy(*part_cols)
     if fmt is SerializationFormat.JSON:
-        return writer.option("compression", _TEXT_CODECS[cfg.compression] or "none").json(
+        writer.option("compression", _TEXT_CODECS[cfg.compression] or "none").json(
             staging
         )
+        return None
     if fmt is SerializationFormat.CSV:
-        return (
+        (
             writer.option("header", "true")
             .option("compression", _TEXT_CODECS[cfg.compression] or "none")
             .csv(staging)
         )
+        return None
     if fmt is SerializationFormat.PARQUET:
-        return writer.option(
+        writer.option(
             "compression", _PARQUET_CODECS[cfg.compression]
         ).parquet(staging)
+        return None
     if fmt is SerializationFormat.AVRO:
-        # Feature-gated like the reference's `avro` cargo feature
+        # Two-tier like the reference's `avro` cargo feature
         # (rigatoni-destinations/src/lib.rs:28-37, serializer at
-        # s3/destination.rs:401-471): spark-avro is an external module.
-        # Enable with
-        #   spark-submit --packages org.apache.spark:spark-avro_2.13:<spark version>
-        # or spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark version>;
-        # the writer below then works unchanged
-        # (tests/test_writers.py::test_avro_gate covers both worlds).
+        # s3/destination.rs:401-471). Preferred tier: the spark-avro
+        # external module (enable with spark.jars.packages=
+        # org.apache.spark:spark-avro_2.13:<spark version>) —
+        # executor-parallel JVM serialization, the 100 TB route.
+        # Fallback tier: stage as parquet, then convert each staged
+        # part-file with the pure-Python spec implementation
+        # (sinks/avro_codec.py) during the rename pass — driver-side,
+        # bounded by micro-batch size; real Avro output either way.
         try:
-            return writer.format("avro").save(staging)
+            writer.format("avro").save(staging)
+            return None
         except Exception as e:  # noqa: BLE001
-            if "avro" in str(e).lower() or "Failed to find" in str(e):
+            if not ("avro" in str(e).lower() or "Failed to find" in str(e)):
+                raise
+            if cfg.compression is CompressionCodec.ZSTD:
                 raise FormatNotAvailable(
-                    "spark-avro not on the classpath; add "
+                    "AVRO+ZSTD needs the spark-avro jar (the pure-Python "
+                    "fallback has no zstd; use GZIP/NONE, or add "
                     "org.apache.spark:spark-avro_2.13:<spark version> "
-                    "via spark.jars.packages to use AVRO "
-                    "(JSON/CSV/PARQUET are always available)"
+                    "via spark.jars.packages)"
                 ) from e
-            raise
+            df.write.mode("overwrite").partitionBy(*part_cols).option(
+                "compression", "snappy"
+            ).parquet(staging)
+            return "avro_fallback"
     raise ValueError(f"unknown format {fmt}")
+
+
+def _convert_part_to_avro(src_file: str, dest: str, compression) -> None:
+    """Fallback-tier Avro materialization: staged parquet part-file ->
+    Avro container file (optionally gzip-wrapped, mtime pinned so
+    replayed batches produce byte-identical objects)."""
+    import gzip as _gzip
+
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.sinks.avro_codec import write_avro
+
+    table = pq.read_table(src_file)
+    if compression is CompressionCodec.GZIP:
+        tmp = dest + ".plain"
+        write_avro(table, tmp)
+        with open(tmp, "rb") as fi, open(dest, "wb") as fo:
+            with _gzip.GzipFile(fileobj=fo, mode="wb", mtime=0) as gz:
+                shutil.copyfileobj(fi, gz)
+        os.remove(tmp)
+    else:
+        write_avro(table, dest)
 
 
 # Bound the output file count by batch size (the classic small-file
@@ -205,7 +243,7 @@ def _write_persisted(
         want = max(1, -(-n_events // _TARGET_ROWS_PER_FILE))
         if want < to_write.rdd.getNumPartitions():
             to_write = to_write.coalesce(want)
-    _staged_writer(to_write, cfg, staging, part_cols)
+    staged_mode = _staged_writer(to_write, cfg, staging, part_cols)
 
     # move staged part-files onto the key layout
     keys: list[str] = []
@@ -248,7 +286,10 @@ def _write_persisted(
             )
             dest = os.path.join(out_root, key)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(f, dest)
+            if staged_mode == "avro_fallback":
+                _convert_part_to_avro(f, dest, cfg.compression)
+            else:
+                shutil.move(f, dest)
             keys.append(key)
     shutil.rmtree(staging, ignore_errors=True)
     return keys

@@ -196,13 +196,27 @@ def as_change_events(
     if needs_prev:
         if df.isStreaming:
             raise ValueError(
-                "pre-images / update descriptions require the batch source "
-                "(the reference obtains pre-images server-side; an unbounded "
-                "LAG is inexpressible in Structured Streaming)"
+                "pre-images / update descriptions on a stream need per-key "
+                "state: use as_change_events_stateful (an unbounded LAG is "
+                "inexpressible in Structured Streaming)"
             )
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         df = df.withColumn("_prev_props", F.lag("props").over(w))
+    return _envelope_select(
+        df, update_lookup, before_images, update_description
+    )
 
+
+def _envelope_select(
+    df: DataFrame,
+    update_lookup: bool,
+    before_images: str,
+    update_description: bool,
+) -> DataFrame:
+    """Project an events-shaped frame (carrying ``_prev_props`` when the
+    extensions need it) into the ChangeEvent envelope. Shared by the
+    batch LAG path and the streaming stateful path so both produce
+    byte-identical envelopes."""
     operation = _operation_col()
     is_mod = F.col("event_type").isin("signup", "purchase", "view") | (
         F.lit(update_lookup) & (F.col("event_type") == "click")
@@ -262,6 +276,82 @@ def as_change_events(
             ).alias("truncated_arrays")
         )
     return df.select(*cols)
+
+
+def as_change_events_stateful(
+    df: DataFrame,
+    update_lookup: bool = True,
+    before_images: str = PRE_IMAGE_WHEN_AVAILABLE,
+    update_description: bool = False,
+) -> DataFrame:
+    """Streaming S5/F4 parity: pre-images and update descriptions on a
+    LIVE stream via per-key prior-payload state.
+
+    The reference delivers both server-side on live change streams
+    (rigatoni-core/src/stream.rs:479-501); the batch path emulates them
+    with an unbounded LAG, which Structured Streaming cannot express.
+    Here ``applyInPandasWithState`` (the same machinery as
+    operators/materialize.materialize_stream) keeps ONE string per
+    document key — the last payload seen — and stamps each incoming
+    event with it before the shared envelope projection, so the stream
+    converges to the batch envelope exactly (events arrive per-key
+    ordered; within a micro-batch they are sorted by (ts, event_id)).
+
+    Scale: state is |live keys| x ~payload bytes, independent of log
+    length; RocksDB state store spills it off-heap on a cluster. The
+    shuffle is one hash exchange on user_id per micro-batch.
+
+    Batch input delegates to :func:`as_change_events` (same semantics,
+    LAG path) so callers can be agnostic.
+    """
+    if not df.isStreaming:
+        return as_change_events(
+            df,
+            update_lookup=update_lookup,
+            before_images=before_images,
+            update_description=update_description,
+        )
+
+    from collections.abc import Iterator
+    from typing import Any
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_prev_props", T.StringType(), True)]
+    )
+    state_schema = T.StructType([T.StructField("last_props", T.StringType())])
+    raw_cols = df.columns
+
+    def attach_prev(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            prevs = []
+            for p in pdf["props"]:
+                prevs.append(last)
+                last = p
+            pdf = pdf[raw_cols].copy()
+            pdf["_prev_props"] = pd.Series(prevs, dtype=object)
+            yield pdf
+        state.update((last,))
+
+    with_prev = df.groupBy("user_id").applyInPandasWithState(
+        attach_prev,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _envelope_select(
+        with_prev, update_lookup, before_images, update_description
+    )
 
 
 def change_events_oracle_cte(update_lookup: bool = True) -> str:
@@ -459,6 +549,8 @@ def read_change_events_stream(
     update_lookup: bool = True,
     pipeline: list[dict] | None = None,
     path_glob: str | None = None,
+    before_images: str = PRE_IMAGE_OFF,
+    update_description: bool = False,
 ) -> DataFrame:
     """Streaming change-event source over a growing parquet directory.
 
@@ -468,6 +560,14 @@ def read_change_events_stream(
     restart/retry/resume (R2/R3) is Spark-managed via
     ``checkpointLocation``. ``max_files_per_trigger`` is the
     back-pressure knob (O4, channel_buffer_size analogue).
+
+    ``before_images`` / ``update_description`` give the live stream the
+    same S5/F4 surface as the batch reader, via the stateful per-key
+    prior-payload path (:func:`as_change_events_stateful` — the
+    reference gets both server-side, stream.rs:479-501). As in batch,
+    requesting them disables the raw-scan pushdown (the prior payload
+    must see the unfiltered per-key history); the exact pipeline
+    predicate still applies to the envelope.
 
     The ``ts`` physical type is probed from the static parquet footer
     (a metadata-only batch schema read, no job): TIMESTAMP(NANOS) files
@@ -480,9 +580,7 @@ def read_change_events_stream(
         RAW_EVENTS_SCHEMA_NANOS,
         raw_events_schema_for,
     )
-    from rigatoni_spark.tables import ensure_session_confs
-
-    from rigatoni_spark.tables import normalize_ts
+    from rigatoni_spark.tables import ensure_session_confs, normalize_ts
 
     ensure_session_confs(spark)
     ts_type = _probe_ts_type(spark, events_dir, path_glob)
@@ -500,7 +598,19 @@ def read_change_events_stream(
     # normalize_ts lands ts on TimestampType from either physical kind —
     # required for withWatermark (rejects TIMESTAMP_NTZ) and keeps the
     # streaming output schema identical across testdata regens
-    raw = _pushdown_raw(normalize_ts(reader.load(events_dir), "ts"), pipeline)
+    raw = normalize_ts(reader.load(events_dir), "ts")
+    needs_prev = update_description or before_images != PRE_IMAGE_OFF
+    if needs_prev:
+        from rigatoni_spark.operators.filters import match_pipeline
+
+        ce = as_change_events_stateful(
+            raw,
+            update_lookup=update_lookup,
+            before_images=before_images,
+            update_description=update_description,
+        )
+        return match_pipeline(ce, pipeline) if pipeline else ce
+    raw = _pushdown_raw(raw, pipeline)
     return as_change_events(raw, update_lookup=update_lookup)
 
 

@@ -94,6 +94,30 @@ class TestDedup:
         assert labels[1] == labels[2] == labels[3] == 1  # one cluster
         assert labels[9] == 9  # isolated doc keeps its own label
 
+    def test_duplicate_clusters_reliable_checkpoint_path(self, spark, tmp_path):
+        """checkpoint_dir switches lineage truncation from localCheckpoint
+        (executor shuffle files; dies with an executor) to reliable
+        checkpoint() files under the given dir — same fixpoint either way,
+        and the dir must actually receive RDD checkpoint data."""
+        import os
+
+        from rigatoni_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        ckpt = str(tmp_path / "cc_ckpt")
+        default = {
+            (r["doc_id"], r["label"])
+            for r in dedup.duplicate_clusters(docs).collect()
+        }
+        reliable = {
+            (r["doc_id"], r["label"])
+            for r in dedup.duplicate_clusters(
+                docs, checkpoint_dir=ckpt
+            ).collect()
+        }
+        assert default == reliable
+        assert any(os.scandir(ckpt)), "no checkpoint data written"
+
     def test_minhash_identical_docs_always_candidates(self, spark):
         # identical text -> identical signature -> all bands collide
         df = spark.createDataFrame(

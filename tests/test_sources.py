@@ -112,7 +112,9 @@ class TestPreImagesAndUpdateDescription:
         )
         import pytest
 
-        with pytest.raises(ValueError, match="batch source"):
+        # the plain envelope mapper can't do streaming pre-images; the
+        # error must point at the stateful variant that can
+        with pytest.raises(ValueError, match="as_change_events_stateful"):
             sdf = read_change_events_stream(spark, str(tmp_path))
             as_change_events(sdf, before_images="whenAvailable")
 
