@@ -241,6 +241,101 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start", "collection")
 
 
+def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through the REAL streaming engine: per-key pre-images from the
+    stateful prior-payload operator (applyInPandasWithState), drained
+    over the bounded feed with availableNow. Append-mode rows over a
+    drained source equal the batch LAG envelope regardless of
+    micro-batch boundaries — so the STREAMING stateful path is
+    hash-verified against the same SQL oracle as its batch twin
+    (s5_pre_images)."""
+    import tempfile
+    import uuid
+
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    name = f"stream_pi_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_pi_ckpt_")
+    sdf = read_change_events_stream(
+        spark, sf_dir, path_glob="events.parquet",
+        before_images="whenAvailable",
+    )
+    q = (
+        sdf.select(
+            "event_id",
+            "operation",
+            "document_key",
+            "full_document",
+            "full_document_before_change",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            "streaming pre-images query did not drain in 300s"
+            + (f": {exc}" if exc else "")
+        )
+    if q.exception() is not None:
+        raise RuntimeError(
+            f"streaming pre-images query failed: {q.exception()}"
+        )
+    return spark.table(name).orderBy("event_id")
+
+
+def _q_stream_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 through the REAL streaming engine: update descriptions from
+    the stateful prior-payload operator — hash-verified against the
+    same SQL oracle as the batch twin (f4_update_description)."""
+    import tempfile
+    import uuid
+
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    name = f"stream_ud_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ud_ckpt_")
+    sdf = read_change_events_stream(
+        spark, sf_dir, path_glob="events.parquet",
+        update_lookup=False, update_description=True,
+    )
+    q = (
+        sdf.filter(F.col("operation") == "update")
+        .select(
+            "event_id",
+            "document_key",
+            "updated_fields",
+            F.to_json("removed_fields").alias("removed_fields_json"),
+            F.to_json("truncated_arrays").alias("truncated_arrays_json"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            "streaming update-description query did not drain in 300s"
+            + (f": {exc}" if exc else "")
+        )
+    if q.exception() is not None:
+        raise RuntimeError(
+            f"streaming update-description query failed: {q.exception()}"
+        )
+    return spark.table(name).orderBy("event_id")
+
+
 def _q_watch_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S4 COLLECTION watch level = per-collection selection
     ce = read_change_events(spark, sf_dir)
@@ -547,6 +642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b1_daily_active_users": _q_daily_active,
     "b1_windowed_counts": _q_windowed_counts,
     "s1_stream_windowed_counts": _q_stream_windowed_counts,
+    "s5_stream_pre_images": _q_stream_pre_images,
+    "f4_stream_update_description": _q_stream_update_description,
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
@@ -682,7 +779,18 @@ FROM change_events WHERE {_MATCH_WHERE}""",
 SELECT event_id, operation, document_key, full_document,
        full_document_before_change
 FROM change_events ORDER BY event_id""",
+    # the streaming stateful path converges to the identical envelope
+    "s5_stream_pre_images": f"""{_CE_EXT_CTE}
+SELECT event_id, operation, document_key, full_document,
+       full_document_before_change
+FROM change_events ORDER BY event_id""",
     "f4_update_description": f"""{_CE_EXT_NOLOOKUP_CTE}
+SELECT event_id, document_key, updated_fields,
+       CAST(to_json(removed_fields) AS VARCHAR) AS removed_fields_json,
+       truncated_arrays_json
+FROM change_events WHERE operation = 'update' ORDER BY event_id""",
+    # the streaming stateful path converges to the identical envelope
+    "f4_stream_update_description": f"""{_CE_EXT_NOLOOKUP_CTE}
 SELECT event_id, document_key, updated_fields,
        CAST(to_json(removed_fields) AS VARCHAR) AS removed_fields_json,
        truncated_arrays_json

@@ -89,3 +89,28 @@ def read_kafka_change_events(
             "on the classpath and a reachable broker"
         ) from e
     return raw.select(parse_debezium_value(F.col("value").cast("string")))
+
+
+def read_debezium_file_stream(
+    spark: SparkSession,
+    lines_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Broker-less twin of :func:`read_kafka_change_events`: Debezium
+    envelopes as JSONL files instead of Kafka records.
+
+    The per-record shape is identical to what the Kafka reader sees
+    (one JSON ``value`` string per message), and the parse is the SAME
+    column expressions — so the full path envelope -> operators -> sink
+    runs end-to-end through the real streaming engine in environments
+    without a broker, and swapping this reader for ``format("kafka")``
+    changes nothing downstream. Useful in production too: Debezium's
+    S3/file sink archive replays through this reader for backfills.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    raw = reader.text(lines_dir)
+    return raw.select(parse_debezium_value(F.col("value")))
