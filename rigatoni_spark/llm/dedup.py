@@ -471,24 +471,27 @@ def duplicate_clusters(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    pairs = ngram_jaccard_pairs(documents, threshold, block_col).select(
-        "doc_a", "doc_b"
-    )
-    # undirected edge list, both directions
-    edges = _truncate(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+    # truncate the PAIR pipeline first: the undirected union below reads
+    # it once per direction, which would execute the expensive
+    # shingle/LSH plan twice without this (measured 2x at sf0.1)
+    pairs = _truncate(
+        ngram_jaccard_pairs(documents, threshold, block_col).select(
+            "doc_a", "doc_b"
         )
+    )
+    # undirected edge list, both directions (cheap relabel over the
+    # materialized pairs)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     # Size-gate the iteration parallelism: the edge set is proportional
     # to duplicate mass, usually ORDERS smaller than the corpus. Tiny
     # graphs should not pay wide-cluster scheduling (32+ tasks x ~6 jobs
     # per round of pure overhead); big graphs keep full parallelism.
-    # edges is already materialized, so count() is a metadata-cheap job.
-    n_edges = edges.count()
+    # pairs is already materialized, so count() is a metadata-cheap job.
+    n_edges = 2 * pairs.count()
     parts = max(1, min(
         spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1
     ))

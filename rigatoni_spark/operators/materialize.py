@@ -129,14 +129,17 @@ def materialize_stream(ce: DataFrame) -> DataFrame:
             version, operation, full_document = -1, None, None
         changed = False
         for pdf in pdfs:
-            pdf = pdf.sort_values("__version")
-            for _, row in pdf.iterrows():
-                v = int(row["__version"])
-                if v > version:  # idempotent replay: old versions no-op
-                    version = v
-                    operation = row["operation"]
-                    full_document = row["full_document"]
-                    changed = True
+            if not len(pdf):
+                continue
+            # vectorized winner pick: only the batch's max version can
+            # beat the state (idempotent replay: old versions no-op)
+            i = pdf["__version"].idxmax()
+            v = int(pdf["__version"][i])
+            if v > version:
+                version = v
+                operation = pdf["operation"][i]
+                full_document = pdf["full_document"][i]
+                changed = True
         if changed:
             state.update((version, operation, full_document))
             yield pd.DataFrame(

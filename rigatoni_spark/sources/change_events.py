@@ -333,12 +333,13 @@ def as_change_events_stateful(
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            prevs = []
-            for p in pdf["props"]:
-                prevs.append(last)
-                last = p
+            # vectorized per-key LAG: shift by one, seam filled from state
+            prevs = pdf["props"].astype(object).shift(1)
+            if len(prevs):
+                prevs.iloc[0] = last
+                last = pdf["props"].iloc[-1]
             pdf = pdf[raw_cols].copy()
-            pdf["_prev_props"] = pd.Series(prevs, dtype=object)
+            pdf["_prev_props"] = prevs
             yield pdf
         state.update((last,))
 
