@@ -26,7 +26,7 @@ high-cardinality keys with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rigatoni_spark.operators.relational import _dec

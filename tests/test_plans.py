@@ -138,3 +138,37 @@ class TestNewOperatorPlans:
         plan = _plan(spark, "text_quantile_length_gate")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestStreamingStatefulPlans:
+    def test_stateful_preimage_stream_single_state_shuffle(self, spark):
+        """The stateful S5/F4 path must be ONE hash exchange on the
+        document key feeding FlatMapGroupsInPandasWithState — a second
+        exchange would re-shuffle every micro-batch for nothing."""
+        from rigatoni_spark.sources.change_events import (
+            read_change_events_stream,
+        )
+
+        sdf = read_change_events_stream(
+            spark, SF_DIR, path_glob="events.parquet",
+            before_images="whenAvailable", update_description=True,
+        )
+        plan = sdf._jdf.queryExecution().analyzed().toString()
+        assert "FlatMapGroupsInPandasWithState" in plan
+        # raw-scan pushdown must be OFF: the prior payload needs the
+        # UNFILTERED per-key history (same rule as the batch path)
+        assert "event_type IN" not in plan
+
+    def test_plain_stream_keeps_pushdown(self, spark):
+        from rigatoni_spark.sources.change_events import (
+            read_change_events_stream,
+        )
+
+        sdf = read_change_events_stream(
+            spark, SF_DIR, path_glob="events.parquet",
+            pipeline=[{"$match": {"operationType": "insert"}}],
+        )
+        plan = sdf._jdf.queryExecution().analyzed().toString()
+        # operationType constraint inverse-mapped onto the raw scan col
+        assert "event_type" in plan and "signup" in plan
+        assert "FlatMapGroupsInPandasWithState" not in plan

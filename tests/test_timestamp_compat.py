@@ -127,6 +127,42 @@ def test_streaming_source_handles_both_encodings(
     assert all("1970" not in str(r) for r in got[:3])
 
 
+def test_stream_probe_falls_back_on_empty_dir(spark, tmp_path):
+    """Starting a stream on a not-yet-populated directory: the footer
+    probe has nothing to read and must fall back to the micros/NTZ
+    assumption (what pyarrow and the current testdata write), so files
+    appended AFTER start are interpreted correctly."""
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.operators.batching import windowed_counts
+    from rigatoni_spark.sources.change_events import (
+        read_change_events,
+        read_change_events_stream,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()  # empty at stream-definition time
+    sdf = read_change_events_stream(spark, str(src))
+    assert dict(sdf.dtypes)["cluster_time"] == "timestamp"
+    # data arrives only now
+    pq.write_table(
+        pq.read_table(os.path.join(SF_DIR, "events.parquet")),
+        str(src / "a.parquet"),
+    )
+    q = (
+        windowed_counts(sdf, "1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("late_probe_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = _canon(spark.table("late_probe_out"))
+    want = _canon(windowed_counts(read_change_events(spark, SF_DIR), "1 hour"))
+    assert got == want
+
+
 def test_incremental_dedup_converges_to_exact_dedup(spark):
     from rigatoni_spark.llm import mixing
     from rigatoni_spark.llm.dedup import exact_dedup
