@@ -284,8 +284,14 @@ def _jaccard_pairs_lsh_blocked(
     caller unions and sorts."""
     from rigatoni_spark.llm.minhash import lsh_bands
 
-    bands = lsh_bands(documents, k=8, bands=4, shingle_n=1).join(
-        documents.select("doc_id", F.col(block_col).alias("_blk")), "doc_id"
+    bands = (
+        lsh_bands(documents, k=8, bands=4, shingle_n=1)
+        .join(
+            documents.select("doc_id", F.col(block_col).alias("_blk")),
+            "doc_id",
+        )
+        # both self-join sides read the sketch; materialize it once
+        .localCheckpoint()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -104,7 +104,11 @@ def candidate_pairs(
     of *many* things and surface through their other (b-1) bands, so
     recall loss is confined to docs whose every band degenerates.
     """
-    b = lsh_bands(documents, k=k, bands=bands, shingle_n=shingle_n)
+    # materialize the band sketch ONCE: the self-join (and the
+    # mega-bucket probe when enabled) would otherwise re-run the
+    # shingle+minhash plan per use — Spark does not reuse it across
+    # join sides. |docs| x bands rows of (id, band, hash).
+    b = lsh_bands(documents, k=k, bands=bands, shingle_n=shingle_n).localCheckpoint()
     if max_bucket is not None:
         sizes = b.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_bucket_rows")

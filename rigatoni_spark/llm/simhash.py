@@ -81,7 +81,11 @@ FROM per_bit GROUP BY doc_id ORDER BY doc_id
 def near_duplicates(documents: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming, found
     via 8-bit chunk blocking (never all-pairs)."""
-    sigs = simhash_signatures(documents)
+    # materialize the signature sketch ONCE: both self-join sides read
+    # it, and Spark does not reuse the explode-x32 aggregation plan
+    # across join sides (verified: zero ReusedExchange). |docs| rows of
+    # (id, bigint) — the standard materialize-your-sketches step.
+    sigs = simhash_signatures(documents).localCheckpoint()
     chunk_bits = BITS // N_CHUNKS
     chunks = sigs.select(
         "doc_id",
