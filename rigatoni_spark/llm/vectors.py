@@ -395,6 +395,130 @@ def ivf_topk(
     )
 
 
+def kmeans_cells(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = 10000,
+) -> DataFrame:
+    """Deterministic integer Lloyd k-means: the coarse-quantizer TRAINER
+    the IVF path assumes (production IVF trains k-means on a sample —
+    ivf_assign's docstring; this is that trainer, runnable in-engine).
+
+    All arithmetic is on scale-quantized BIGINT components: seed
+    centroids are the first ``k`` vectors, each round assigns every
+    vector to its nearest centroid by integer squared-L2 (ties -> lower
+    cell id) and recomputes centroids as the element-wise integer mean
+    (truncating division — identical semantics in Spark's ``div`` and
+    DuckDB's ``//``). Integer math makes the fixpoint partition-order
+    independent and bit-identical across engines — the reason this is
+    hash-verifiable where float k-means is not; the float path would
+    run the same plan.
+
+    Scale: per round, one broadcast of k tiny centroids x a corpus scan
+    (no corpus shuffle) + one posexplode aggregation whose exchange
+    carries k x DIM rows after map-side partial aggregation. State
+    between rounds is the k-row centroid table only.
+    """
+    q = spread(embeddings).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+        ).alias("q"),
+    ).localCheckpoint()  # read every round + final assign: materialize once
+    cents = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(iterations):
+        sums = (
+            assign(cents)
+            .select("cell", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = (
+            sums.withColumn("m", F.expr("s div n"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("c")
+            )
+        )
+    return (
+        assign(cents)
+        .select("vec_id", "cell", "dist")
+        .orderBy("vec_id")
+    )
+
+
+def kmeans_cells_oracle(
+    k: int = 8, iterations: int = 2, scale: int = 10000
+) -> str:
+    """Unrolled Lloyd rounds as chained CTEs — same integer arithmetic,
+    same tie-breaks, so the fixpoint is bit-identical."""
+    l2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> (q.q[i] - {c}.c[i]) * (q.q[i] - {c}.c[i])))"
+    )
+
+    def round_ctes(i: int) -> str:
+        prev = f"c{i}"
+        return f"""p{i} AS (
+  SELECT q.vec_id, q.q, {prev}.cell, {l2.format(c=prev)} AS dist
+  FROM q CROSS JOIN {prev}
+), a{i} AS (
+  SELECT vec_id, q, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cell) AS rn
+    FROM p{i}) WHERE rn = 1
+), s{i} AS (
+  SELECT cell, i.i AS pos, SUM(q[i.i]) AS s, COUNT(*) AS n
+  FROM a{i} CROSS JOIN dims i GROUP BY cell, i.i
+), c{i + 1} AS (
+  SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
+  FROM s{i} GROUP BY cell
+)"""
+
+    rounds = ",\n".join(round_ctes(i) for i in range(iterations))
+    last = f"c{iterations}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+), dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+c0 AS (SELECT vec_id AS cell, q AS c FROM q WHERE vec_id < {k}),
+{rounds},
+final AS (
+  SELECT q.vec_id, {last}.cell, {l2.format(c=last)} AS dist
+  FROM q CROSS JOIN {last}
+)
+SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cell) AS rn
+  FROM final) WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def ivf_topk_oracle(
     n_queries: int = 8,
     k: int = 5,

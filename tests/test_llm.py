@@ -245,6 +245,45 @@ class TestIVF:
             assert ranks == sorted(ranks)
             assert len(ranks) <= 3
 
+    def test_kmeans_refines_toward_lower_distortion(self, spark, embeddings):
+        """Lloyd's invariant: total squared distortion is non-increasing
+        in the iteration count (0 iterations = the raw seed assignment
+        ivf_assign uses). Assignments stay disjoint and total."""
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm.vectors import kmeans_cells
+
+        d0, d2 = (
+            kmeans_cells(embeddings, k=8, iterations=i)
+            .agg(F.sum("dist").alias("d"))
+            .collect()[0]["d"]
+            for i in (0, 2)
+        )
+        assert d2 <= d0
+        out = kmeans_cells(embeddings, k=8, iterations=1)
+        assert out.count() == embeddings.count()
+        assert out.select("vec_id").distinct().count() == embeddings.count()
+        assert out.select("cell").distinct().count() <= 8
+
+    def test_kmeans_clusters_identical_vectors_together(self, spark):
+        from rigatoni_spark.llm.vectors import kmeans_cells
+
+        a = [1.0] + [0.0] * 63
+        b = [0.0] * 63 + [1.0]
+        # seeds are vec_id 0 and 1 — one from each true cluster
+        group_a, group_b = [0, 2, 3, 4], [1, 11, 12, 13]
+        rows = [(i, a, 0) for i in group_a] + [(i, b, 0) for i in group_b]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in kmeans_cells(df, k=2, iterations=2).collect()
+        }
+        assert len({got[i] for i in group_a}) == 1
+        assert len({got[i] for i in group_b}) == 1
+        assert got[0] != got[1]
+
 
 class TestMultiProbe:
     def test_recall_dominates_single_probe(self, spark, embeddings):
