@@ -226,7 +226,12 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     Returns (schema, rows). Raises on shapes outside the writer's scope.
     """
     with open(path, "rb") as f:
-        r = _Reader(f.read())
+        return read_avro_bytes(f.read())
+
+
+def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """:func:`read_avro` over in-memory bytes (e.g. a gunzipped object)."""
+    r = _Reader(data)
     if r.read(4) != _MAGIC:
         raise ValueError("not an avro container file")
     meta: dict[str, bytes] = {}

@@ -37,5 +37,74 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
     if cfg.format is SerializationFormat.PARQUET:
         return reader.parquet(base)
     if cfg.format is SerializationFormat.AVRO:
-        return reader.format("avro").load(base)
+        try:
+            return reader.format("avro").load(base)
+        except Exception:  # noqa: BLE001 - spark-avro jar absent
+            return _read_avro_fallback(spark, base, ext)
     raise ValueError(f"unknown format {cfg.format}")
+
+
+def _read_avro_fallback(spark: SparkSession, base: str, ext: str) -> DataFrame:
+    """Jar-less Avro read-back via the pure-Python spec codec
+    (sinks/avro_codec.py), mirroring the writer's fallback tier.
+
+    Driver-side per-object decode — appropriate for the sink's
+    one-object-per-collection consumption pattern; a 100 TB consumer
+    uses the spark-avro jar (same DataFrame out, zero caller change).
+    """
+    import glob as _glob
+    import gzip
+    import os
+    from datetime import datetime, timezone
+
+    from pyspark.sql import types as T
+
+    from rigatoni_spark.sinks.avro_codec import read_avro_bytes
+
+    _SPARK_TYPES = {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(),
+    }
+
+    files = sorted(
+        _glob.glob(os.path.join(base, "**", f"*{ext}"), recursive=True)
+    )
+    rows: list[tuple] = []
+    fields: list[tuple[str, object]] = []
+    for f in files:
+        data = open(f, "rb").read()
+        if ext.endswith(".gz"):
+            data = gzip.decompress(data)
+        schema, recs = read_avro_bytes(data)
+        fields = [(fd["name"], fd["type"][1]) for fd in schema["fields"]]
+        for rec in recs:
+            row = []
+            for name, ftype in fields:
+                v = rec[name]
+                if (
+                    v is not None
+                    and isinstance(ftype, dict)
+                    and ftype.get("logicalType") == "timestamp-micros"
+                ):
+                    v = datetime.fromtimestamp(v / 1e6, tz=timezone.utc)
+                row.append(v)
+            rows.append(tuple(row))
+    if not fields:
+        return spark.createDataFrame([], T.StructType([]))
+    spark_schema = T.StructType(
+        [
+            T.StructField(
+                name,
+                T.TimestampType()
+                if isinstance(ftype, dict)
+                and ftype.get("logicalType") == "timestamp-micros"
+                else _SPARK_TYPES[ftype if isinstance(ftype, str) else ftype["type"]],
+                True,
+            )
+            for name, ftype in fields
+        ]
+    )
+    return spark.createDataFrame(rows, spark_schema)

@@ -176,6 +176,37 @@ class TestReadBack:
     """Consumer loop closure: every layout round-trips through
     read_sink_output with no path parsing."""
 
+    def test_avro_roundtrip_via_sink_reader(self, spark, change_events, tmp_path):
+        """K6 loop closure: Avro objects read back through the same
+        consumer API as every other format — spark-avro when present,
+        the pure-Python codec tier otherwise (identical DataFrame out)."""
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        for comp in (CompressionCodec.NONE, CompressionCodec.GZIP):
+            cfg = S3SinkConfig(
+                bucket=str(tmp_path / comp.name.lower()),
+                format=SerializationFormat.AVRO,
+                compression=comp,
+                partition_strategy=PartitionStrategy.COLLECTION_BASED,
+            )
+            sample = change_events.limit(300)
+            assert write_batch(sample, cfg, batch_id=1)
+            back = read_sink_output(spark, cfg)
+            assert back.count() == sample.count()
+            got = sorted(
+                (r["collection"], r["resume_token"], r["cluster_time"])
+                for r in back.select(
+                    "collection", "resume_token", "cluster_time"
+                ).collect()
+            )
+            want = sorted(
+                (r["collection"], r["resume_token"], r["cluster_time"])
+                for r in sample.select(
+                    "collection", "resume_token", "cluster_time"
+                ).collect()
+            )
+            assert got == want, comp
+
     def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
         from pyspark.sql import functions as F
 
