@@ -420,6 +420,36 @@ def kmeans_cells(
     carries k x DIM rows after map-side partial aggregation. State
     between rounds is the k-row centroid table only.
     """
+    q, cents = _kmeans_train(embeddings, k, iterations, scale)
+    return (
+        _kmeans_assign(q, cents)
+        .select("vec_id", "cell", "dist")
+        .orderBy("vec_id")
+    )
+
+
+def _kmeans_dist():
+    return F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _kmeans_dist())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+
+
+def _kmeans_train(
+    embeddings: DataFrame, k: int, iterations: int, scale: int
+) -> tuple[DataFrame, DataFrame]:
+    """(quantized vectors, trained centroid table (cell, c))."""
     q = spread(embeddings).select(
         "vec_id",
         F.transform(
@@ -430,24 +460,9 @@ def kmeans_cells(
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("c")
     )
-    dist = F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-
-    def assign(cent_df: DataFrame) -> DataFrame:
-        return (
-            q.crossJoin(F.broadcast(cent_df))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-
     for _ in range(iterations):
         sums = (
-            assign(cents)
+            _kmeans_assign(q, cents)
             .select("cell", F.posexplode("q").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -462,18 +477,11 @@ def kmeans_cells(
                 ).alias("c")
             )
         )
-    return (
-        assign(cents)
-        .select("vec_id", "cell", "dist")
-        .orderBy("vec_id")
-    )
+    return q, cents
 
 
-def kmeans_cells_oracle(
-    k: int = 8, iterations: int = 2, scale: int = 10000
-) -> str:
-    """Unrolled Lloyd rounds as chained CTEs — same integer arithmetic,
-    same tie-breaks, so the fixpoint is bit-identical."""
+def _kmeans_oracle_prefix(k: int, iterations: int, scale: int) -> tuple[str, str]:
+    """(CTE prefix through the trained centroid table, its CTE name)."""
     l2 = (
         f"list_sum(list_transform(generate_series(1, {DIM}), "
         "i -> (q.q[i] - {c}.c[i]) * (q.q[i] - {c}.c[i])))"
@@ -498,8 +506,7 @@ def kmeans_cells_oracle(
 )"""
 
     rounds = ",\n".join(round_ctes(i) for i in range(iterations))
-    last = f"c{iterations}"
-    return f"""
+    prefix = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -507,15 +514,149 @@ WITH q AS (
   FROM embeddings
 ), dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
 c0 AS (SELECT vec_id AS cell, q AS c FROM q WHERE vec_id < {k}),
-{rounds},
+{rounds}"""
+    return prefix, f"c{iterations}"
+
+
+def _kmeans_oracle_l2(cent: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> (q.q[i] - {cent}.c[i]) * (q.q[i] - {cent}.c[i])))"
+    )
+
+
+def kmeans_cells_oracle(
+    k: int = 8, iterations: int = 2, scale: int = 10000
+) -> str:
+    """Unrolled Lloyd rounds as chained CTEs — same integer arithmetic,
+    same tie-breaks, so the fixpoint is bit-identical."""
+    prefix, last = _kmeans_oracle_prefix(k, iterations, scale)
+    return f"""{prefix},
 final AS (
-  SELECT q.vec_id, {last}.cell, {l2.format(c=last)} AS dist
+  SELECT q.vec_id, {last}.cell, {_kmeans_oracle_l2(last)} AS dist
   FROM q CROSS JOIN {last}
 )
 SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                ORDER BY dist, cell) AS rn
   FROM final) WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def ivf_trained_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = N_PROBE,
+    iterations: int = 2,
+    scale: int = 10000,
+) -> DataFrame:
+    """IVF ANN over TRAINED cells: the Lloyd-refined quantizer from
+    :func:`kmeans_cells` replaces ivf_topk's first-N seed centroids;
+    cell routing + n_probe selection use the deterministic integer
+    distances, the final re-rank is the exact float cosine over probed
+    cells — the full production IVF recipe (train -> route -> probe ->
+    re-rank) composed from the same verified pieces. Plan shape is
+    identical to ivf_topk: broadcast centroids, disjoint cells, no
+    corpus shuffle beyond the training aggregations.
+    """
+    q, cents = _kmeans_train(embeddings, n_centroids, iterations, scale)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    pairs = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _kmeans_dist())
+        .withColumn("rn", F.row_number().over(w))
+    )
+    emb = embeddings.select("vec_id", "embedding")
+    cand = (
+        pairs.filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            "cell",
+        )
+    )
+    probe = (
+        pairs.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
+        .select("vec_id", "cell")
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "cell",
+        )
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", F.round(sim, 4).alias("cosine"),
+            sim.alias("_raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_trained_topk_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = N_PROBE,
+    iterations: int = 2,
+    scale: int = 10000,
+) -> str:
+    prefix, last = _kmeans_oracle_prefix(n_centroids, iterations, scale)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="p.q_emb", b="p.q_emb")
+    cc = dot.format(d=DIM, a="a.c_emb", b="a.c_emb")
+    qc = dot.format(d=DIM, a="p.q_emb", b="a.c_emb")
+    return f"""{prefix},
+tp AS (
+  SELECT q.vec_id, {last}.cell, {_kmeans_oracle_l2(last)} AS dist
+  FROM q CROSS JOIN {last}
+), tr AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cell) AS rn
+  FROM tp
+), cand AS (
+  SELECT tr.vec_id AS cand_id, e.embedding AS c_emb, tr.cell
+  FROM tr JOIN embeddings e USING (vec_id) WHERE tr.rn = 1
+), probe AS (
+  SELECT tr.vec_id AS query_id, e.embedding AS q_emb, tr.cell
+  FROM tr JOIN embeddings e USING (vec_id)
+  WHERE tr.vec_id < {n_queries} AND tr.rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.cand_id,
+         {qc} / (sqrt({qq}) * sqrt({cc})) AS raw
+  FROM probe p JOIN cand a USING (cell)
+  WHERE a.cand_id <> p.query_id
+), ranked AS (
+  SELECT query_id, cand_id, ROUND(raw, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
