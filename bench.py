@@ -105,7 +105,7 @@ def main() -> None:
 
     table = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
 
-    def run_stream() -> float:
+    def run_stream(batch_size: int = 400) -> float:
         stream_root = tempfile.mkdtemp(prefix="bench_stream_")
         try:
             src = os.path.join(stream_root, "src")
@@ -120,7 +120,7 @@ def main() -> None:
                     os.path.join(src, f"{i:03d}.parquet"),
                 )
             cfg = PipelineConfig(
-                batch_timeout_secs=0.1, batch_size=400, dedup_by_key=True
+                batch_timeout_secs=0.1, batch_size=batch_size, dedup_by_key=True
             )
             sink = S3SinkConfig(
                 bucket=out,
@@ -145,6 +145,12 @@ def main() -> None:
     # throughput over INPUT events (stats.events_processed counts
     # post-dedup survivors)
     streaming_eps = table.num_rows / stream_sec if stream_sec else 0.0
+    # batch-size scaling evidence: the per-trigger fixed cost amortizes
+    # with batch size (SCALE.md's back-pressure-knob claim, measured)
+    eps_by_batch = {
+        bs: round(table.num_rows / run_stream(bs))
+        for bs in (100, 400, 1600)
+    }
 
     # --- per-query timings (the catalog the driver hash-checks) ----------
     # min over 2 FULL passes per query: this box runs under a hypervisor
@@ -176,6 +182,7 @@ def main() -> None:
                 "sf": sf,
                 "events_per_sec": round(events_per_sec),
                 "streaming_events_per_sec": round(streaming_eps),
+                "streaming_events_per_sec_by_batch_size": eps_by_batch,
             }
         )
     )
