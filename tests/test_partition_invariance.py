@@ -33,6 +33,9 @@ _QUERIES = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "rel_q5_region_revenue",
+    # integer k-means: the partition-order-independence claim IS the
+    # operator's design rationale — verify it directly
+    "sim_kmeans_cells",
 ]
 
 
