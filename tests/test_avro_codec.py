@@ -88,3 +88,57 @@ def test_unsupported_type_raises(tmp_path):
     with pytest.raises(ValueError, match="unsupported arrow type"):
         write_avro(t, str(tmp_path / "x.avro"))
     assert not os.path.exists(str(tmp_path / "x.avro"))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    _rows = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=80)),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, width=64),
+            ),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(st.none(), st.binary(max_size=40)),
+        ),
+        min_size=0,
+        max_size=50,
+    )
+
+    @given(rows=_rows, codec=st.sampled_from(["null", "deflate"]))
+    @settings(max_examples=60, deadline=None)
+    def test_property_round_trip(rows, codec, tmp_path_factory):
+        """Any mix of nullable string/long/double/boolean/bytes survives
+        the container round-trip bit-exactly, under either codec —
+        including zigzag edge values (+/- 2^63), empty batches, empty
+        strings/bytes, and unicode."""
+        cols = list(zip(*rows)) if rows else ([], [], [], [], [])
+        t = pa.table(
+            {
+                "s": pa.array(cols[0], pa.string()),
+                "n": pa.array(cols[1], pa.int64()),
+                "d": pa.array(cols[2], pa.float64()),
+                "b": pa.array(cols[3], pa.bool_()),
+                "y": pa.array(cols[4], pa.binary()),
+            }
+        )
+        p = str(tmp_path_factory.mktemp("prop") / "t.avro")
+        write_avro(t, p, codec=codec, block_rows=7)
+        _, got = read_avro(p)
+        assert [
+            (r["s"], r["n"], r["d"], r["b"], r["y"]) for r in got
+        ] == rows
