@@ -103,6 +103,59 @@ def test_stateful_on_batch_delegates_to_lag_path(spark):
     assert _by_event_id(delegated.collect()) == _by_event_id(batch.collect())
 
 
+def test_stateful_stream_under_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state posture (SCALE.md) prescribes the RocksDB state
+    store for large live-key sets; prove the stateful operator actually
+    runs under it — provider + native jar ship with Spark — and still
+    converges to the batch envelope."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pq.read_table(SF_EVENTS), str(src / "all.parquet"))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    got: list = []
+    try:
+        sdf = read_change_events_stream(
+            spark, str(src),
+            before_images="whenAvailable", update_description=True,
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda df, _id: got.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        # the state store actually used RocksDB (files on disk)
+        import glob
+
+        assert glob.glob(
+            str(tmp_path / "rocks_ckpt" / "state" / "**" / "*.zip"),
+            recursive=True,
+        ) or glob.glob(
+            str(tmp_path / "rocks_ckpt" / "state" / "**" / "*.changelog"),
+            recursive=True,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = as_change_events(
+        normalize_ts(spark.read.parquet(str(src)), "ts"),
+        before_images="whenAvailable", update_description=True,
+    ).collect()
+    assert _by_event_id(got) == _by_event_id(want)
+
+
 def test_stream_preimages_with_pipeline_filter(spark, tmp_path):
     """A $match pipeline must filter the ENVELOPE, not the raw history:
     a filtered-out prior event still supplies the pre-image."""
