@@ -730,6 +730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": _emb(vectors.ivf_topk),
     "sim_kmeans_cells": _emb(vectors.kmeans_cells),
     "sim_ivf_trained_topk": _emb(vectors.ivf_trained_topk),
+    "dedup_semantic_cells": _emb(vectors.semantic_neardup_pairs),
     "sim_ann_multiprobe_topk": _emb(vectors.ann_multiprobe_topk),
     "sim_label_stats": _emb(vectors.label_stats),
     "sim_quantize_int8": _emb(vectors.quantize_int8),
@@ -984,6 +985,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "sim_ivf_topk": vectors.ivf_topk_oracle(),
     "sim_kmeans_cells": vectors.kmeans_cells_oracle(),
     "sim_ivf_trained_topk": vectors.ivf_trained_topk_oracle(),
+    "dedup_semantic_cells": vectors.semantic_neardup_pairs_oracle(),
     "sim_ann_multiprobe_topk": vectors.ann_multiprobe_topk_oracle(),
     "sim_label_stats": vectors.label_stats_oracle(),
     "sim_quantize_int8": vectors.quantize_int8_oracle(),

@@ -612,6 +612,91 @@ def ivf_trained_topk(
     )
 
 
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    iterations: int = 2,
+    scale: int = 10000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means cell
+    blocking + exact cosine within each cell (Abbas et al. 2023,
+    arXiv:2303.09540 — public method). The trained integer cells from
+    :func:`kmeans_cells` are the blocking key, so candidate volume is
+    sum of per-cell squares, never corpus² — the property that makes
+    semantic dedup tractable at 100 TB (the paper's clustering step,
+    here the same verified trainer the IVF path uses).
+
+    The cosine is rounded to 4 decimals BEFORE thresholding so the
+    boundary decision is identical across engines (same rule as the
+    ANN re-rank oracles).
+    """
+    q, cents = _kmeans_train(embeddings, n_cells, iterations, scale)
+    cells = (
+        _kmeans_assign(q, cents)
+        .select("vec_id", "cell")
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        # both self-join sides read the assignment: materialize once
+        .localCheckpoint()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").alias("cell"),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def semantic_neardup_pairs_oracle(
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    iterations: int = 2,
+    scale: int = 10000,
+) -> str:
+    prefix, last = _kmeans_oracle_prefix(n_cells, iterations, scale)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
+    bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
+    ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    return f"""{prefix},
+tp AS (
+  SELECT q.vec_id, {last}.cell, {_kmeans_oracle_l2(last)} AS dist
+  FROM q CROSS JOIN {last}
+), cells AS (
+  SELECT tr.vec_id, tr.cell, e.embedding
+  FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+    FROM tp) tr
+  JOIN embeddings e USING (vec_id)
+  WHERE tr.rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+       ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
+FROM cells a JOIN cells b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def ivf_trained_topk_oracle(
     n_queries: int = 8,
     k: int = 5,
