@@ -125,6 +125,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql queries."""
+    """Register every table as a temp view for spark.sql queries, plus
+    the derived ``change_events`` envelope view — so SQL-first users
+    query the same envelope the DataFrame operators consume (the
+    DuckDB oracles' CTE, but server-side)."""
+    from rigatoni_spark.sources.change_events import read_change_events
+
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    read_change_events(spark, sf_dir).createOrReplaceTempView("change_events")

@@ -346,3 +346,18 @@ class TestSaltedJoin:
         got = salted_join(fact, dim, ["k"], n_salts=3, how="left").collect()
         assert len(got) == 3
         assert {r["v"] for r in got if r["name"] is None} == {"orphan"}
+
+
+def test_register_views_enables_sql_over_envelope(spark):
+    """SQL-first entry point: every raw table AND the derived
+    change_events envelope are queryable via spark.sql after one call."""
+    from rigatoni_spark.tables import TABLE_NAMES, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    for t in TABLE_NAMES:
+        assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+    row = spark.sql(
+        "SELECT operation, COUNT(*) AS n FROM change_events "
+        "WHERE operation = 'insert' GROUP BY operation"
+    ).collect()[0]
+    assert row["n"] > 0
