@@ -630,6 +630,11 @@ def semantic_neardup_pairs(
     The cosine is rounded to 4 decimals BEFORE thresholding so the
     boundary decision is identical across engines (same rule as the
     ANN re-rank oracles).
+
+    The default threshold targets the top similarity tail of the
+    driver's SYNTHETIC embeddings (near-orthogonal random vectors, max
+    pairwise cosine ~0.51); on real model embeddings the SemDeDup
+    operating point is ~0.95+ — pass it explicitly.
     """
     q, cents = _kmeans_train(embeddings, n_cells, iterations, scale)
     cells = (
