@@ -209,36 +209,53 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundaries — so the STREAMING path itself is
     hash-verified against the same SQL oracle as its batch twin
     (b1_windowed_counts), not just pytest-smoke-tested."""
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    sdf = read_change_events_stream(spark, sf_dir, path_glob="events.parquet")
+    return _drain_to_memory_table(
+        batching.windowed_counts(sdf, "1 hour"),
+        "stream_wc",
+        ["window_start", "collection"],
+        output_mode="complete",
+    )
+
+
+def _drain_to_memory_table(
+    df, what: str, order_cols: list[str], output_mode: str = "append"
+) -> DataFrame:
+    """Run a bounded streaming DataFrame to completion into a memory
+    sink and return the drained table. Raises loudly on a timeout or a
+    failed query — a partial complete/append snapshot must never reach
+    the correctness gate as a silently-wrong row set."""
+    import shutil
     import tempfile
     import uuid
 
-    from rigatoni_spark.sources.change_events import read_change_events_stream
-
-    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="stream_wc_ckpt_")
-    sdf = read_change_events_stream(spark, sf_dir, path_glob="events.parquet")
+    name = f"{what}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{what}_ckpt_")
     q = (
-        batching.windowed_counts(sdf, "1 hour")
-        .writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(300)
-    if not finished:
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            "streaming windowed-counts query did not drain in 300s"
-            + (f": {exc}" if exc else "")
-        )
-    if q.exception() is not None:
-        raise RuntimeError(
-            f"streaming windowed-counts query failed: {q.exception()}"
-        )
-    return spark.table(name).orderBy("window_start", "collection")
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            exc = q.exception()
+            q.stop()
+            raise RuntimeError(
+                f"streaming {what} query did not drain in 300s"
+                + (f": {exc}" if exc else "")
+            )
+        if q.exception() is not None:
+            raise RuntimeError(f"streaming {what} query failed: {q.exception()}")
+    finally:
+        # the drained result lives in the memory sink, not the WAL
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return df.sparkSession.table(name).orderBy(*order_cols)
 
 
 def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,91 +266,46 @@ def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundaries — so the STREAMING stateful path is
     hash-verified against the same SQL oracle as its batch twin
     (s5_pre_images)."""
-    import tempfile
-    import uuid
-
     from rigatoni_spark.sources.change_events import read_change_events_stream
 
-    name = f"stream_pi_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="stream_pi_ckpt_")
     sdf = read_change_events_stream(
         spark, sf_dir, path_glob="events.parquet",
         before_images="whenAvailable",
     )
-    q = (
+    return _drain_to_memory_table(
         sdf.select(
             "event_id",
             "operation",
             "document_key",
             "full_document",
             "full_document_before_change",
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "stream_pi",
+        ["event_id"],
     )
-    finished = q.awaitTermination(300)
-    if not finished:
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            "streaming pre-images query did not drain in 300s"
-            + (f": {exc}" if exc else "")
-        )
-    if q.exception() is not None:
-        raise RuntimeError(
-            f"streaming pre-images query failed: {q.exception()}"
-        )
-    return spark.table(name).orderBy("event_id")
 
 
 def _q_stream_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 through the REAL streaming engine: update descriptions from
     the stateful prior-payload operator — hash-verified against the
     same SQL oracle as the batch twin (f4_update_description)."""
-    import tempfile
-    import uuid
-
     from rigatoni_spark.sources.change_events import read_change_events_stream
 
-    name = f"stream_ud_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="stream_ud_ckpt_")
     sdf = read_change_events_stream(
         spark, sf_dir, path_glob="events.parquet",
         update_lookup=False, update_description=True,
     )
-    q = (
-        sdf.filter(F.col("operation") == "update")
-        .select(
+    return _drain_to_memory_table(
+        sdf.filter(F.col("operation") == "update").select(
             "event_id",
             "document_key",
             "updated_fields",
             F.to_json("removed_fields").alias("removed_fields_json"),
             F.to_json("truncated_arrays").alias("truncated_arrays_json"),
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+        ),
+        "stream_ud",
+        ["event_id"],
     )
-    finished = q.awaitTermination(300)
-    if not finished:
-        exc = q.exception()
-        q.stop()
-        raise RuntimeError(
-            "streaming update-description query did not drain in 300s"
-            + (f": {exc}" if exc else "")
-        )
-    if q.exception() is not None:
-        raise RuntimeError(
-            f"streaming update-description query failed: {q.exception()}"
-        )
-    return spark.table(name).orderBy("event_id")
 
 
 def _q_watch_collections(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -476,21 +476,21 @@ def _kmeans_train(
                     lambda x: x["m"],
                 ).alias("c")
             )
+            # k tiny rows, but a LAZY cents chains the whole previous
+            # round into this one's plan (and any consumer reading the
+            # result twice re-runs the training) — materialize per round
+            .localCheckpoint()
         )
     return q, cents
 
 
 def _kmeans_oracle_prefix(k: int, iterations: int, scale: int) -> tuple[str, str]:
     """(CTE prefix through the trained centroid table, its CTE name)."""
-    l2 = (
-        f"list_sum(list_transform(generate_series(1, {DIM}), "
-        "i -> (q.q[i] - {c}.c[i]) * (q.q[i] - {c}.c[i])))"
-    )
 
     def round_ctes(i: int) -> str:
         prev = f"c{i}"
         return f"""p{i} AS (
-  SELECT q.vec_id, q.q, {prev}.cell, {l2.format(c=prev)} AS dist
+  SELECT q.vec_id, q.q, {prev}.cell, {_kmeans_oracle_l2(prev)} AS dist
   FROM q CROSS JOIN {prev}
 ), a{i} AS (
   SELECT vec_id, q, cell FROM (
@@ -563,14 +563,19 @@ def ivf_trained_topk(
     """
     q, cents = _kmeans_train(embeddings, n_centroids, iterations, scale)
     w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    pairs = (
+    # slim (vec_id, cell, rn) ranking materialized ONCE: both the cand
+    # and probe sides read it, and a lazy plan would re-run the
+    # assignment per side (corpus x k int rows — sketch-table sized)
+    ranked = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("dist", _kmeans_dist())
         .withColumn("rn", F.row_number().over(w))
+        .select("vec_id", "cell", "rn")
+        .localCheckpoint()
     )
     emb = embeddings.select("vec_id", "embedding")
     cand = (
-        pairs.filter(F.col("rn") == 1)
+        ranked.filter(F.col("rn") == 1)
         .select("vec_id", "cell")
         .join(emb, "vec_id")
         .select(
@@ -580,7 +585,7 @@ def ivf_trained_topk(
         )
     )
     probe = (
-        pairs.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
         .select("vec_id", "cell")
         .join(emb, "vec_id")
         .select(

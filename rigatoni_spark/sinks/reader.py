@@ -39,8 +39,13 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
     if cfg.format is SerializationFormat.AVRO:
         try:
             return reader.format("avro").load(base)
-        except Exception:  # noqa: BLE001 - spark-avro jar absent
-            return _read_avro_fallback(spark, base, ext)
+        except Exception as e:  # noqa: BLE001
+            # fallback ONLY for the jar-absent case (same gate as the
+            # writer); a real read error with the jar present must
+            # surface, not be masked by the python tier
+            if not ("avro" in str(e).lower() or "Failed to find" in str(e)):
+                raise
+            return _read_avro_fallback(spark, base.replace("file:", ""), ext)
     raise ValueError(f"unknown format {cfg.format}")
 
 
@@ -55,11 +60,13 @@ def _read_avro_fallback(spark: SparkSession, base: str, ext: str) -> DataFrame:
     import glob as _glob
     import gzip
     import os
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
 
     from pyspark.sql import types as T
 
     from rigatoni_spark.sinks.avro_codec import read_avro_bytes
+
+    _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
     _SPARK_TYPES = {
         "string": T.StringType(),
@@ -89,7 +96,9 @@ def _read_avro_fallback(spark: SparkSession, base: str, ext: str) -> DataFrame:
                     and isinstance(ftype, dict)
                     and ftype.get("logicalType") == "timestamp-micros"
                 ):
-                    v = datetime.fromtimestamp(v / 1e6, tz=timezone.utc)
+                    # integer micros arithmetic: float /1e6 drifts by
+                    # 1us once the ulp passes 0.5us (~2.2e9 seconds)
+                    v = _EPOCH + timedelta(microseconds=v)
                 row.append(v)
             rows.append(tuple(row))
     if not fields:

@@ -99,24 +99,39 @@ def _staged_writer(
         # part-file with the pure-Python spec implementation
         # (sinks/avro_codec.py) during the rename pass — driver-side,
         # bounded by micro-batch size; real Avro output either way.
+        if cfg.compression is CompressionCodec.ZSTD:
+            # neither tier can produce the outer .avro.zst wrap this
+            # environment's key layout promises (no zstd binding for
+            # arbitrary bytes); refusing beats writing mislabeled
+            # objects whose bytes depend on the classpath
+            raise FormatNotAvailable(
+                "AVRO+ZSTD outer compression is not wired: use GZIP/NONE "
+                "for AVRO, or PARQUET/JSON/CSV with ZSTD (spark-avro's "
+                "INTERNAL zstandard codec is a different layout than the "
+                ".avro.zst key this sink generates)"
+            )
         try:
             writer.format("avro").save(staging)
-            return None
+            return "avro_jar"
         except Exception as e:  # noqa: BLE001
             if not ("avro" in str(e).lower() or "Failed to find" in str(e)):
                 raise
-            if cfg.compression is CompressionCodec.ZSTD:
-                raise FormatNotAvailable(
-                    "AVRO+ZSTD needs the spark-avro jar (the pure-Python "
-                    "fallback has no zstd; use GZIP/NONE, or add "
-                    "org.apache.spark:spark-avro_2.13:<spark version> "
-                    "via spark.jars.packages)"
-                ) from e
             df.write.mode("overwrite").partitionBy(*part_cols).option(
                 "compression", "snappy"
             ).parquet(staging)
             return "avro_fallback"
     raise ValueError(f"unknown format {fmt}")
+
+
+def _gzip_move(src_file: str, dest: str) -> None:
+    """Move a staged file gzip-wrapping it (mtime pinned: replayed
+    batches stay byte-identical)."""
+    import gzip as _gzip
+
+    with open(src_file, "rb") as fi, open(dest, "wb") as fo:
+        with _gzip.GzipFile(fileobj=fo, mode="wb", mtime=0) as gz:
+            shutil.copyfileobj(fi, gz)
+    os.remove(src_file)
 
 
 def _convert_part_to_avro(src_file: str, dest: str, compression) -> None:
@@ -288,6 +303,14 @@ def _write_persisted(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             if staged_mode == "avro_fallback":
                 _convert_part_to_avro(f, dest, cfg.compression)
+            elif (
+                staged_mode == "avro_jar"
+                and cfg.compression is CompressionCodec.GZIP
+            ):
+                # the jar writes plain .avro part files; the outer gzip
+                # the .avro.gz key promises happens here — bytes do not
+                # depend on which tier produced them
+                _gzip_move(f, dest)
             else:
                 shutil.move(f, dest)
             keys.append(key)

@@ -331,13 +331,18 @@ def as_change_events_stateful(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # a key's micro-batch rows can span multiple Arrow chunks in
+        # shuffle (not time) order — concatenate and sort ONCE; sorting
+        # chunks independently would corrupt the seam payloads
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            ).reset_index(drop=True)
             # vectorized per-key LAG: shift by one, seam filled from state
             prevs = pdf["props"].astype(object).shift(1)
-            if len(prevs):
-                prevs.iloc[0] = last
-                last = pdf["props"].iloc[-1]
+            prevs.iloc[0] = last
+            last = pdf["props"].iloc[-1]
             pdf = pdf[raw_cols].copy()
             pdf["_prev_props"] = prevs
             yield pdf

@@ -159,12 +159,10 @@ class TestWriteBatch:
             compression=CompressionCodec.ZSTD,
             partition_strategy=PartitionStrategy.COLLECTION_BASED,
         )
-        try:
+        # gated in BOTH tiers: no zstd wrap exists for the .avro.zst
+        # key layout, so refusing beats classpath-dependent bytes
+        with pytest.raises(FormatNotAvailable, match="AVRO\\+ZSTD"):
             write_batch(change_events, zstd_cfg, batch_id=1)
-        except FormatNotAvailable as e:
-            assert "spark-avro" in str(e)
-        else:  # pragma: no cover - only with the jar on the classpath
-            pass
 
     def test_empty_batch(self, change_events, tmp_path):
         cfg = S3SinkConfig(bucket=str(tmp_path))
