@@ -140,7 +140,9 @@ def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates, exact cosine re-rank."""
-    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
+    with_bucket = spread(embeddings).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash once, not twice
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -185,7 +187,9 @@ def embedding_neardup_pairs(
 
     The embedding analogue of MinHash dedup: at 100 TB the bucket join
     bounds candidates; raise NBITS / add multi-probe for recall."""
-    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
+    with_bucket = spread(embeddings).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash once, not twice
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -820,7 +824,9 @@ def ann_multiprobe_topk(
     Candidates can arrive via multiple probes, so the top-k window
     dedups with a distinct before ranking.
     """
-    with_bucket = spread(embeddings).withColumn("bucket", _bucket(F.col("embedding")))
+    with_bucket = spread(embeddings).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash once, not twice
     probes = F.array(
         F.col("bucket"),
         *[
