@@ -205,6 +205,22 @@ class TestReadBack:
             )
             assert got == want, comp
 
+    def test_avro_roundtrip_with_file_uri(self, spark, change_events, tmp_path):
+        """Regression: a file:-prefixed destination must round-trip
+        through the jar-less Avro read tier — the fallback's glob once
+        ran on the raw URI, matched nothing, and returned an empty
+        DataFrame with no error (silent data loss on read-back)."""
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        cfg = S3SinkConfig(
+            bucket=f"file:{tmp_path}/furi",
+            format=SerializationFormat.AVRO,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        sample = change_events.limit(100)
+        assert write_batch(sample, cfg, batch_id=1)
+        assert read_sink_output(spark, cfg).count() == sample.count()
+
     def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
         from pyspark.sql import functions as F
 
