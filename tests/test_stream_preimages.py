@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+import pytest
 
 from rigatoni_spark.sources.change_events import (
     as_change_events,
@@ -101,6 +102,36 @@ def test_stateful_on_batch_delegates_to_lag_path(spark):
         raw, before_images="whenAvailable", update_description=True
     )
     assert _by_event_id(delegated.collect()) == _by_event_id(batch.collect())
+
+
+def test_required_mode_aborts_stream_on_missing_preimage(spark, tmp_path):
+    """S5 required-mode parity on the LIVE stream: when a modification
+    arrives with no prior payload (history starts mid-stream), the
+    query must ABORT like the server's required-mode stream abort —
+    never emit a silently-null pre-image."""
+    import pyarrow.parquet as pq
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(SF_EVENTS)
+    # second half only: many keys' first visible event is a click/view
+    # with no prior state
+    pq.write_table(t.slice(t.num_rows // 2), str(src / "tail.parquet"))
+
+    sdf = read_change_events_stream(
+        spark, str(src), before_images="required"
+    )
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        q.awaitTermination(120)
+    assert "required" in str(exc.value)
 
 
 def test_stateful_stream_under_rocksdb_state_store(spark, tmp_path):
