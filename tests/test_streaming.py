@@ -67,6 +67,31 @@ class TestPipelineE2E:
         files = glob.glob(os.path.join(out, "**", "*.jsonl"), recursive=True)
         assert files, "sink wrote no objects"
 
+    def test_hive_partitions_carry_real_event_year(self, spark, dirs):
+        """The round-2 regen bug put every streaming event in 1970 and
+        silently wrote year=1970 Hive partitions; pin the end-to-end
+        pipeline's partition layout to the data's REAL event year."""
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 500)
+        cfg = PipelineConfig(batch_timeout_secs=1.0)
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.HIVE_PARTITIONED,
+        )
+        p = Pipeline(spark, cfg, sink, src, ckpt).start()
+        p.process_all_available()
+        p.stop()
+        files = glob.glob(os.path.join(out, "**", "*.jsonl"), recursive=True)
+        assert files, "sink wrote no objects"
+        years = {
+            part.split("=")[1]
+            for f in files
+            for part in f.split(os.sep)
+            if part.startswith("year=")
+        }
+        assert years == {"2024"}, years
+
     def test_match_filter_applied(self, spark, dirs):
         src, out, ckpt = dirs
         _feed(src, "a.parquet", 0, 1000)
