@@ -133,3 +133,22 @@ def test_debezium_stream_into_keyed_sink(spark, tmp_path):
     first = os.path.join(str(out), keys[0])
     rows = [json.loads(line) for line in open(first)]
     assert rows and {"operation", "collection", "resume_token"} <= set(rows[0])
+
+
+def test_kafka_source_gate_is_actionable(spark):
+    """Without the kafka-sql jar (this container), the Kafka reader must
+    raise the actionable SourceNotAvailable naming the jar coordinate —
+    never a raw ClassNotFound stack."""
+    from rigatoni_spark.sources.kafka import (
+        SourceNotAvailable,
+        read_kafka_change_events,
+    )
+
+    try:
+        df = read_kafka_change_events(spark, "localhost:9092", "events")
+    except SourceNotAvailable as e:
+        assert "spark-sql-kafka" in str(e)
+    else:
+        # jar present in some environments: the reader builds a valid
+        # streaming plan without contacting a broker
+        assert df.isStreaming
