@@ -12,10 +12,19 @@ Two paths:
   is the standard recall knob, noted but not needed at bench scale.
 
 Determinism: all arithmetic is elementwise double multiply +
-left-to-right fold (``aggregate``) — the same IEEE sequence DuckDB's
+left-to-right accumulation — the same IEEE sequence DuckDB's
 indexed list_transform/list_sum evaluates, so values hash-match
 bit-for-bit without rounding tricks. Hyperplane entries are ±1 from an
 MD5 parity — no RNG.
+
+Performance: the kernels are ``aggregate``/``zip_with`` folds ON
+PURPOSE. Unrolling them into static 64-term ``element_at`` chains was
+measured 3-8x SLOWER at sf0.1 (round 4): the giant trees exceed
+codegen method limits, fall back to interpreted evaluation of a much
+larger node count, and bloat task binaries to ~1.4 MB. The folds run
+one tight pass over the unsafe array. The cheap win is structural
+instead: norms are computed once per ROW before every join (see the
+``nrm`` columns), never per pair.
 """
 
 from __future__ import annotations
@@ -42,6 +51,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _truncator(spark, checkpoint_dir: str | None):
+    """Lineage-truncation strategy: ``None`` -> ``localCheckpoint``
+    (fastest; blocks live on executors, an executor loss kills the job —
+    fine single-node / short jobs), else reliable ``checkpoint()`` into
+    ``checkpoint_dir`` (HDFS/S3) surviving executor loss on a real
+    cluster. Same switch as ``dedup.duplicate_clusters``."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint()
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -50,15 +71,22 @@ def cosine_topk(
     The query side is tiny -> broadcast; the corpus side streams through
     one task wave. No shuffle of the corpus.
     """
+    # norms are computed ONCE per row before the join (norm(v) is
+    # sqrt(dot(v,v)) either way — same IEEE value as the per-pair form,
+    # ~3x less per-pair arithmetic)
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
     )
     # corpus side does the per-row vector math — run it wide
     c = spread(embeddings).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)
@@ -142,19 +170,23 @@ def ann_lsh_topk(
     """Approximate top-k: same-bucket candidates, exact cosine re-rank."""
     with_bucket = spread(embeddings).withColumn(
         "bucket", _bucket(F.col("embedding"))
-    ).localCheckpoint()  # both join sides read it: hash once, not twice
+    ).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     c = with_bucket.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_nrm"),
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)
@@ -189,19 +221,23 @@ def embedding_neardup_pairs(
     bounds candidates; raise NBITS / add multi-probe for recall."""
     with_bucket = spread(embeddings).withColumn(
         "bucket", _bucket(F.col("embedding"))
-    ).localCheckpoint()  # both join sides read it: hash once, not twice
+    ).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("bucket"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         a.join(
@@ -368,11 +404,12 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
             "cent_id",
         )
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(probe)
@@ -380,6 +417,7 @@ def ivf_topk(
             assign.select(
                 F.col("vec_id").alias("cand_id"),
                 F.col("embedding").alias("c_emb"),
+                _norm(F.col("embedding")).alias("c_nrm"),
                 "cent_id",
             ),
             "cent_id",
@@ -404,6 +442,7 @@ def kmeans_cells(
     k: int = 8,
     iterations: int = 2,
     scale: int = 10000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic integer Lloyd k-means: the coarse-quantizer TRAINER
     the IVF path assumes (production IVF trains k-means on a sample —
@@ -422,9 +461,11 @@ def kmeans_cells(
     Scale: per round, one broadcast of k tiny centroids x a corpus scan
     (no corpus shuffle) + one posexplode aggregation whose exchange
     carries k x DIM rows after map-side partial aggregation. State
-    between rounds is the k-row centroid table only.
+    between rounds is the k-row centroid table only. ``checkpoint_dir``
+    selects reliable vs local checkpointing for the per-round sketch
+    materializations (see :func:`_truncator`).
     """
-    q, cents = _kmeans_train(embeddings, k, iterations, scale)
+    q, cents = _kmeans_train(embeddings, k, iterations, scale, checkpoint_dir)
     return (
         _kmeans_assign(q, cents)
         .select("vec_id", "cell", "dist")
@@ -451,16 +492,23 @@ def _kmeans_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _kmeans_train(
-    embeddings: DataFrame, k: int, iterations: int, scale: int
+    embeddings: DataFrame,
+    k: int,
+    iterations: int,
+    scale: int,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(quantized vectors, trained centroid table (cell, c))."""
-    q = spread(embeddings).select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-        ).alias("q"),
-    ).localCheckpoint()  # read every round + final assign: materialize once
+    _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
+    q = _truncate(
+        spread(embeddings).select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+            ).alias("q"),
+        )
+    )  # read every round + final assign: materialize once
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("q").alias("c")
     )
@@ -471,7 +519,7 @@ def _kmeans_train(
             .groupBy("cell", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        cents = (
+        cents = _truncate(
             sums.withColumn("m", F.expr("s div n"))
             .groupBy("cell")
             .agg(
@@ -483,7 +531,6 @@ def _kmeans_train(
             # k tiny rows, but a LAZY cents chains the whole previous
             # round into this one's plan (and any consumer reading the
             # result twice re-runs the training) — materialize per round
-            .localCheckpoint()
         )
     return q, cents
 
@@ -555,6 +602,7 @@ def ivf_trained_topk(
     n_probe: int = N_PROBE,
     iterations: int = 2,
     scale: int = 10000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """IVF ANN over TRAINED cells: the Lloyd-refined quantizer from
     :func:`kmeans_cells` replaces ivf_topk's first-N seed centroids;
@@ -565,19 +613,23 @@ def ivf_trained_topk(
     identical to ivf_topk: broadcast centroids, disjoint cells, no
     corpus shuffle beyond the training aggregations.
     """
-    q, cents = _kmeans_train(embeddings, n_centroids, iterations, scale)
+    q, cents = _kmeans_train(
+        embeddings, n_centroids, iterations, scale, checkpoint_dir
+    )
+    _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
     w = Window.partitionBy("vec_id").orderBy("dist", "cell")
     # slim (vec_id, cell, rn) ranking materialized ONCE: both the cand
     # and probe sides read it, and a lazy plan would re-run the
     # assignment per side (corpus x k int rows — sketch-table sized)
-    ranked = (
+    ranked = _truncate(
         q.crossJoin(F.broadcast(cents))
         .withColumn("dist", _kmeans_dist())
         .withColumn("rn", F.row_number().over(w))
         .select("vec_id", "cell", "rn")
-        .localCheckpoint()
     )
-    emb = embeddings.select("vec_id", "embedding")
+    emb = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     cand = (
         ranked.filter(F.col("rn") == 1)
         .select("vec_id", "cell")
@@ -585,6 +637,7 @@ def ivf_trained_topk(
         .select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
             "cell",
         )
     )
@@ -595,11 +648,12 @@ def ivf_trained_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             "cell",
         )
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(probe)
@@ -627,6 +681,8 @@ def semantic_neardup_pairs(
     n_cells: int = 8,
     iterations: int = 2,
     scale: int = 10000,
+    max_cell: int | None = 4096,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: k-means cell
     blocking + exact cosine within each cell (Abbas et al. 2023,
@@ -635,6 +691,23 @@ def semantic_neardup_pairs(
     sum of per-cell squares, never corpus² — the property that makes
     semantic dedup tractable at 100 TB (the paper's clustering step,
     here the same verified trainer the IVF path uses).
+
+    ``max_cell`` is the degenerate-cell guardrail (the twin of
+    MinHash's ``max_bucket``): within-cell pair volume is quadratic in
+    cell size, so one mega-cell — collapsed embeddings, a fixed k at a
+    grown corpus — can dominate the whole join. Cells larger than
+    ``max_cell`` are SPLIT into contiguous vec_id-ordered chunks of at
+    most ``max_cell`` rows and only within-chunk pairs are emitted:
+    cost is re-bounded at max_cell x rows per cell; pairs crossing a
+    chunk boundary of an oversized cell are the (documented) recall
+    loss. SemDeDup's own recipe keeps cells small by scaling k with
+    the corpus (~100K clusters in the paper) — prefer raising
+    ``n_cells``; the guardrail is the backstop when k lags the data.
+    Chunking is a window rank, deterministic and engine-identical.
+
+    Per-vector norms are computed once in the materialized cells table
+    (norm(v) = sqrt(dot(v,v)) is the same IEEE value per-row or
+    per-pair), so the per-pair work is a single dot product.
 
     The cosine is rounded to 4 decimals BEFORE thresholding so the
     boundary decision is identical across engines (same rule as the
@@ -645,22 +718,39 @@ def semantic_neardup_pairs(
     pairwise cosine ~0.51); on real model embeddings the SemDeDup
     operating point is ~0.95+ — pass it explicitly.
     """
-    q, cents = _kmeans_train(embeddings, n_cells, iterations, scale)
-    cells = (
+    q, cents = _kmeans_train(embeddings, n_cells, iterations, scale, checkpoint_dir)
+    _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
+    assigned = (
         _kmeans_assign(q, cents)
         .select("vec_id", "cell")
-        .join(embeddings.select("vec_id", "embedding"), "vec_id")
-        # both self-join sides read the assignment: materialize once
-        .localCheckpoint()
+        .join(
+            embeddings.select(
+                "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+            ),
+            "vec_id",
+        )
     )
+    if max_cell is not None:
+        wc = Window.partitionBy("cell").orderBy("vec_id")
+        assigned = assigned.withColumn(
+            "chunk",
+            ((F.row_number().over(wc) - F.lit(1)) / F.lit(max_cell)).cast(
+                "int"
+            ),
+        )
+    else:
+        assigned = assigned.withColumn("chunk", F.lit(0))
+    # both self-join sides read the assignment: materialize once
+    cells = _truncate(assigned)
     a, b = cells.alias("a"), cells.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -679,6 +769,7 @@ def semantic_neardup_pairs_oracle(
     n_cells: int = 8,
     iterations: int = 2,
     scale: int = 10000,
+    max_cell: int | None = 4096,
 ) -> str:
     prefix, last = _kmeans_oracle_prefix(n_cells, iterations, scale)
     dot = (
@@ -688,12 +779,18 @@ def semantic_neardup_pairs_oracle(
     aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
     bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
     ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    chunk = (
+        f"(ROW_NUMBER() OVER (PARTITION BY tr.cell ORDER BY tr.vec_id) - 1) "
+        f"// {max_cell}"
+        if max_cell is not None
+        else "0"
+    )
     return f"""{prefix},
 tp AS (
   SELECT q.vec_id, {last}.cell, {_kmeans_oracle_l2(last)} AS dist
   FROM q CROSS JOIN {last}
 ), cells AS (
-  SELECT tr.vec_id, tr.cell, e.embedding
+  SELECT tr.vec_id, tr.cell, e.embedding, {chunk} AS chunk
   FROM (
     SELECT vec_id, cell,
            ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -705,7 +802,7 @@ tp AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM cells a JOIN cells b
-  ON a.cell = b.cell AND a.vec_id < b.vec_id
+  ON a.cell = b.cell AND a.chunk = b.chunk AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
@@ -826,7 +923,9 @@ def ann_multiprobe_topk(
     """
     with_bucket = spread(embeddings).withColumn(
         "bucket", _bucket(F.col("embedding"))
-    ).localCheckpoint()  # both join sides read it: hash once, not twice
+    ).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
     probes = F.array(
         F.col("bucket"),
         *[
@@ -839,6 +938,7 @@ def ann_multiprobe_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.explode(probes).alias("probe_bucket"),
         )
     )
@@ -846,9 +946,10 @@ def ann_multiprobe_topk(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        F.col("nrm").alias("c_nrm"),
     )
     sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+        F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
         F.broadcast(q)

@@ -305,6 +305,71 @@ class TestMultiProbe:
         assert len(multi) >= len(single)
 
 
+class TestSemanticDedup:
+    def test_max_cell_guardrail_splits_oversized_cells(self, spark):
+        """Cells larger than max_cell are split into contiguous
+        vec_id-ordered chunks; only within-chunk pairs survive — the
+        quadratic-cell backstop (MinHash's max_bucket twin). Six
+        identical vectors in one cell: unguarded = C(6,2)=15 pairs;
+        max_cell=3 -> chunks {0,1,2},{3,4,5} = 3+3=6 pairs."""
+        from rigatoni_spark.llm.vectors import semantic_neardup_pairs
+
+        v = [1.0] * 64
+        df = spark.createDataFrame(
+            [(i, v, 0) for i in range(6)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        unguarded = semantic_neardup_pairs(
+            df, threshold=0.9, n_cells=1, max_cell=None
+        ).collect()
+        assert len(unguarded) == 15
+        guarded = semantic_neardup_pairs(
+            df, threshold=0.9, n_cells=1, max_cell=3
+        ).collect()
+        got = {(r["vec_a"], r["vec_b"]) for r in guarded}
+        assert got == {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+
+    def test_guardrail_noop_when_cells_fit(self, spark, embeddings):
+        """With max_cell above every cell size the chunk key is
+        constant 0 and results are identical to the unguarded path."""
+        from rigatoni_spark.llm.vectors import semantic_neardup_pairs
+
+        def pairs(max_cell):
+            return {
+                (r["vec_a"], r["vec_b"], r["cosine"])
+                for r in semantic_neardup_pairs(
+                    embeddings, max_cell=max_cell
+                ).collect()
+            }
+
+        assert pairs(10**6) == pairs(None)
+
+    def test_kmeans_family_reliable_checkpoint_path(
+        self, spark, embeddings, tmp_path
+    ):
+        """checkpoint_dir threads through the k-means family (trainer,
+        trained IVF, semantic dedup) — same results as localCheckpoint,
+        and the dir actually receives RDD checkpoint data (the
+        executor-loss-safe path for multi-node runs)."""
+        import os
+
+        from rigatoni_spark.llm.vectors import (
+            ivf_trained_topk,
+            kmeans_cells,
+            semantic_neardup_pairs,
+        )
+
+        ckpt = str(tmp_path / "km_ckpt")
+        for fn in (kmeans_cells, ivf_trained_topk, semantic_neardup_pairs):
+            default = [tuple(r) for r in fn(embeddings).collect()]
+            reliable = [
+                tuple(r)
+                for r in fn(embeddings, checkpoint_dir=ckpt).collect()
+            ]
+            assert default == reliable, fn.__name__
+        assert any(os.scandir(ckpt)), "no checkpoint data written"
+
+
 class TestSampling:
     """Deterministic hash sampling: same input -> same sample, any
     partitioning, any run; fractions hold in expectation."""
