@@ -416,26 +416,53 @@ VALUE_TIERS: list[tuple[str, float, float]] = [
 ]
 
 
-def range_join_value_tiers(events: DataFrame) -> DataFrame:
-    """Range join: band each event's measure into a tier dimension via
-    a non-equi ``lo <= value < hi`` condition — the banding/bucketing
-    join Spark has no native operator for.
+def range_join(
+    fact: DataFrame, bands: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """General range (banding) join: attach the ``bands`` row whose
+    ``lo <= value < hi`` interval contains each fact row's measure —
+    the non-equi join Spark has no native operator for.
 
-    The tier table is tiny and broadcast, so the plan is a
-    BroadcastNestedLoopJoin: each event row scans ~|tiers| broadcast
+    The band table is tiny and broadcast, so the plan is a
+    BroadcastNestedLoopJoin: each fact row scans ~|bands| broadcast
     rows — linear in the fact table, no shuffle, which is the only
     range-join shape that survives 100 TB (a shuffle range join would
-    need an interval partitioner). Non-overlapping tiers guarantee
-    one output row per event.
+    need an interval partitioner). Use this form when the bands are
+    only known at runtime (a DataFrame); when they are compile-time
+    literals, :func:`range_join_value_tiers` compiles them into a CASE
+    projection instead — no join at all.
     """
-    spark = events.sparkSession
-    tiers = spark.createDataFrame(VALUE_TIERS, "tier string, lo double, hi double")
-    j = events.join(
-        F.broadcast(tiers),
-        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    return fact.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi")),
     )
+
+
+def range_join_value_tiers(events: DataFrame) -> DataFrame:
+    """Band each event's measure into the static VALUE_TIERS and
+    aggregate per tier.
+
+    The tiers are non-overlapping COMPILE-TIME constants, so the
+    banding join folds into a chained CASE projection evaluated in the
+    scan stage — zero join, zero shuffle before the 3-group aggregate.
+    This replaced the earlier broadcast-nested-loop form (round 4):
+    the BNLJ re-evaluated both band bounds per (row x tier) and was
+    the bench's only regression; the CASE does one short-circuit band
+    lookup per row. Events outside every tier are dropped, matching
+    the inner join. For bands that are only known at runtime, use
+    :func:`range_join` (the BNLJ shape).
+    """
+    tier = F.lit(None).cast("string")
+    # build the CASE bottom-up so tiers short-circuit in declared order
+    for name, lo, hi in reversed(VALUE_TIERS):
+        tier = F.when(
+            (F.col("value") >= F.lit(lo)) & (F.col("value") < F.lit(hi)),
+            F.lit(name),
+        ).otherwise(tier)
     return (
-        j.groupBy("tier")
+        events.select(tier.alias("tier"), "value")
+        .filter(F.col("tier").isNotNull())
+        .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("value").alias("min_value"),

@@ -119,6 +119,13 @@ class TestNewOperatorPlans:
         assert plan.count("Exchange") <= 2
         assert "Join" not in plan
 
+    def test_range_tiers_is_case_projection(self, spark):
+        # static non-overlapping bands compile to a CASE in the scan
+        # stage — no join of any kind; one agg exchange + orderBy range
+        plan = _plan(spark, "rel_range_join_tiers")
+        assert "Join" not in plan
+        assert plan.count("Exchange") <= 2
+
     def test_temperature_mix_broadcasts_rates(self, spark):
         # the per-stratum rate table must come back to the corpus as a
         # broadcast — a shuffled join here would shuffle the whole
