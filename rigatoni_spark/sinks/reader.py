@@ -37,13 +37,26 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
     if cfg.format is SerializationFormat.PARQUET:
         return reader.parquet(base)
     if cfg.format is SerializationFormat.AVRO:
+        if ext.endswith(".gz"):
+            # outer-gzipped .avro.gz objects are opaque to the jar tier
+            # (spark-avro decompresses CONTAINER codecs, not whole-file
+            # gzip) — route to the python codec deliberately rather
+            # than let the jar fail and mask the reason
+            return _read_avro_fallback(spark, base.replace("file:", ""), ext)
         try:
             return reader.format("avro").load(base)
         except Exception as e:  # noqa: BLE001
-            # fallback ONLY for the jar-absent case (same gate as the
-            # writer); a real read error with the jar present must
+            # fallback ONLY on the jar-absent signature; any other
+            # failure with the jar present (corrupt object, schema
+            # mismatch — messages that also contain 'avro') must
             # surface, not be masked by the python tier
-            if not ("avro" in str(e).lower() or "Failed to find" in str(e)):
+            msg = str(e)
+            jar_absent = (
+                "Failed to find data source" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            )
+            if not jar_absent:
                 raise
             return _read_avro_fallback(spark, base.replace("file:", ""), ext)
     raise ValueError(f"unknown format {cfg.format}")
@@ -86,7 +99,18 @@ def _read_avro_fallback(spark: SparkSession, base: str, ext: str) -> DataFrame:
         if ext.endswith(".gz"):
             data = gzip.decompress(data)
         schema, recs = read_avro_bytes(data)
-        fields = [(fd["name"], fd["type"][1]) for fd in schema["fields"]]
+        file_fields = [(fd["name"], fd["type"][1]) for fd in schema["fields"]]
+        if not fields:
+            # the FIRST file pins the schema; later files must match it
+            # exactly or rows would silently misalign (mixed writer
+            # versions under one base_uri)
+            fields = file_fields
+        elif file_fields != fields:
+            raise ValueError(
+                f"Avro schema mismatch under {base}: {f} declares fields "
+                f"{[n for n, _ in file_fields]} but the first file "
+                f"declared {[n for n, _ in fields]}"
+            )
         for rec in recs:
             row = []
             for name, ftype in fields:

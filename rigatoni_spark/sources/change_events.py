@@ -294,8 +294,19 @@ def as_change_events_stateful(
     operators/materialize.materialize_stream) keeps ONE string per
     document key — the last payload seen — and stamps each incoming
     event with it before the shared envelope projection, so the stream
-    converges to the batch envelope exactly (events arrive per-key
-    ordered; within a micro-batch they are sorted by (ts, event_id)).
+    converges to the batch envelope exactly (within a micro-batch rows
+    are sorted by (ts, event_id)).
+
+    HARD PRECONDITION — per-key monotonic arrival ACROSS micro-batches:
+    the state holds only the newest payload, so an event arriving after
+    a newer one for the same key would get a wrong pre-image AND poison
+    the state for every later event. That holds for the ordered file
+    feed and for Kafka per-partition order (the two supported sources);
+    it is NOT checked away silently — the state tracks the (ts,
+    event_id) of its last applied event and an older arrival fails the
+    micro-batch with a descriptive error instead of corrupting output.
+    For genuinely unordered logs use the batch LAG path, which orders
+    globally.
 
     Scale: state is |live keys| x ~payload bytes, independent of log
     length; RocksDB state store spills it off-heap on a cluster. The
@@ -322,7 +333,17 @@ def as_change_events_stateful(
         list(df.schema.fields)
         + [T.StructField("_prev_props", T.StringType(), True)]
     )
-    state_schema = T.StructType([T.StructField("last_props", T.StringType())])
+    state_schema = T.StructType(
+        [
+            T.StructField("last_props", T.StringType()),
+            # (ts nanos, event_id) of the last APPLIED event: the
+            # monotonic-arrival canary (see docstring) — an older
+            # arrival means the state payload is not this event's
+            # pre-image and must fail loudly
+            T.StructField("last_ts", T.LongType()),
+            T.StructField("last_eid", T.LongType()),
+        ]
+    )
     raw_cols = df.columns
 
     def attach_prev(
@@ -330,7 +351,7 @@ def as_change_events_stateful(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        last = state.get[0] if state.exists else None
+        last, last_ts, last_eid = state.get if state.exists else (None,) * 3
         # a key's micro-batch rows can span multiple Arrow chunks in
         # shuffle (not time) order — concatenate and sort ONCE; sorting
         # chunks independently would corrupt the seam payloads
@@ -339,14 +360,28 @@ def as_change_events_stateful(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             ).reset_index(drop=True)
+            if last_ts is not None:
+                first = (int(pdf["ts"].iloc[0].value), int(pdf["event_id"].iloc[0]))
+                if first < (last_ts, last_eid):
+                    raise ValueError(
+                        f"out-of-order arrival for key {key}: event "
+                        f"(ts={pdf['ts'].iloc[0]}, event_id={first[1]}) is "
+                        "older than the state's last applied event — "
+                        "per-key monotonic arrival is a hard precondition "
+                        "of as_change_events_stateful; replay from the "
+                        "checkpoint in order, or use the batch LAG path "
+                        "for unordered logs"
+                    )
             # vectorized per-key LAG: shift by one, seam filled from state
             prevs = pdf["props"].astype(object).shift(1)
             prevs.iloc[0] = last
             last = pdf["props"].iloc[-1]
+            last_ts = int(pdf["ts"].iloc[-1].value)
+            last_eid = int(pdf["event_id"].iloc[-1])
             pdf = pdf[raw_cols].copy()
             pdf["_prev_props"] = prevs
             yield pdf
-        state.update((last,))
+        state.update((last, last_ts, last_eid))
 
     with_prev = df.groupBy("user_id").applyInPandasWithState(
         attach_prev,

@@ -134,6 +134,40 @@ def test_required_mode_aborts_stream_on_missing_preimage(spark, tmp_path):
     assert "required" in str(exc.value)
 
 
+def test_out_of_order_arrival_fails_loudly(spark, tmp_path):
+    """Per-key monotonic arrival is a hard precondition of the stateful
+    pre-image operator (state keeps only the newest payload). An event
+    arriving AFTER a newer one for the same key would silently get a
+    wrong pre-image and poison later state — so the monotonicity canary
+    must abort the micro-batch with a descriptive error instead."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(SF_EVENTS)
+    # newest half first, then the older half arrives "late"
+    pq.write_table(t.slice(t.num_rows // 2), str(src / "a_newer.parquet"))
+
+    def run_once():
+        sdf = read_change_events_stream(
+            spark, str(src), before_images="whenAvailable"
+        )
+        q = (
+            sdf.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    pq.write_table(t.slice(0, t.num_rows // 2), str(src / "b_older.parquet"))
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as exc:
+        run_once()
+    assert "out-of-order" in str(exc.value)
+
+
 def test_stateful_stream_under_rocksdb_state_store(spark, tmp_path):
     """The 100 TB state posture (SCALE.md) prescribes the RocksDB state
     store for large live-key sets; prove the stateful operator actually

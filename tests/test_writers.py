@@ -221,6 +221,55 @@ class TestReadBack:
         assert write_batch(sample, cfg, batch_id=1)
         assert read_sink_output(spark, cfg).count() == sample.count()
 
+    def test_avro_fallback_rejects_mixed_schemas(self, spark, tmp_path):
+        """Objects under one base_uri written with differing field sets
+        (mixed writer versions) must raise a descriptive mismatch error
+        in the python read tier — never silently misalign columns
+        against whichever file's schema was read last."""
+        import pyarrow as pa
+        import pytest
+
+        from rigatoni_spark.sinks.avro_codec import write_avro
+        from rigatoni_spark.sinks.reader import _read_avro_fallback
+
+        base = tmp_path / "mixed"
+        base.mkdir()
+        write_avro(
+            pa.table({"a": ["x"], "b": [1]}), str(base / "0.avro")
+        )
+        write_avro(
+            pa.table({"a": ["y"], "c": [2.0]}), str(base / "1.avro")
+        )
+        with pytest.raises(ValueError, match="schema mismatch"):
+            _read_avro_fallback(spark, str(base), ".avro")
+
+    def test_avro_gzip_read_uses_python_tier_deliberately(
+        self, spark, change_events, tmp_path
+    ):
+        """Outer-gzipped .avro.gz objects are opaque to spark-avro
+        (container codecs only), so the reader must route them to the
+        python codec up front instead of gating on a jar error."""
+        from unittest import mock
+
+        from rigatoni_spark.sinks import reader as sink_reader
+
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path / "gz"),
+            format=SerializationFormat.AVRO,
+            compression=CompressionCodec.GZIP,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        sample = change_events.limit(50)
+        assert write_batch(sample, cfg, batch_id=1)
+        with mock.patch.object(
+            sink_reader,
+            "_read_avro_fallback",
+            wraps=sink_reader._read_avro_fallback,
+        ) as spy:
+            back = sink_reader.read_sink_output(spark, cfg)
+            assert back.count() == sample.count()
+            assert spy.called
+
     def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
         from pyspark.sql import functions as F
 
