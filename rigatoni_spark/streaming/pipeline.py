@@ -82,6 +82,12 @@ class Pipeline:
         self._queries: list = []
         self._lock = threading.Lock()
         self._invalidated: str | None = None
+        # S2 auto-discovery parity (pipeline.rs:1344-1353): at Database/
+        # Deployment level the live watch picks up collections created
+        # mid-stream; the file source gets that for free (collection is
+        # a data column), and this set makes it OBSERVABLE — the
+        # active-collections gauge tracks collections actually seen
+        self._seen_collections: set[str] = set(self.config.collections or [])
 
     # -- transforms applied inside each micro-batch -----------------------
 
@@ -159,6 +165,9 @@ class Pipeline:
                 self.stats.events_processed += n
                 self.stats.batches_written += 1
                 self.stats.keys_written.extend(keys)
+                self._seen_collections.update(group_times)
+                n_seen = len(self._seen_collections)
+            self.metrics.set_gauge(M.ACTIVE_COLLECTIONS, float(n_seen))
             self.metrics.inc(M.EVENTS_PROCESSED, n)
             self.metrics.inc(M.BATCHES_WRITTEN)
             self.metrics.set_gauge(M.BATCH_SIZE, n)

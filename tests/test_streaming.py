@@ -132,6 +132,44 @@ class TestPipelineE2E:
         assert os.path.isdir(os.path.join(ckpt, "app_c0"))
         assert os.path.isdir(os.path.join(ckpt, "app_c1"))
 
+    def test_new_collection_discovered_mid_stream(self, spark, dirs):
+        """S2 auto-discovery parity (pipeline.rs:1344-1353): a collection
+        that did not exist at stream start flows — with no restart and no
+        config change — into per-collection output keys, the key manifest,
+        and the rigatoni_active_collections gauge."""
+        import pyarrow.compute as pc
+
+        from rigatoni_spark.streaming import metrics as M
+
+        src, out, ckpt = dirs
+        t = pq.read_table(SF_EVENTS)
+        coll = pc.bit_wise_and(t.column("user_id"), 3)  # user_id % 4
+        pq.write_table(
+            t.filter(pc.not_equal(coll, 3)).slice(0, 400),
+            os.path.join(src, "a.parquet"),
+        )
+        cfg = PipelineConfig(batch_timeout_secs=1.0)  # Database level
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        p = Pipeline(spark, cfg, sink, src, ckpt).start()
+        p.process_all_available()
+        colls_before = {k.split("/")[0] for k in p.stats.keys_written}
+        assert colls_before == {"c0", "c1", "c2"}
+        assert p.metrics.get(M.ACTIVE_COLLECTIONS) == 3.0
+        # the never-before-seen collection c3 appears mid-stream
+        pq.write_table(
+            t.filter(pc.equal(coll, 3)).slice(0, 100),
+            os.path.join(src, "b.parquet"),
+        )
+        p.process_all_available()
+        p.stop()
+        colls_after = {k.split("/")[0] for k in p.stats.keys_written}
+        assert colls_after == {"c0", "c1", "c2", "c3"}
+        assert p.metrics.get(M.ACTIVE_COLLECTIONS) == 4.0
+
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
         _feed(src, "a.parquet", 0, 1000)
