@@ -19,10 +19,11 @@ not a general Avro library:
   downstream consumers of small sink objects.
 
 Scale note: the jar path serializes executor-side in the JVM and is
-the 100 TB route; this fallback runs where the bytes are assembled
-(driver-side per staged part-file in writers.py), bounded by
+the 100 TB route; this fallback converts staged part-files as
+distributed executor tasks (one per part-file, writers.py rename
+pass; in-process when a batch staged a single file), bounded by
 micro-batch size — the same per-batch CPU-side serialization the
-reference performs in Rust.
+reference performs in Rust, but fanned out over the cluster.
 """
 
 from __future__ import annotations

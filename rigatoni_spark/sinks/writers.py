@@ -97,8 +97,9 @@ def _staged_writer(
         # executor-parallel JVM serialization, the 100 TB route.
         # Fallback tier: stage as parquet, then convert each staged
         # part-file with the pure-Python spec implementation
-        # (sinks/avro_codec.py) during the rename pass — driver-side,
-        # bounded by micro-batch size; real Avro output either way.
+        # (sinks/avro_codec.py) during the rename pass — distributed as
+        # one executor task per part-file, bounded by micro-batch size;
+        # real Avro output either way.
         if cfg.compression is CompressionCodec.ZSTD:
             # neither tier can produce the outer .avro.zst wrap this
             # environment's key layout promises (no zstd binding for
@@ -137,13 +138,18 @@ def _gzip_move(src_file: str, dest: str) -> None:
 def _convert_part_to_avro(src_file: str, dest: str, compression) -> None:
     """Fallback-tier Avro materialization: staged parquet part-file ->
     Avro container file (optionally gzip-wrapped, mtime pinned so
-    replayed batches produce byte-identical objects)."""
+    replayed batches produce byte-identical objects).
+
+    Runs as an EXECUTOR task when a batch stages multiple part-files
+    (see the rename pass) — module-level and self-contained so it
+    pickles cleanly into a Spark job."""
     import gzip as _gzip
 
     import pyarrow.parquet as pq
 
     from rigatoni_spark.sinks.avro_codec import write_avro
 
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
     table = pq.read_table(src_file)
     if compression is CompressionCodec.GZIP:
         tmp = dest + ".plain"
@@ -262,6 +268,7 @@ def _write_persisted(
 
     # move staged part-files onto the key layout
     keys: list[str] = []
+    avro_jobs: list[tuple[str, str, CompressionCodec]] = []
     for dirpath in sorted(glob.glob(os.path.join(staging, "**/"), recursive=True)):
         parts = [p for p in os.path.relpath(dirpath, staging).split(os.sep) if "=" in p]
         kv = dict(p.split("=", 1) for p in parts)
@@ -302,7 +309,7 @@ def _write_persisted(
             dest = os.path.join(out_root, key)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             if staged_mode == "avro_fallback":
-                _convert_part_to_avro(f, dest, cfg.compression)
+                avro_jobs.append((f, dest, cfg.compression))
             elif (
                 staged_mode == "avro_jar"
                 and cfg.compression is CompressionCodec.GZIP
@@ -314,5 +321,17 @@ def _write_persisted(
             else:
                 shutil.move(f, dest)
             keys.append(key)
+    if avro_jobs:
+        # fallback-tier conversion runs DISTRIBUTED: one executor task
+        # per staged part-file (parquet decode -> avro encode -> gzip is
+        # pure CPU and the jobs are independent). A single file skips
+        # the job-scheduling overhead and converts in-process.
+        if len(avro_jobs) == 1:
+            _convert_part_to_avro(*avro_jobs[0])
+        else:
+            sc = events.sparkSession.sparkContext
+            sc.parallelize(avro_jobs, len(avro_jobs)).foreach(
+                lambda j: _convert_part_to_avro(*j)
+            )
     shutil.rmtree(staging, ignore_errors=True)
     return keys
