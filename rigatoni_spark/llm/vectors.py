@@ -740,6 +740,15 @@ def semantic_neardup_pairs(
         )
     else:
         assigned = assigned.withColumn("chunk", F.lit(0))
+    # the chunk window leaves the table hash-partitioned by cell: with
+    # n_cells below the session parallelism the (broadcast) self-join's
+    # stream side would run on n_cells cores and idle the rest — spread
+    # it round-robin (result-independent; pairs come from the join
+    # condition). At production cell counts (SemDeDup ~100K) this
+    # branch never fires and no extra shuffle is inserted.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if n_cells < par:
+        assigned = assigned.repartition(par)
     # both self-join sides read the assignment: materialize once
     cells = _truncate(assigned)
     a, b = cells.alias("a"), cells.alias("b")
