@@ -32,23 +32,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rigatoni_spark.functions import dot_product, l2_norm
 from rigatoni_spark.tables import spread
 
 DIM = 64
 NBITS = 8  # LSH hyperplanes -> 256 buckets
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of elementwise double products."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+# the shared scalar-function layer provides the fold kernels; aliased
+# locally because every expression below is written in terms of them
+_dot = dot_product
+_norm = l2_norm
 
 
 def _truncator(spark, checkpoint_dir: str | None):
