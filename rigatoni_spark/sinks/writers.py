@@ -115,7 +115,16 @@ def _staged_writer(
             writer.format("avro").save(staging)
             return "avro_jar"
         except Exception as e:  # noqa: BLE001
-            if not ("avro" in str(e).lower() or "Failed to find" in str(e)):
+            # fall back ONLY on the jar-absent signature (same gate as
+            # sinks/reader.py): a real write failure with the jar
+            # present must surface, not silently switch tiers
+            msg = str(e)
+            jar_absent = (
+                "Failed to find data source" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            )
+            if not jar_absent:
                 raise
             df.write.mode("overwrite").partitionBy(*part_cols).option(
                 "compression", "snappy"
