@@ -465,17 +465,10 @@ def duplicate_clusters(
     propagation here is the readable baseline and the per-round plan
     shape is identical.
     """
+    from rigatoni_spark.tables import truncator
+
     spark = documents.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-        def _truncate(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def _truncate(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+    _truncate = truncator(spark, checkpoint_dir)
 
     # truncate the PAIR pipeline first: the undirected union below reads
     # it once per direction, which would execute the expensive

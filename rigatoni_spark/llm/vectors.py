@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rigatoni_spark.functions import dot_product, l2_norm
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, truncator
 
 DIM = 64
 NBITS = 8  # LSH hyperplanes -> 256 buckets
@@ -45,16 +45,10 @@ _dot = dot_product
 _norm = l2_norm
 
 
-def _truncator(spark, checkpoint_dir: str | None):
-    """Lineage-truncation strategy: ``None`` -> ``localCheckpoint``
-    (fastest; blocks live on executors, an executor loss kills the job —
-    fine single-node / short jobs), else reliable ``checkpoint()`` into
-    ``checkpoint_dir`` (HDFS/S3) surviving executor loss on a real
-    cluster. Same switch as ``dedup.duplicate_clusters``."""
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        return lambda df: df.checkpoint(eager=True)
-    return lambda df: df.localCheckpoint()
+# shared lineage-truncation switch (tables.truncator): None ->
+# localCheckpoint, else reliable checkpoint() — same semantics in
+# duplicate_clusters and the k-means family
+_truncator = truncator
 
 
 def cosine_topk(

@@ -39,6 +39,21 @@ import pyarrow as pa
 _MAGIC = b"Obj\x01"
 _SYNC = bytes(range(16))  # deterministic sync marker (spec: any 16 bytes)
 
+
+def is_jar_absent_error(e: BaseException) -> bool:
+    """True when an Avro read/write failed because the spark-avro jar
+    is not on the classpath — the ONLY condition that may route to this
+    fallback codec. Any other error (corrupt object, schema mismatch —
+    messages that also contain 'avro') must surface to the caller.
+    Shared by the writer and reader tiers so a Spark-version message
+    change is patched in one place."""
+    msg = str(e)
+    return (
+        "Failed to find data source" in msg
+        or "DATA_SOURCE_NOT_FOUND" in msg
+        or "ClassNotFoundException" in msg
+    )
+
 # ---------------------------------------------------------------- encoding
 
 

@@ -50,13 +50,9 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
             # failure with the jar present (corrupt object, schema
             # mismatch — messages that also contain 'avro') must
             # surface, not be masked by the python tier
-            msg = str(e)
-            jar_absent = (
-                "Failed to find data source" in msg
-                or "DATA_SOURCE_NOT_FOUND" in msg
-                or "ClassNotFoundException" in msg
-            )
-            if not jar_absent:
+            from rigatoni_spark.sinks.avro_codec import is_jar_absent_error
+
+            if not is_jar_absent_error(e):
                 raise
             return _read_avro_fallback(spark, base.replace("file:", ""), ext)
     raise ValueError(f"unknown format {cfg.format}")

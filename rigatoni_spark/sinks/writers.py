@@ -112,19 +112,23 @@ def _staged_writer(
                 ".avro.zst key this sink generates)"
             )
         try:
+            if cfg.compression is CompressionCodec.GZIP:
+                # the .avro.gz key wraps the WHOLE object in gzip; the
+                # jar's default INTERNAL block codec (snappy) would hide
+                # snappy blocks inside the gzip wrap — unreadable by the
+                # pure-Python tier (null/deflate only) and doubly
+                # compressed. Uncompressed blocks keep every .avro.gz
+                # object decodable by both tiers.
+                writer = writer.option("compression", "uncompressed")
             writer.format("avro").save(staging)
             return "avro_jar"
         except Exception as e:  # noqa: BLE001
-            # fall back ONLY on the jar-absent signature (same gate as
-            # sinks/reader.py): a real write failure with the jar
-            # present must surface, not silently switch tiers
-            msg = str(e)
-            jar_absent = (
-                "Failed to find data source" in msg
-                or "DATA_SOURCE_NOT_FOUND" in msg
-                or "ClassNotFoundException" in msg
-            )
-            if not jar_absent:
+            # fall back ONLY on the jar-absent signature: a real write
+            # failure with the jar present must surface, not silently
+            # switch tiers
+            from rigatoni_spark.sinks.avro_codec import is_jar_absent_error
+
+            if not is_jar_absent_error(e):
                 raise
             df.write.mode("overwrite").partitionBy(*part_cols).option(
                 "compression", "snappy"
@@ -335,6 +339,11 @@ def _write_persisted(
         # per staged part-file (parquet decode -> avro encode -> gzip is
         # pure CPU and the jobs are independent). A single file skips
         # the job-scheduling overhead and converts in-process.
+        # Precondition (same as the rest of this sink): staging and
+        # destination live on a filesystem ALL nodes see — already true,
+        # since executors wrote the staging part-files to these paths
+        # one step earlier; write_batch rejects non-filesystem URIs up
+        # front.
         if len(avro_jobs) == 1:
             _convert_part_to_avro(*avro_jobs[0])
         else:

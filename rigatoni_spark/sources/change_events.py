@@ -339,7 +339,12 @@ def as_change_events_stateful(
             # (ts nanos, event_id) of the last APPLIED event: the
             # monotonic-arrival canary (see docstring) — an older
             # arrival means the state payload is not this event's
-            # pre-image and must fail loudly
+            # pre-image and must fail loudly.
+            # NOTE: widening this schema (1 field -> 3) is a state-
+            # schema MIGRATION: checkpoints written by the 1-field
+            # version cannot resume against it — restart such streams
+            # from a fresh checkpointLocation (replay is idempotent;
+            # the sink's deterministic keys make rewrites byte-stable).
             T.StructField("last_ts", T.LongType()),
             T.StructField("last_eid", T.LongType()),
         ]

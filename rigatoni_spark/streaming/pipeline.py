@@ -86,7 +86,9 @@ class Pipeline:
         # Deployment level the live watch picks up collections created
         # mid-stream; the file source gets that for free (collection is
         # a data column), and this set makes it OBSERVABLE — the
-        # active-collections gauge tracks collections actually seen
+        # active-collections gauge counts WATCHED collections (the
+        # configured set at Collection level, like the reference's
+        # per-worker gauge) plus every collection actually observed
         self._seen_collections: set[str] = set(self.config.collections or [])
 
     # -- transforms applied inside each micro-batch -----------------------
@@ -166,8 +168,12 @@ class Pipeline:
                 self.stats.batches_written += 1
                 self.stats.keys_written.extend(keys)
                 self._seen_collections.update(group_times)
-                n_seen = len(self._seen_collections)
-            self.metrics.set_gauge(M.ACTIVE_COLLECTIONS, float(n_seen))
+                # gauge published under the same lock: per-collection
+                # queries run _foreach_batch concurrently, and a stale
+                # smaller count must not overwrite a newer one
+                self.metrics.set_gauge(
+                    M.ACTIVE_COLLECTIONS, float(len(self._seen_collections))
+                )
             self.metrics.inc(M.EVENTS_PROCESSED, n)
             self.metrics.inc(M.BATCHES_WRITTEN)
             self.metrics.set_gauge(M.BATCH_SIZE, n)

@@ -120,6 +120,19 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df
 
 
+def truncator(spark: SparkSession, checkpoint_dir: str | None):
+    """Lineage-truncation strategy shared by the iterative operators
+    (duplicate_clusters, the k-means family): ``None`` ->
+    ``localCheckpoint`` (fastest; blocks live on executors, an executor
+    loss kills the job — fine single-node / short jobs), else reliable
+    ``checkpoint()`` into ``checkpoint_dir`` (HDFS/S3), surviving
+    executor loss on a real cluster."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

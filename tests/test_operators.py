@@ -348,6 +348,43 @@ class TestSaltedJoin:
         assert {r["v"] for r in got if r["name"] is None} == {"orphan"}
 
 
+class TestRangeJoin:
+    def test_bnlj_form_matches_case_projection(self, spark):
+        """range_join (runtime bands, BroadcastNestedLoopJoin) and
+        range_join_value_tiers (literal bands compiled to a CASE) must
+        agree on the same tier aggregate — the two forms of one
+        operator."""
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.operators.advanced import (
+            VALUE_TIERS,
+            range_join,
+            range_join_value_tiers,
+        )
+        from rigatoni_spark.tables import load_table
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        bands = spark.createDataFrame(
+            VALUE_TIERS, "tier string, lo double, hi double"
+        )
+        via_join = (
+            range_join(events, bands)
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .orderBy("tier")
+        )
+        via_case = range_join_value_tiers(events)
+        assert [tuple(r) for r in via_join.collect()] == [
+            tuple(r) for r in via_case.collect()
+        ]
+        plan = via_join._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_register_views_enables_sql_over_envelope(spark):
     """SQL-first entry point: every raw table AND the derived
     change_events envelope are queryable via spark.sql after one call."""
