@@ -666,7 +666,7 @@ def ivf_trained_topk(
 def semantic_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    n_cells: int = 8,
+    n_cells: int = 16,
     iterations: int = 2,
     scale: int = 10000,
     max_cell: int | None = 4096,
@@ -763,7 +763,7 @@ def semantic_neardup_pairs(
 
 def semantic_neardup_pairs_oracle(
     threshold: float = 0.35,
-    n_cells: int = 8,
+    n_cells: int = 16,
     iterations: int = 2,
     scale: int = 10000,
     max_cell: int | None = 4096,
