@@ -690,7 +690,8 @@ def semantic_neardup_pairs(
     chunk boundary of an oversized cell are the (documented) recall
     loss. SemDeDup's own recipe keeps cells small by scaling k with
     the corpus (~100K clusters in the paper) — prefer raising
-    ``n_cells``; the guardrail is the backstop when k lags the data.
+    ``n_cells`` (the default 16 targets the bench corpora; scale it
+    with rows); the guardrail is the backstop when k lags the data.
     Chunking is a window rank, deterministic and engine-identical.
 
     Per-vector norms are computed once in the materialized cells table
