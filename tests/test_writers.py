@@ -221,6 +221,30 @@ class TestReadBack:
         assert write_batch(sample, cfg, batch_id=1)
         assert read_sink_output(spark, cfg).count() == sample.count()
 
+    def test_jar_absent_gate_is_specific(self):
+        """The shared jar-vs-fallback gate fires only on the jar-absent
+        signatures — real Avro errors (which also contain 'avro') must
+        surface instead of silently switching tiers."""
+        from rigatoni_spark.sinks.avro_codec import is_jar_absent_error
+
+        assert is_jar_absent_error(
+            Exception(
+                "Failed to find data source: avro. Avro is built-in but "
+                "external data source module since Spark 2.4"
+            )
+        )
+        assert is_jar_absent_error(
+            Exception("[DATA_SOURCE_NOT_FOUND] Failed to find the data source: avro")
+        )
+        assert is_jar_absent_error(
+            Exception("java.lang.ClassNotFoundException: avro.DefaultSource")
+        )
+        assert not is_jar_absent_error(Exception("Not an Avro data file"))
+        assert not is_jar_absent_error(
+            Exception("Found recursive reference in Avro schema")
+        )
+        assert not is_jar_absent_error(Exception("unsupported codec snappy"))
+
     def test_avro_fallback_rejects_mixed_schemas(self, spark, tmp_path):
         """Objects under one base_uri written with differing field sets
         (mixed writer versions) must raise a descriptive mismatch error
