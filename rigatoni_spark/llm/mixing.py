@@ -45,7 +45,7 @@ hex thresholds match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _MIX_SCALE = 4294967296.0  # 16**8: first-8-hex-digit threshold space
@@ -247,4 +247,146 @@ SELECT m.{strata_col},
        CAST(med AS DOUBLE) AS threshold_chars
 FROM m LEFT JOIN k ON m.{strata_col} = k.{strata_col}
 ORDER BY m.{strata_col}
+"""
+
+
+def token_budget_mix(
+    documents: DataFrame,
+    budget_fraction: float = 0.3,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget0",
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling: each stratum keeps a
+    deterministic hash-ordered prefix of its documents whose cumulative
+    token count stays within ``floor(budget_fraction * stratum_tokens)``
+    — how a training mix is actually assembled when mixture weights are
+    specified in tokens, not documents (the doc-count knob
+    temperature_mix turns cannot hit a token target when doc lengths
+    vary by stratum).
+
+    Keep rule: order docs by ``h = md5(salt:key)``; doc is kept iff the
+    running token sum up to AND including it is <= the stratum budget.
+    Returns per stratum ``n_docs, n_kept, tokens_total, tokens_kept``
+    (exact bigint sums), ordered by stratum.
+
+    Plan (100 TB) — the naive implementation is one window per stratum,
+    which serializes a dominant stratum onto a single task. Instead the
+    prefix sum is BUCKETED: ``bucket = substring(h, 1, 1)`` (16-way;
+    because the bucket is a *prefix* of h, global h-order equals
+    (bucket, h)-order), then
+
+    1. one hash agg to per-(stratum, bucket) token sums — a
+       |strata| x 16 row table;
+    2. exclusive bucket offsets + the stratum budget via a window over
+       that tiny table (driver-scale, broadcast back);
+    3. the corpus-side running sum is windowed within (stratum, bucket)
+       — 16 independent tasks per stratum instead of 1 — plus the
+       bucket's offset.
+
+    Widening the bucket key to 2+ hex chars (256/4096-way) re-shards a
+    still-dominant stratum without changing any kept/dropped decision.
+    All sums are integer/bigint: no float accumulation order effects.
+    """
+    h = _digest(key_col, salt)
+    base = documents.select(
+        F.col(strata_col).alias("stratum"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok"),
+        h.alias("h"),
+        F.substring(h, 1, 1).alias("bucket"),
+    )
+    per_bucket = base.groupBy("stratum", "bucket").agg(
+        F.sum("tok").alias("bsum"), F.count(F.lit(1)).alias("bn")
+    )
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("stratum")
+    offsets = per_bucket.select(
+        "stratum",
+        "bucket",
+        F.coalesce(F.sum("bsum").over(w_off), F.lit(0)).alias("off"),
+        F.floor(
+            F.lit(budget_fraction)
+            * F.sum("bsum").over(w_tot).cast("double")
+        )
+        .cast("bigint")
+        .alias("budget"),
+    )
+    w_cum = (
+        Window.partitionBy("stratum", "bucket")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        base.join(F.broadcast(offsets), ["stratum", "bucket"])
+        .select(
+            "stratum",
+            "tok",
+            ((F.sum("tok").over(w_cum) + F.col("off")) <= F.col("budget"))
+            .alias("keep"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("tok").alias("tokens_total"),
+            F.sum(F.when(F.col("keep"), F.col("tok")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    return kept.select(
+        F.col("stratum").alias(strata_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("tokens_total").cast("bigint").alias("tokens_total"),
+        F.col("tokens_kept").cast("bigint").alias("tokens_kept"),
+    ).orderBy(strata_col)
+
+
+def token_budget_mix_oracle(
+    budget_fraction: float = 0.3,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "budget0",
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {strata_col} AS stratum,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         md5('{salt}:' || CAST({key_col} AS VARCHAR)) AS h,
+         substring(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 1)
+           AS bucket
+  FROM documents
+),
+per_bucket AS (
+  SELECT stratum, bucket, SUM(tok) AS bsum FROM base GROUP BY ALL
+),
+offsets AS (
+  SELECT stratum, bucket,
+         COALESCE(SUM(bsum) OVER (PARTITION BY stratum ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         CAST(FLOOR(CAST({budget_fraction!r} AS DOUBLE)
+              * CAST(SUM(bsum) OVER (PARTITION BY stratum) AS DOUBLE))
+              AS BIGINT) AS budget
+  FROM per_bucket
+),
+flags AS (
+  SELECT b.stratum, b.tok,
+         (SUM(b.tok) OVER (PARTITION BY b.stratum, b.bucket ORDER BY b.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          + o.off) <= o.budget AS keep
+  FROM base b JOIN offsets o
+    ON b.stratum = o.stratum AND b.bucket = o.bucket
+)
+SELECT stratum AS {strata_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM flags GROUP BY stratum ORDER BY stratum
 """

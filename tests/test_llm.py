@@ -598,3 +598,132 @@ class TestTrainValTest:
         # 10%/10% in expectation; loose bounds for a 500-doc corpus
         assert by_split["train"] > by_split["val"]
         assert by_split["train"] > by_split["test"]
+
+
+class TestBoilerplate:
+    SCHEMA = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def _corpus(self, spark):
+        # docs 0-4 share the 3-gram "a b c" (doc frequency 5 = min_docs);
+        # every other gram is unique to its doc; doc 9 shares nothing
+        rows = [(i, f"a b c u{i} v{i}", "en", "s", 13) for i in range(5)]
+        rows.append((9, "x y z w q", "en", "s", 9))
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_hot_gram_detected_and_fraction_exact(self, spark):
+        from rigatoni_spark.llm import contamination
+
+        per = {
+            r["doc_id"]: r
+            for r in contamination.boilerplate_stats(
+                self._corpus(spark), n=3, min_docs=5
+            ).collect()
+        }
+        for i in range(5):
+            # grams: "a b c", "b c u{i}", "c u{i} v{i}" -> 1 of 3 hot
+            assert per[i]["n_grams"] == 3
+            assert per[i]["n_boilerplate"] == 1
+            assert per[i]["boiler_frac_x10k"] == 3333
+        assert per[9]["n_boilerplate"] == 0
+
+    def test_clean_drops_high_fraction_docs_keeps_short(self, spark):
+        from rigatoni_spark.llm import contamination
+
+        df = self._corpus(spark).union(
+            spark.createDataFrame([(50, "a b", "en", "s", 3)], self.SCHEMA)
+        )
+        kept = {
+            r["doc_id"]
+            for r in contamination.boilerplate_clean(
+                df, n=3, min_docs=5, max_frac=0.3
+            ).collect()
+        }
+        # 1/3 hot > 30% -> docs 0-4 dropped; clean doc 9 kept; the
+        # 2-token doc carries no 3-gram and trivially passes
+        assert kept == {9, 50}
+
+    def test_stats_match_repetition_population(self, documents):
+        """Every doc long enough to carry a 3-gram appears exactly once."""
+        from rigatoni_spark.llm import contamination
+
+        n_eligible = documents.filter(
+            F.size(F.split("text", " ")) >= 3
+        ).count()
+        rows = contamination.boilerplate_stats(documents).collect()
+        assert len(rows) == n_eligible
+        for r in rows:
+            assert 0 <= r["n_boilerplate"] <= r["n_grams"]
+            assert 0 <= r["boiler_frac_x10k"] <= 10000
+
+
+class TestTokenBudget:
+    def _naive(self, documents, budget_fraction):
+        """Single-ordered-prefix reference: per stratum, sort by
+        md5(salt:doc_id), keep while the running token sum fits."""
+        import hashlib
+        from collections import defaultdict
+
+        rows = documents.select("doc_id", "source", "text").collect()
+        by_src = defaultdict(list)
+        for r in rows:
+            h = hashlib.md5(f"budget0:{r['doc_id']}".encode()).hexdigest()
+            by_src[r["source"]].append((h, len(r["text"].split(" "))))
+        out = {}
+        for src, docs in by_src.items():
+            docs.sort()
+            total = sum(t for _, t in docs)
+            budget = int(budget_fraction * total)
+            cum = n_kept = tok_kept = 0
+            for _, t in docs:
+                cum += t
+                if cum <= budget:
+                    n_kept += 1
+                    tok_kept += t
+            out[src] = (len(docs), n_kept, total, tok_kept)
+        return out
+
+    def test_bucketed_prefix_sum_matches_naive_window(self, documents):
+        """The 16-way bucketed prefix sum must produce EXACTLY the
+        single-global-window answer — bucketing is a parallelization,
+        not an approximation."""
+        from rigatoni_spark.llm import mixing
+
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["n_kept"],
+                r["tokens_total"],
+                r["tokens_kept"],
+            )
+            for r in mixing.token_budget_mix(documents, 0.3).collect()
+        }
+        assert got == self._naive(documents, 0.3)
+
+    def test_budget_is_a_hard_ceiling_and_full_fraction_keeps_all(
+        self, documents
+    ):
+        from rigatoni_spark.llm import mixing
+
+        for r in mixing.token_budget_mix(documents, 0.3).collect():
+            assert r["tokens_kept"] <= int(0.3 * r["tokens_total"])
+            assert r["n_kept"] <= r["n_docs"]
+        for r in mixing.token_budget_mix(documents, 1.0).collect():
+            assert r["n_kept"] == r["n_docs"]
+            assert r["tokens_kept"] == r["tokens_total"]
+
+    def test_offsets_join_broadcasts(self, documents):
+        """The |strata| x 16 offsets table must broadcast back onto the
+        corpus — shuffling the corpus against a driver-scale table is
+        the scale bug the bucketed design exists to avoid."""
+        from rigatoni_spark.llm import mixing
+
+        plan = (
+            mixing.token_budget_mix(documents, 0.3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
