@@ -446,37 +446,92 @@ def kmeans_cells(
     hash-verifiable where float k-means is not; the float path would
     run the same plan.
 
-    Scale: per round, one broadcast of k tiny centroids x a corpus scan
-    (no corpus shuffle) + one posexplode aggregation whose exchange
-    carries k x DIM rows after map-side partial aggregation. State
-    between rounds is the k-row centroid table only. ``checkpoint_dir``
-    selects reliable vs local checkpointing for the per-round sketch
-    materializations (see :func:`_truncator`).
+    Scale: per round, ONE corpus scan — assignment is a pure projection
+    against the k centroid vectors inlined as array literals (argmin
+    over a ``transform`` of fold distances; no crossJoin, no window, no
+    corpus shuffle of any kind) — followed by one posexplode
+    aggregation whose exchange carries k x DIM rows after map-side
+    partial aggregation. State between rounds is the k-row centroid
+    set, COLLECTED to the driver (a bounded probe, k <= hundreds — the
+    same class as the vocab LIMIT in llm/dedup.py) and re-broadcast as
+    literals; executor loss can never lose training state.
+    ``checkpoint_dir`` selects reliable vs local checkpointing for the
+    one materialized artifact that remains, the quantized-vector
+    sketch (see :func:`_truncator`).
     """
     q, cents = _kmeans_train(embeddings, k, iterations, scale, checkpoint_dir)
-    return (
-        _kmeans_assign(q, cents)
-        .select("vec_id", "cell", "dist")
-        .orderBy("vec_id")
+    cell, dist = _kmeans_argmin(F.col("q"), cents)
+    return q.select(
+        "vec_id", cell.alias("cell"), dist.alias("dist")
+    ).orderBy("vec_id")
+
+
+def _quantize_expr(emb: Column, scale: int) -> Column:
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * scale).cast("bigint")
     )
 
 
-def _kmeans_dist():
-    return F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+def _cell_ids_expr(cents: list[tuple[int, list[int]]]) -> Column:
+    """Cell-id literal array in centroid-list order, rendered as one
+    SQL string for the same single-py4j-call reason as
+    :func:`_kmeans_dists`; empty list stays well-typed."""
+    if not cents:
+        return F.array().cast("array<bigint>")
+    return F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cents) + ")"
     )
 
 
-def _kmeans_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    return (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _kmeans_dist())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+def _kmeans_dists(qcol: Column, cents: list[tuple[int, list[int]]]) -> Column:
+    """Array of integer squared-L2 distances from ``qcol`` to every
+    centroid, in centroid-list (ascending cell id) order. Centroids are
+    expression literals — evaluation is a scan-stage projection. An
+    empty centroid list (empty training corpus) yields a well-typed
+    empty array — zero rows after posexplode, null argmin.
+
+    The k x dim literal block is rendered as ONE SQL string parsed by
+    a single ``F.expr`` call: building it from O(k*dim) ``F.lit``
+    column objects costs that many py4j round trips (~0.5s per
+    construction at k=16 x dim=64, re-paid every training round),
+    while the string parse is ~30ms."""
+    if not cents:
+        return F.array().cast("array<bigint>")
+    vecs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+            for _, c in cents
+        )
+        + ")"
     )
+    return F.transform(
+        vecs,
+        lambda c: F.aggregate(
+            F.zip_with(qcol, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _kmeans_argmin(
+    qcol: Column, cents: list[tuple[int, list[int]]]
+) -> tuple[Column, Column]:
+    """(cell, dist) of the nearest centroid. Ties -> lower cell id:
+    the centroid list is ascending by cell id and ``array_position``
+    returns the FIRST index of the minimum — the same rule as the
+    former (dist, cell)-ordered row_number. With no centroids (empty
+    training corpus) both columns are typed nulls — the corpus the
+    expressions project over is empty anyway."""
+    if not cents:
+        null = F.lit(None).cast("bigint")
+        return null, null
+    ids = _cell_ids_expr(cents)
+    dists = _kmeans_dists(qcol, cents)
+    dist = F.array_min(dists)
+    cell = F.element_at(ids, F.array_position(dists, dist).cast("int"))
+    return cell, dist
 
 
 def _kmeans_train(
@@ -485,29 +540,33 @@ def _kmeans_train(
     iterations: int,
     scale: int,
     checkpoint_dir: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(quantized vectors, trained centroid table (cell, c))."""
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """(quantized vectors, trained centroids as a driver-held
+    ascending-cell-id list).
+
+    The centroid recompute (``s div n`` truncating mean, pos-sorted
+    collect) stays a Spark expression for exact oracle parity; only the
+    k result rows are collected per round. Driver-held centroid state
+    removes both the per-round sketch materialization and the
+    executor-loss exposure the former localCheckpoint chain carried."""
     _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
     q = _truncate(
         spread(embeddings).select(
-            "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-            ).alias("q"),
+            "vec_id", _quantize_expr(F.col("embedding"), scale).alias("q")
         )
     )  # read every round + final assign: materialize once
-    cents = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("q").alias("c")
+    cents = sorted(
+        (r["vec_id"], list(r["q"]))
+        for r in q.filter(F.col("vec_id") < k).collect()
     )
     for _ in range(iterations):
+        cell, _ = _kmeans_argmin(F.col("q"), cents)
         sums = (
-            _kmeans_assign(q, cents)
-            .select("cell", F.posexplode("q").alias("pos", "v"))
+            q.select(cell.alias("cell"), F.posexplode("q").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        cents = _truncate(
+        rows = (
             sums.withColumn("m", F.expr("s div n"))
             .groupBy("cell")
             .agg(
@@ -516,10 +575,9 @@ def _kmeans_train(
                     lambda x: x["m"],
                 ).alias("c")
             )
-            # k tiny rows, but a LAZY cents chains the whole previous
-            # round into this one's plan (and any consumer reading the
-            # result twice re-runs the training) — materialize per round
+            .collect()  # k bounded rows: the whole inter-round state
         )
+        cents = sorted((r["cell"], list(r["c"])) for r in rows)
     return q, cents
 
 
@@ -601,38 +659,43 @@ def ivf_trained_topk(
     identical to ivf_topk: broadcast centroids, disjoint cells, no
     corpus shuffle beyond the training aggregations.
     """
-    q, cents = _kmeans_train(
+    _, cents = _kmeans_train(
         embeddings, n_centroids, iterations, scale, checkpoint_dir
     )
-    _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    # slim (vec_id, cell, rn) ranking materialized ONCE: both the cand
-    # and probe sides read it, and a lazy plan would re-run the
-    # assignment per side (corpus x k int rows — sketch-table sized)
-    ranked = _truncate(
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("dist", _kmeans_dist())
-        .withColumn("rn", F.row_number().over(w))
-        .select("vec_id", "cell", "rn")
+    # both sides derive their cells as PROJECTIONS over the corpus scan
+    # (quantization re-inlined per row — cheap arithmetic beats a
+    # vec_id join/shuffle at any scale); no materialized ranking table
+    # and no corpus-wide window remain
+    qexpr = _quantize_expr(F.col("embedding"), scale)
+    cell, _ = _kmeans_argmin(qexpr, cents)
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+        cell.alias("cell"),
     )
-    emb = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
-    cand = (
-        ranked.filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-        .join(emb, "vec_id")
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-            "cell",
-        )
-    )
+    # probe side: n_queries rows -> explode the per-centroid distance
+    # array and rank (dist, cell) per query; the window runs over
+    # n_queries x k rows, never the corpus
+    ids = _cell_ids_expr(cents)
+    wp = Window.partitionBy("vec_id").orderBy("dist", "cell")
     probe = (
-        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
-        .select("vec_id", "cell")
-        .join(emb, "vec_id")
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.posexplode(_kmeans_dists(qexpr, cents)).alias("pos", "dist"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "dist",
+            F.element_at(ids, F.col("pos") + 1).alias("cell"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -707,17 +770,18 @@ def semantic_neardup_pairs(
     pairwise cosine ~0.51); on real model embeddings the SemDeDup
     operating point is ~0.95+ — pass it explicitly.
     """
-    q, cents = _kmeans_train(embeddings, n_cells, iterations, scale, checkpoint_dir)
+    _, cents = _kmeans_train(embeddings, n_cells, iterations, scale, checkpoint_dir)
     _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
-    assigned = (
-        _kmeans_assign(q, cents)
-        .select("vec_id", "cell")
-        .join(
-            embeddings.select(
-                "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-            ),
-            "vec_id",
-        )
+    # cell is a projection over the corpus scan (quantization inlined);
+    # no assignment join — embedding, norm, and cell come off one pass
+    cell, _ = _kmeans_argmin(
+        _quantize_expr(F.col("embedding"), scale), cents
+    )
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        cell.alias("cell"),
     )
     if max_cell is not None:
         wc = Window.partitionBy("cell").orderBy("vec_id")
