@@ -76,10 +76,13 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
 
-    # first run includes JIT/codegen warmup; report the best of two
-    # steady-state runs (the figure comparable to the reference's
-    # criterion numbers, which also exclude warmup — and the same
-    # min-policy the per-query loop uses against hypervisor CPU steal)
+    # early runs include JIT/codegen warmup — measured to take TWO
+    # passes to settle (run sequence 4.0/1.9/1.5/1.27/1.26s on this
+    # box); report the best of two steady-state runs after two warmup
+    # passes (the figure comparable to the reference's criterion
+    # numbers, which also run a warmup phase to steady state — and the
+    # same min-policy the per-query loop uses against hypervisor steal)
+    run_spine()
     run_spine()
     spine_sec = min(run_spine(), run_spine())
     timings["cdc_spine_write"] = round(spine_sec, 3)
@@ -137,8 +140,10 @@ def main() -> None:
         finally:
             shutil.rmtree(stream_root, ignore_errors=True)
 
-    # like the spine: first run pays streaming-plan codegen/JIT (one-time
-    # in any long-lived deployment); report the best steady-state run
+    # like the spine: early runs pay streaming-plan codegen/JIT
+    # (one-time in any long-lived deployment) and settle after two
+    # passes; report the best steady-state run
+    run_stream()
     run_stream()
     stream_sec = min(run_stream(), run_stream())
     timings["streaming_pipeline"] = round(stream_sec, 3)

@@ -508,6 +508,12 @@ def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
             return tpch.q11_important_stock(
                 t["nation"], t["supplier"], t["part"], t["lineitem"]
             )
+        if name == "q12":
+            return tpch.q12_shipmode_priority(t["orders"], t["lineitem"])
+        if name == "q21":
+            return tpch.q21_waiting_suppliers(
+                t["supplier"], t["nation"], t["orders"], t["lineitem"]
+            )
         raise KeyError(name)
 
     return fn
@@ -611,6 +617,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_q20_excess_share": _rel("q20"),
     "rel_q22_sales_opportunity": _rel("q22"),
     "rel_q11_important_stock": _rel("q11"),
+    "rel_q12_shipmode_priority": _rel("q12"),
+    "rel_q21_waiting_suppliers": _rel("q21"),
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -930,6 +938,8 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_q20_excess_share": tpch.q20_oracle(),
     "rel_q22_sales_opportunity": tpch.q22_oracle(),
     "rel_q11_important_stock": tpch.q11_oracle(),
+    "rel_q12_shipmode_priority": tpch.q12_oracle(),
+    "rel_q21_waiting_suppliers": tpch.q21_oracle(),
     "rel_percentiles": """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.5) AS p50_total,

@@ -1,16 +1,18 @@
-"""TPC-H-shaped relational surface, part 2 (Q2/Q7/Q8/Q9/Q13/Q16/Q17/
-Q19/Q20/Q22 shapes).
+"""TPC-H-shaped relational surface, part 2 (Q2/Q7/Q8/Q9/Q12/Q13/Q16/
+Q17/Q19/Q20/Q21/Q22 shapes).
 
 Complements operators/relational.py (Q1/3/4/5/6/10/14/15/18): together
-the catalog covers the 20 TPC-H query shapes expressible on the
-testdata's reduced schema. The testdata has no ``partsupp`` table and
-lineitem lacks commit/receipt dates, so:
+the catalog covers all 22 TPC-H query shapes on the testdata's reduced
+schema. The testdata has no ``partsupp`` table and lineitem lacks
+commit/receipt dates, so:
 
 - Q2/Q9/Q16/Q20 use the DISTINCT (l_partkey, l_suppkey) pairs from
   lineitem as the part-supplier relation, and Q9's supply cost is the
   deterministic stand-in ``0.1 * p_retailprice``;
-- Q12/Q21 (commit/receipt-date semantics) are not representable and are
-  intentionally absent.
+- Q12/Q21 restate "late" as l_shipdate more than a threshold past
+  o_orderdate (the q4 restatement; the spec compares receipt vs commit
+  dates), and Q12 groups by l_returnflag in place of the absent
+  l_shipmode.
 
 Determinism follows the relational.py contract: monetary aggregates are
 exact DECIMAL sums cast to double once; ratio outputs divide two exact
@@ -685,4 +687,156 @@ WHERE c_acctbal > a
                     AND o_orderdate >= TIMESTAMP '{since}')
 GROUP BY cntrycode
 ORDER BY cntrycode
+"""
+
+
+def q12_shipmode_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 30,
+    year: int = 1995,
+) -> DataFrame:
+    """TPC-H Q12 shape: urgent-vs-other line counts for LATE shipments,
+    grouped by a low-cardinality lineitem attribute.
+
+    The testdata has no l_shipmode/l_commitdate/l_receiptdate, so the
+    group key is l_returnflag (3 values, same cardinality class as the
+    spec's 7 ship modes) and "late" is restated as l_shipdate more than
+    ``late_days`` past o_orderdate — the same restatement q4 uses.
+
+    The orderkey equi-join shuffles both sides; at production scale
+    orders and lineitem bucket on orderkey and the exchange disappears
+    (same note as q4). The priority CASE folds into the join's
+    map-side partial aggregation — the exchange after the join carries
+    |group keys| rows per partition.
+    """
+    j = lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    in_year = (
+        F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.filter(late & in_year)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q12_oracle(late_days: int = 30, year: int = 1995) -> str:
+    return f"""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+  AND l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate <  TIMESTAMP '{year + 1}-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    n_name: str | None = None,
+    late_days: int = 30,
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up a multi-supplier
+    order. "Late" is the q4/q12 restatement (l_shipdate more than
+    ``late_days`` past o_orderdate; the spec's receipt-past-commit
+    columns don't exist here).
+
+    The spec's correlated EXISTS ("another supplier on the order") /
+    NOT EXISTS ("no OTHER supplier was late") pair collapses into ONE
+    per-order aggregate — count of distinct suppliers, count of
+    distinct LATE suppliers, and the late supplier's key when it is
+    unique — so the plan is a single orderkey-shuffled aggregation
+    instead of two self-joins of lineitem (the shape that would
+    dominate cost at 100 TB). Supplier + the 1-nation filter broadcast
+    onto the surviving (rare) orders. (numwait DESC, s_name) is a
+    total order (s_name unique per supplier), so the LIMIT is
+    deterministic and oracle-stable. The spec's single-nation filter is
+    optional (``n_name=None`` keeps every nation): the testdata has
+    only a handful of suppliers per nation, so the filtered default
+    would gate on 1-2 rows.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    per_order = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_sup"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_sup"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_suppkey"),
+        )
+        .filter((F.col("n_sup") >= 2) & (F.col("n_late_sup") == 1))
+    )
+    nat = nation if n_name is None else nation.filter(
+        F.col("n_name") == n_name
+    )
+    sup = supplier.join(
+        F.broadcast(nat),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", "s_name")
+    return (
+        per_order.join(
+            F.broadcast(sup),
+            per_order["late_suppkey"] == sup["s_suppkey"],
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(limit)
+    )
+
+
+def q21_oracle(
+    n_name: str | None = None, late_days: int = 30, limit: int = 100
+) -> str:
+    nation_pred = "" if n_name is None else f" AND n_name = '{n_name}'"
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_sup,
+    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                             + INTERVAL {late_days} DAY
+                        THEN l_suppkey END) AS n_late_sup,
+    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+             THEN l_suppkey END) AS late_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON late_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_sup >= 2 AND n_late_sup = 1{nation_pred}
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {limit}
 """

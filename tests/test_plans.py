@@ -103,6 +103,24 @@ class TestNewOperatorPlans:
         assert plan.count("BroadcastHashJoin") >= 2
         assert "BroadcastNestedLoopJoin" in plan  # the 1-row total join
 
+    def test_q12_is_one_join_one_agg(self, spark):
+        plan = _plan(spark, "rel_q12_shipmode_priority")
+        # orderkey equi-join (broadcast at this SF; bucketed at scale)
+        # feeding a partial-agg groupBy on the 3-value key — no nested
+        # loop may appear for the date-band lateness predicate
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q21_broadcasts_supplier_side(self, spark):
+        plan = _plan(spark, "rel_q21_waiting_suppliers")
+        # the correlated-EXISTS pair is ONE per-order aggregate — no
+        # lineitem self-join; supplier+nation broadcast onto the rare
+        # surviving orders
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
     def test_chunk_dedup_no_cartesian(self, spark):
         plan = _plan(spark, "dedup_chunk_stats")
         assert "CartesianProduct" not in plan
