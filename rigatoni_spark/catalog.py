@@ -660,6 +660,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_kmeans_cells": _emb(vectors.kmeans_cells),
     "sim_ivf_trained_topk": _emb(vectors.ivf_trained_topk),
     "dedup_semantic_cells": _emb(vectors.semantic_neardup_pairs),
+    # the scale-path kernel (per-cell Arrow matmul) against the SAME
+    # oracle: row-identical to the expr kernel on this data (the
+    # 4-decimal rounding absorbs the accumulation-order delta;
+    # tests/test_approx_paths.py pins it)
+    "dedup_semantic_blas": _emb(
+        lambda emb: vectors.semantic_neardup_pairs(emb, pair_kernel="blas")
+    ),
     "sim_ann_multiprobe_topk": _emb(vectors.ann_multiprobe_topk),
     "sim_label_stats": _emb(vectors.label_stats),
     "sim_quantize_int8": _emb(vectors.quantize_int8),
@@ -983,6 +990,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "sim_kmeans_cells": vectors.kmeans_cells_oracle(),
     "sim_ivf_trained_topk": vectors.ivf_trained_topk_oracle(),
     "dedup_semantic_cells": vectors.semantic_neardup_pairs_oracle(),
+    "dedup_semantic_blas": vectors.semantic_neardup_pairs_oracle(),
     "sim_ann_multiprobe_topk": vectors.ann_multiprobe_topk_oracle(),
     "sim_label_stats": vectors.label_stats_oracle(),
     "sim_quantize_int8": vectors.quantize_int8_oracle(),

@@ -96,3 +96,43 @@ def test_quantile_gate_approx_swap_keeps_same_rows(spark):
         assert abs(n_approx - n_exact) <= max(0.05 * n_exact, 3.0), (
             lang, n_exact, n_approx
         )
+
+
+def test_semantic_blas_kernel_matches_expr_twin(spark):
+    """pair_kernel='blas' (per-cell Arrow matmul — the scale path) must
+    reproduce the oracle-exact expr kernel row for row: the only
+    divergence is dot-product accumulation order (~1e-13 relative),
+    which the 4-decimal rounding absorbs."""
+    from rigatoni_spark.llm.vectors import semantic_neardup_pairs
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expr_rows = [tuple(r) for r in semantic_neardup_pairs(emb).collect()]
+    blas_rows = [
+        tuple(r)
+        for r in semantic_neardup_pairs(emb, pair_kernel="blas").collect()
+    ]
+    assert expr_rows == blas_rows
+    assert len(expr_rows) > 0  # non-degenerate gate
+
+
+def test_semantic_blas_respects_max_cell_chunking(spark):
+    """The mega-cell guardrail bounds the blas kernel's matrix size the
+    same way it bounds the expr kernel's pair volume: with max_cell
+    forcing splits, both kernels emit the identical reduced pair set
+    (no cross-chunk pairs)."""
+    from rigatoni_spark.llm.vectors import semantic_neardup_pairs
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expr_rows = [
+        tuple(r)
+        for r in semantic_neardup_pairs(emb, n_cells=2, max_cell=64).collect()
+    ]
+    blas_rows = [
+        tuple(r)
+        for r in semantic_neardup_pairs(
+            emb, n_cells=2, max_cell=64, pair_kernel="blas"
+        ).collect()
+    ]
+    assert expr_rows == blas_rows
