@@ -72,3 +72,51 @@ class TestKeyGenProperties:
             for s in PartitionStrategy
         }
         assert len(keys) == len(list(PartitionStrategy))
+
+
+class TestKmeansArgminKernel:
+    """The Arrow argmin kernel must agree with a direct per-row Python
+    evaluation of the documented rule: integer squared-L2, ties to the
+    LOWER cell id. Independent of the SQL oracle (which exercises the
+    same rule end-to-end through training)."""
+
+    @given(
+        vecs=st.lists(  # corpus: 1-12 vectors of dim 4, values +/-1000
+            st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=4, max_size=4,
+            ),
+            min_size=1, max_size=12,
+        ),
+        cent_vecs=st.lists(  # centroids: 1-5 vectors, ids = list index
+            st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=4, max_size=4,
+            ),
+            min_size=1, max_size=5,
+        ),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_matches_python_reference(self, vecs, cent_vecs, spark):
+        import pyspark.sql.functions as F
+
+        from rigatoni_spark.llm.vectors import _kmeans_argmin_struct
+
+        cents = list(enumerate(cent_vecs))
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id bigint, q array<bigint>",
+        )
+        got = {
+            r["vec_id"]: (r["s"]["cell"], r["s"]["dist"])
+            for r in df.select(
+                "vec_id", _kmeans_argmin_struct(F.col("q"), cents).alias("s")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in cents
+            ]
+            want_dist, want_cell = min(dists)
+            assert got[i] == (want_cell, want_dist), (i, got[i], dists)
