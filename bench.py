@@ -162,13 +162,14 @@ def main() -> None:
     }
 
     # --- per-query timings (the catalog the driver hash-checks) ----------
-    # min over 2 FULL passes per query: this box runs under a hypervisor
+    # min over 3 FULL passes per query: this box runs under a hypervisor
     # with bursty CPU steal (~25% of user time in /proc/stat), which
-    # randomly stretches a stage 5x-30x; two executions of the same
-    # query separated by a whole pass (~minutes) decorrelate the bursts,
-    # where back-to-back repeats would not. The min is the steady-state
+    # randomly stretches a stage 5x-30x; executions of the same query
+    # separated by a whole pass (~minutes) decorrelate the bursts,
+    # where back-to-back repeats would not (a burst was still observed
+    # spanning both passes of a 2-pass min). The min is the steady-state
     # figure an unthrottled executor fleet delivers.
-    for pass_i in range(2):
+    for pass_i in range(3):
         for name, fn in QUERIES.items():
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
