@@ -489,6 +489,23 @@ def _np_centroids(cents: list[tuple[int, list[int]]]):
     return ids, mat
 
 
+def _np_dist_matrix_fn(cents: list[tuple[int, list[int]]]):
+    """The exactness-critical squared-L2 kernel, defined ONCE: returns
+    (ids, f) where f maps an Arrow batch's stacked (n, dim) int64
+    matrix to the (n, k) integer distance matrix |m|² + |c|² - 2 m·c.
+    Both :func:`_kmeans_dists` and :func:`_kmeans_argmin_struct` must
+    route cells/probe distances through this same expression —
+    ivf_trained_topk consumes both in one query and they may never
+    disagree."""
+    ids, C = _np_centroids(cents)
+    c_sq = (C * C).sum(axis=1)
+
+    def f(M):
+        return (M * M).sum(axis=1)[:, None] + c_sq[None, :] - 2 * (M @ C.T)
+
+    return ids, f
+
+
 def _cell_ids_expr(cents: list[tuple[int, list[int]]]) -> Column:
     """Cell-id literal array in centroid-list order, rendered as one
     parsed SQL string (one py4j call); empty list stays well-typed."""
@@ -521,19 +538,13 @@ def _kmeans_dists(qcol: Column, cents: list[tuple[int, list[int]]]) -> Column:
     import numpy as np
     import pandas as pd
 
-    _, C = _np_centroids(cents)
-    c_sq = (C * C).sum(axis=1)
+    _, dist_matrix = _np_dist_matrix_fn(cents)
 
     @F.pandas_udf("array<bigint>")
     def dists(s):
         if not len(s):
             return pd.Series([], dtype=object)
-        M = np.stack(s.to_numpy()).astype(np.int64)
-        d = (
-            (M * M).sum(axis=1)[:, None]
-            + c_sq[None, :]
-            - 2 * (M @ C.T)
-        )
+        d = dist_matrix(np.stack(s.to_numpy()).astype(np.int64))
         return pd.Series(list(d))
 
     return dists(qcol)
@@ -555,19 +566,13 @@ def _kmeans_argmin_struct(
     import numpy as np
     import pandas as pd
 
-    ids, C = _np_centroids(cents)
-    c_sq = (C * C).sum(axis=1)
+    ids, dist_matrix = _np_dist_matrix_fn(cents)
 
     @F.pandas_udf("struct<cell: bigint, dist: bigint>")
     def argmin(s):
         if not len(s):
             return pd.DataFrame({"cell": [], "dist": []}, dtype="int64")
-        M = np.stack(s.to_numpy()).astype(np.int64)
-        d = (
-            (M * M).sum(axis=1)[:, None]
-            + c_sq[None, :]
-            - 2 * (M @ C.T)
-        )
+        d = dist_matrix(np.stack(s.to_numpy()).astype(np.int64))
         a = d.argmin(axis=1)
         return pd.DataFrame(
             {"cell": ids[a], "dist": d[np.arange(len(a)), a]}
@@ -832,6 +837,11 @@ def semantic_neardup_pairs(
       tests/test_approx_paths.py), but the expr kernel remains the
       oracle-exact default.
     """
+    if pair_kernel not in ("expr", "blas"):
+        # validate BEFORE the multi-job training phase runs
+        raise ValueError(
+            f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
+        )
     _, cents = _kmeans_train(embeddings, n_cells, iterations, scale, checkpoint_dir)
     _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
     # cell is a projection over the corpus scan (quantization inlined);
@@ -866,10 +876,6 @@ def semantic_neardup_pairs(
         assigned = assigned.repartition(par)
     if pair_kernel == "blas":
         return _semantic_pairs_blas(assigned, threshold)
-    if pair_kernel != "expr":
-        raise ValueError(
-            f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
-        )
     # both self-join sides read the assignment: materialize once
     cells = _truncate(assigned)
     a, b = cells.alias("a"), cells.alias("b")
@@ -921,16 +927,35 @@ def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
             return empty
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         U = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        if not (nrm > 0).all():
+            # parity with the expr kernel, which fails the job with
+            # ANSI DIVIDE_BY_ZERO on a zero-norm embedding — numpy
+            # would silently emit NaN cosines instead
+            bad = pdf["vec_id"][~(nrm > 0)].tolist()[:5]
+            raise ValueError(
+                f"zero-norm embedding(s) in semantic dedup: vec_id {bad} "
+                "— cosine is undefined; filter degenerate vectors first"
+            )
         # divide by the Spark-fold norms riding the rows, so the only
         # accumulation-order divergence from the expr kernel is the dot
-        U = U / pdf["nrm"].to_numpy()[:, None]
+        U = U / nrm[:, None]
         ids = pdf["vec_id"].to_numpy()
         cell = int(pdf["cell"].iloc[0])
         out = []
         for s in range(0, n, 512):
             e = min(s + 512, n)
-            g = np.round(U[s:e] @ U.T, 4)  # (e-s, n) gram block
-            ia, ib = np.nonzero(g >= thr)
+            raw = U[s:e] @ U.T  # (e-s, n) gram block
+            # HALF_UP away from zero, matching F.round / DuckDB round
+            # (np.round is half-to-even: an exactly-representable
+            # half-point cosine like 1/32 = 0.03125 would round DOWN
+            # and break row-parity with the expr twin). NaN (zero-norm
+            # vector) stays NaN through floor and is kept below.
+            g = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+            # Spark's `cosine >= threshold` treats NaN as greater than
+            # any double (NaN sorts last); numpy comparisons drop NaN —
+            # keep them explicitly so the kernels emit identical rows
+            ia, ib = np.nonzero((g >= thr) | np.isnan(g))
             keep = (ia + s) < ib  # global upper triangle: vec_a < vec_b
             ia, ib = ia[keep], ib[keep]
             if len(ia):

@@ -136,3 +136,24 @@ def test_semantic_blas_respects_max_cell_chunking(spark):
         ).collect()
     ]
     assert expr_rows == blas_rows
+
+
+def test_semantic_zero_norm_fails_loudly_in_both_kernels(spark):
+    """A zero-norm embedding makes cosine undefined. The expr kernel
+    fails the job with ANSI DIVIDE_BY_ZERO; the blas kernel must fail
+    just as loudly (numpy would otherwise silently emit NaN cosines
+    and the two kernels would diverge on degenerate corpora)."""
+    import pytest
+
+    from rigatoni_spark.llm.vectors import semantic_neardup_pairs
+
+    rows = [(i, [float(i + 1)] * 64) for i in range(6)]
+    rows.append((6, [0.0] * 64))  # zero-norm vector
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    kw = dict(n_cells=1, threshold=0.99)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        semantic_neardup_pairs(emb, **kw).collect()
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        semantic_neardup_pairs(emb, pair_kernel="blas", **kw).collect()
