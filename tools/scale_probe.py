@@ -1,0 +1,121 @@
+"""Amplified-corpus scale probes behind SCALE.md's measured claims.
+
+Derives larger corpora from the driver testdata (never mutating it):
+
+- embeddings x16 (32K vectors): per-copy position-rotation/sign-flip —
+  same value distribution, no identical copies. Sweeps
+  ``semantic_neardup_pairs`` over n_cells x pair_kernel.
+- documents x10 (50K docs): per-copy alphabet rotation — copies share
+  no shingles, so near-dup mass grows exactly linearly while the
+  shared ``source`` blocking keys grow within-block candidate volume
+  100x (adversarial for the Jaccard guardrail, which routes oversized
+  blocks through MinHash-LSH banding).
+
+Usage: python tools/scale_probe.py [embeddings|documents|all]
+Prints one RESULT line per measurement. Wall times are single-shot on
+a shared box — treat ratios, not absolutes, as the signal.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _timed(label: str, fn) -> None:
+    t0 = time.time()
+    n = fn().count()
+    print(f"RESULT {label}: {time.time() - t0:.1f}s rows={n}", flush=True)
+
+
+def probe_embeddings(spark) -> None:
+    from rigatoni_spark.llm import vectors
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = spark.range(16).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_emb_") + "/emb.parquet"
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") * 16 + F.col("copy")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) ->"
+                " CASE WHEN (i + copy) % 7 < 3 THEN -x ELSE x END)"
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    print(f"RESULT embeddings corpus: {emb.count()} -> {big.count()}")
+    for kernel in ("expr", "blas"):
+        for cells in (16, 64, 256):
+            _timed(
+                f"semantic n_cells={cells} kernel={kernel}",
+                lambda c=cells, k=kernel: vectors.semantic_neardup_pairs(
+                    big, n_cells=c, pair_kernel=k
+                ),
+            )
+
+
+def probe_documents(spark) -> None:
+    from rigatoni_spark.llm import dedup, minhash, simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    branches = (
+        "CASE "
+        + " ".join(
+            f"WHEN copy = {c} THEN "
+            f"translate(text, '{ALPHA}', '{ALPHA[c:] + ALPHA[:c]}')"
+            for c in range(10)
+        )
+        + " END"
+    )
+    amp_path = tempfile.mkdtemp(prefix="scale_docs_") + "/docs.parquet"
+    (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"),
+            F.expr(branches).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    print(f"RESULT documents corpus: {docs.count()} -> {big.count()}")
+    probes = [
+        ("minhash_pairs", minhash.candidate_pairs),
+        ("ngram_jaccard", dedup.ngram_jaccard_pairs),
+        ("simhash_neardups", simhash.near_duplicates),
+        ("clusters", dedup.duplicate_clusters),
+    ]
+    for name, fn in probes:
+        for label, df in (("1x", docs), ("10x", big)):
+            _timed(f"{name} {label}", lambda f=fn, d=df: f(d))
+
+
+def main() -> None:
+    from rigatoni_spark.session import get_spark
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark(app_name="scale_probe")
+    if which in ("embeddings", "all"):
+        probe_embeddings(spark)
+    if which in ("documents", "all"):
+        probe_documents(spark)
+
+
+if __name__ == "__main__":
+    main()
