@@ -200,18 +200,40 @@ def ann_lsh_topk(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    pair_kernel: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (same-bucket only — no all-pairs) + exact cosine verify.
 
     The embedding analogue of MinHash dedup: at 100 TB the bucket join
-    bounds candidates; raise NBITS / add multi-probe for recall."""
+    bounds candidates; raise NBITS / add multi-probe for recall.
+
+    ``pair_kernel`` follows :func:`semantic_neardup_pairs`: ``"expr"``
+    (default) verifies each candidate pair with the oracle-exact
+    Catalyst fold; ``"blas"`` groups by bucket through
+    ``applyInPandas`` and verifies with a row-blocked matmul —
+    row-identical output, per-pair cost amortized into BLAS. Expected
+    bucket size is corpus/2^NBITS (raise NBITS as the corpus grows);
+    the 512-row block loop bounds per-task memory either way."""
+    if pair_kernel not in ("expr", "blas"):
+        raise ValueError(
+            f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
+        )
     with_bucket = spread(embeddings).withColumn(
         "bucket", _bucket(F.col("embedding"))
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
+    if pair_kernel == "blas":
+        return _grouped_blas_pairs(
+            with_bucket.select("vec_id", "embedding", "nrm", "bucket"),
+            ["bucket"],
+            threshold,
+            None,
+            "embedding near-dup",
+        )
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -900,25 +922,36 @@ def semantic_neardup_pairs(
     )
 
 
-def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
-    """Within-cell pair stage of :func:`semantic_neardup_pairs` as a
-    per-(cell, chunk) Arrow matmul (see the caller's ``pair_kernel``
-    docs). Groups are bounded at ``max_cell`` rows by the caller's
-    chunking; the 512-row block loop bounds per-task peak memory. The
-    self-join disappears entirely — each group's pairs come from one
-    local upper-triangular gram block, and the only exchange is the
-    groupBy hash partitioning the expr kernel also pays."""
+def _grouped_blas_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    group_out: str | None,
+    what: str,
+) -> DataFrame:
+    """Shared blas pair stage: per-group Arrow matmul over (vec_id,
+    embedding, nrm [, group cols]) rows. Each group's above-threshold
+    pairs come from a row-blocked upper-triangular ``U @ U.T`` — the
+    self-join disappears; the only exchange is the groupBy hash
+    partitioning the expression kernel also pays. The 512-row block
+    loop bounds per-task peak memory at ~512 x |group| x 8 bytes.
+    ``group_out`` optionally carries the first group column into the
+    output (the semantic kernel emits its cell id)."""
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
+    out_cols = ["vec_a", "vec_b"] + ([group_out] if group_out else [])
+    schema = (
+        "vec_a bigint, vec_b bigint, "
+        + (f"{group_out} bigint, " if group_out else "")
+        + "cosine double"
+    )
 
-    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def group_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
             {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cell": pd.Series([], dtype="int64"),
+                **{c: pd.Series([], dtype="int64") for c in out_cols},
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
@@ -934,14 +967,14 @@ def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
             # would silently emit NaN cosines instead
             bad = pdf["vec_id"][~(nrm > 0)].tolist()[:5]
             raise ValueError(
-                f"zero-norm embedding(s) in semantic dedup: vec_id {bad} "
+                f"zero-norm embedding(s) in {what}: vec_id {bad} "
                 "— cosine is undefined; filter degenerate vectors first"
             )
         # divide by the Spark-fold norms riding the rows, so the only
         # accumulation-order divergence from the expr kernel is the dot
         U = U / nrm[:, None]
         ids = pdf["vec_id"].to_numpy()
-        cell = int(pdf["cell"].iloc[0])
+        gval = int(pdf[group_out].iloc[0]) if group_out else None
         out = []
         for s in range(0, n, 512):
             e = min(s + 512, n)
@@ -949,34 +982,33 @@ def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
             # HALF_UP away from zero, matching F.round / DuckDB round
             # (np.round is half-to-even: an exactly-representable
             # half-point cosine like 1/32 = 0.03125 would round DOWN
-            # and break row-parity with the expr twin). NaN (zero-norm
-            # vector) stays NaN through floor and is kept below.
+            # and break row-parity with the expr twin)
             g = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-            # Spark's `cosine >= threshold` treats NaN as greater than
-            # any double (NaN sorts last); numpy comparisons drop NaN —
-            # keep them explicitly so the kernels emit identical rows
-            ia, ib = np.nonzero((g >= thr) | np.isnan(g))
+            ia, ib = np.nonzero(g >= thr)
             keep = (ia + s) < ib  # global upper triangle: vec_a < vec_b
             ia, ib = ia[keep], ib[keep]
             if len(ia):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "vec_a": ids[ia + s],
-                            "vec_b": ids[ib],
-                            "cell": cell,
-                            "cosine": g[ia, ib],
-                        }
-                    )
-                )
+                frame = {"vec_a": ids[ia + s], "vec_b": ids[ib]}
+                if group_out:
+                    frame[group_out] = gval
+                frame["cosine"] = g[ia, ib]
+                out.append(pd.DataFrame(frame))
         return pd.concat(out, ignore_index=True) if out else empty
 
     return (
-        assigned.groupBy("cell", "chunk")
-        .applyInPandas(
-            cell_pairs, "vec_a bigint, vec_b bigint, cell bigint, cosine double"
-        )
+        df.groupBy(*group_cols)
+        .applyInPandas(group_pairs, schema)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell pair stage of :func:`semantic_neardup_pairs` as a
+    per-(cell, chunk) Arrow matmul (see the caller's ``pair_kernel``
+    docs). Groups are bounded at ``max_cell`` rows by the caller's
+    chunking."""
+    return _grouped_blas_pairs(
+        assigned, ["cell", "chunk"], threshold, "cell", "semantic dedup"
     )
 
 

@@ -157,3 +157,27 @@ def test_semantic_zero_norm_fails_loudly_in_both_kernels(spark):
         semantic_neardup_pairs(emb, **kw).collect()
     with pytest.raises(Exception, match="zero-norm embedding"):
         semantic_neardup_pairs(emb, pair_kernel="blas", **kw).collect()
+
+
+def test_embedding_neardup_blas_matches_expr_twin(spark):
+    """pair_kernel='blas' on the LSH-bucketed embedding near-dup path
+    must reproduce the expr kernel row for row (same contract as the
+    semantic dedup twin)."""
+    from rigatoni_spark.llm.vectors import embedding_neardup_pairs
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # the sf0.001 corpus has no pairs at the production default 0.95 —
+    # drop the threshold so the twin check gates on real rows
+    expr_rows = [
+        tuple(r)
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    ]
+    blas_rows = [
+        tuple(r)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, pair_kernel="blas"
+        ).collect()
+    ]
+    assert expr_rows == blas_rows
+    assert len(expr_rows) > 0
