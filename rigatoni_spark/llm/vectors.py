@@ -203,6 +203,7 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     pair_kernel: str = "expr",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation (same-bucket only — no all-pairs) + exact cosine verify.
@@ -210,13 +211,20 @@ def embedding_neardup_pairs(
     The embedding analogue of MinHash dedup: at 100 TB the bucket join
     bounds candidates; raise NBITS / add multi-probe for recall.
 
+    ``max_bucket`` is the mega-bucket guardrail (semantic dedup's
+    ``max_cell`` twin, applied identically to BOTH kernels so their
+    outputs stay row-identical): buckets above it split into
+    contiguous vec_id chunks and only within-chunk pairs are emitted —
+    re-bounding pair volume (expr) and the per-group matrix (blas) at
+    max_bucket when NBITS lags corpus growth; cross-chunk pairs of an
+    oversized bucket are the documented recall loss. The production
+    lever remains raising NBITS.
+
     ``pair_kernel`` follows :func:`semantic_neardup_pairs`: ``"expr"``
     (default) verifies each candidate pair with the oracle-exact
-    Catalyst fold; ``"blas"`` groups by bucket through
+    Catalyst fold; ``"blas"`` groups by (bucket, chunk) through
     ``applyInPandas`` and verifies with a row-blocked matmul —
-    row-identical output, per-pair cost amortized into BLAS. Expected
-    bucket size is corpus/2^NBITS (raise NBITS as the corpus grows);
-    the 512-row block loop bounds per-task memory either way."""
+    row-identical output, per-pair cost amortized into BLAS."""
     if pair_kernel not in ("expr", "blas"):
         raise ValueError(
             f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
@@ -225,25 +233,42 @@ def embedding_neardup_pairs(
         "bucket", _bucket(F.col("embedding"))
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
-    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("vec_id")
+        with_bucket = with_bucket.withColumn(
+            "chunk",
+            ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast(
+                "int"
+            ),
+        )
+    else:
+        with_bucket = with_bucket.withColumn("chunk", F.lit(0))
     if pair_kernel == "blas":
+        # no self-join on this path — the groupBy computes hash+norm
+        # once in its shuffle map stage; a checkpoint would be a
+        # wasted materialization pass
         return _grouped_blas_pairs(
-            with_bucket.select("vec_id", "embedding", "nrm", "bucket"),
-            ["bucket"],
+            with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
+            ["bucket", "chunk"],
             threshold,
             None,
             "embedding near-dup",
         )
+    # both join sides read it: hash+norm once, not per pair
+    with_bucket = with_bucket.localCheckpoint()
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("bucket"),
+        F.col("chunk"),
         F.col("nrm").alias("nrm_a"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
+        F.col("chunk").alias("chunk_b"),
         F.col("nrm").alias("nrm_b"),
     )
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
@@ -253,6 +278,7 @@ def embedding_neardup_pairs(
         a.join(
             b,
             (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("chunk") == F.col("chunk_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
@@ -261,7 +287,9 @@ def embedding_neardup_pairs(
     )
 
 
-def embedding_neardup_oracle(threshold: float = 0.95) -> str:
+def embedding_neardup_oracle(
+    threshold: float = 0.95, max_bucket: int | None = 4096
+) -> str:
     proj_terms = []
     for b in range(NBITS):
         proj_terms.append(
@@ -278,14 +306,22 @@ def embedding_neardup_oracle(threshold: float = 0.95) -> str:
     aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
     bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
     ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    chunk = (
+        f"(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) - 1) "
+        f"// {max_bucket}"
+        if max_bucket is not None
+        else "0"
+    )
     return f"""
-WITH bucketed AS (
+WITH raw_bucketed AS (
   SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+), bucketed AS (
+  SELECT vec_id, embedding, bucket, {chunk} AS chunk FROM raw_bucketed
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ON a.bucket = b.bucket AND a.chunk = b.chunk AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
@@ -984,7 +1020,13 @@ def _grouped_blas_pairs(
             # half-point cosine like 1/32 = 0.03125 would round DOWN
             # and break row-parity with the expr twin)
             g = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-            ia, ib = np.nonzero(g >= thr)
+            # Spark's `cosine >= threshold` treats NaN as greater than
+            # any double, so the expr kernel EMITS pairs whose cosine
+            # is NaN (possible with non-finite embedding values, which
+            # pass the zero-norm guard: inf/inf = NaN without an ANSI
+            # error); numpy comparisons drop NaN — keep them explicitly
+            # or the kernels diverge on such inputs
+            ia, ib = np.nonzero((g >= thr) | np.isnan(g))
             keep = (ia + s) < ib  # global upper triangle: vec_a < vec_b
             ia, ib = ia[keep], ib[keep]
             if len(ia):

@@ -181,3 +181,25 @@ def test_embedding_neardup_blas_matches_expr_twin(spark):
     ]
     assert expr_rows == blas_rows
     assert len(expr_rows) > 0
+
+
+def test_embedding_neardup_max_bucket_chunks_both_kernels(spark):
+    """The mega-bucket guardrail applies to BOTH kernels identically:
+    with max_bucket forcing splits, expr and blas emit the same
+    reduced (within-chunk only) pair set."""
+    from rigatoni_spark.llm.vectors import embedding_neardup_pairs
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kw = dict(threshold=0.3, max_bucket=4)
+    expr_rows = [tuple(r) for r in embedding_neardup_pairs(emb, **kw).collect()]
+    blas_rows = [
+        tuple(r)
+        for r in embedding_neardup_pairs(
+            emb, pair_kernel="blas", **kw
+        ).collect()
+    ]
+    assert expr_rows == blas_rows
+    # the tiny max_bucket must actually reduce the pair set vs unchunked
+    full = embedding_neardup_pairs(emb, threshold=0.3, max_bucket=None)
+    assert len(expr_rows) < full.count()

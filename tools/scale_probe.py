@@ -2,11 +2,15 @@
 
 Derives larger corpora from the driver testdata (never mutating it):
 
-- embeddings x16 (32K vectors): per-copy position-rotation/sign-flip —
-  same value distribution, no identical copies. Sweeps
+- embeddings x16 (32K vectors): per-copy sign-flip mask — a distinct
+  rotation of a length-37 pattern per copy (37 > 16 and coprime to the
+  64 positions, so no two copies share a mask and no copy is the
+  identity): same value distribution, no identical copies. Sweeps
   ``semantic_neardup_pairs`` over n_cells x pair_kernel.
-- documents x10 (50K docs): per-copy alphabet rotation — copies share
-  no shingles, so near-dup mass grows exactly linearly while the
+- documents x10 (50K docs): per-copy alphabet rotation — on the
+  all-lowercase testdata text copies share no shingles (a corpus with
+  digits/uppercase would leak some), so near-dup mass grows exactly
+  linearly while the
   shared ``source`` blocking keys grow within-block candidate volume
   100x (adversarial for the Jaccard guardrail, which routes oversized
   blocks through MinHash-LSH banding).
@@ -47,8 +51,12 @@ def probe_embeddings(spark) -> None:
         .select(
             (F.col("vec_id") * 16 + F.col("copy")).alias("vec_id"),
             F.expr(
+                # (i + 17*copy) % 37: 17*copy mod 37 is distinct for
+                # copy 0..15, so every copy gets a different flip mask
+                # (a mod-7 pattern would collapse copies c and c+7
+                # into bit-identical vectors)
                 "transform(embedding, (x, i) ->"
-                " CASE WHEN (i + copy) % 7 < 3 THEN -x ELSE x END)"
+                " CASE WHEN (i + 17 * copy) % 37 < 18 THEN -x ELSE x END)"
             ).alias("embedding"),
         )
         .write.mode("overwrite")
