@@ -17,14 +17,20 @@ indexed list_transform/list_sum evaluates, so values hash-match
 bit-for-bit without rounding tricks. Hyperplane entries are ±1 from an
 MD5 parity — no RNG.
 
-Performance: the kernels are ``aggregate``/``zip_with`` folds ON
-PURPOSE. Unrolling them into static 64-term ``element_at`` chains was
-measured 3-8x SLOWER at sf0.1 (round 4): the giant trees exceed
-codegen method limits, fall back to interpreted evaluation of a much
-larger node count, and bloat task binaries to ~1.4 MB. The folds run
-one tight pass over the unsafe array. The cheap win is structural
-instead: norms are computed once per ROW before every join (see the
-``nrm`` columns), never per pair.
+Performance: the per-pair expression kernels are ``aggregate``/
+``zip_with`` folds ON PURPOSE. Unrolling them into static 64-term
+``element_at`` chains was measured 3-8x SLOWER at sf0.1 (round 4):
+the giant trees exceed codegen method limits, fall back to
+interpreted evaluation of a much larger node count, and bloat task
+binaries to ~1.4 MB. The folds run one tight pass over the unsafe
+array. The cheap structural win everywhere: norms are computed once
+per ROW before every join (see the ``nrm`` columns), never per pair.
+Where the fold itself becomes the bottleneck — k-means assignment
+(O(k x dim) per row) and the dedup pair stages (O(dim) per candidate
+pair at quadratic-in-cell pair counts) — the scale path is a
+vectorized Arrow kernel instead (``_kmeans_argmin_struct`` /
+``pair_kernel="blas"``): interpreted higher-order lambdas lose to
+numpy by 6-20x there, measured in the docstrings below.
 """
 
 from __future__ import annotations
