@@ -653,6 +653,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _emb(
         lambda e: vectors.embedding_neardup_pairs(e, threshold=0.3)
     ),
+    # Hamming-1 multi-probe recall variant of the same near-dup join
+    "dedup_embedding_multiprobe": _emb(
+        lambda e: vectors.multiprobe_neardup_pairs(e, threshold=0.3)
+    ),
     # --- LLM-pipeline: similarity search ---
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
@@ -984,6 +988,9 @@ SELECT * FROM picked ORDER BY doc_id""",
     "mix_token_budget": mixing.token_budget_mix_oracle(),
     "sample_train_val_test": sampling.train_val_test_oracle(),
     "dedup_embedding_cosine": vectors.embedding_neardup_oracle(threshold=0.3),
+    "dedup_embedding_multiprobe": vectors.multiprobe_neardup_oracle(
+        threshold=0.3
+    ),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     "sim_ivf_topk": vectors.ivf_topk_oracle(),

@@ -333,6 +333,97 @@ ORDER BY vec_a, vec_b
 """
 
 
+def multiprobe_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Multi-probe variant of :func:`embedding_neardup_pairs`: pairs
+    whose buckets are EQUAL or exactly one hyperplane flip apart
+    (Hamming-1) — the standard recall knob for sign-LSH; a near-dup
+    pair straddling one low-margin hyperplane lands one bit away and
+    the plain bucket join misses it.
+
+    Scale shape: side A explodes into 1+NBITS probe keys so the
+    candidate step stays an EQUI-join on the bucket id — never a
+    bit_count(xor) theta-join against the corpus. Candidate volume is
+    (1+NBITS) x the single-bucket volume; NBITS remains the lever. No
+    dedup pass is needed: a same-bucket pair is reachable only through
+    the identity probe and a Hamming-1 pair only through its single
+    matching flip, so every pair arrives exactly once."""
+    with_bucket = spread(embeddings).withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    ).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
+            for b in range(NBITS)
+        ],
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(probes).alias("probe_bucket"),
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("probe_bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def multiprobe_neardup_oracle(threshold: float = 0.95) -> str:
+    proj_terms = []
+    for b in range(NBITS):
+        proj_terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}), "
+            f"i -> (embedding[i+1])::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{b}:' || i::VARCHAR), 1, 1))::INT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+    bucket_expr = " + ".join(proj_terms)
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
+    bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
+    ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(NBITS)]
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+), probed AS (
+  SELECT vec_id, embedding, UNNEST([{probe_list}]) AS probe_bucket
+  FROM bucketed
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
+FROM probed a JOIN bucketed b
+  ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def ann_lsh_topk_oracle(n_queries: int = 8, k: int = 5) -> str:
     proj_terms = []
     for b in range(NBITS):

@@ -203,3 +203,28 @@ def test_embedding_neardup_max_bucket_chunks_both_kernels(spark):
     # the tiny max_bucket must actually reduce the pair set vs unchunked
     full = embedding_neardup_pairs(emb, threshold=0.3, max_bucket=None)
     assert len(expr_rows) < full.count()
+
+
+def test_multiprobe_neardup_superset_of_single_bucket(spark):
+    """Hamming-1 multi-probe must find every pair the plain bucket
+    join finds (identity probe) plus only pairs whose buckets differ
+    in exactly one bit — the documented recall/cost trade."""
+    from rigatoni_spark.llm.vectors import (
+        embedding_neardup_pairs,
+        multiprobe_neardup_pairs,
+    )
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, max_bucket=None
+        ).collect()
+    }
+    multi = {
+        (r.vec_a, r.vec_b)
+        for r in multiprobe_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # the probe actually adds recall
