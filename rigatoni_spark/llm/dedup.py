@@ -431,6 +431,7 @@ def duplicate_clusters(
     block_col: str = "source",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    doubling: bool = False,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
     document labeled with the min doc_id of its duplicate cluster — the
@@ -460,10 +461,15 @@ def duplicate_clusters(
     cluster pass a reliable ``checkpoint_dir`` (HDFS/S3): the rounds
     then go through ``setCheckpointDir`` + ``checkpoint()`` and survive
     executor loss. Each round's shuffle carries |edges| rows keyed by
-    doc_id. For 100 TB corpora the standard alternating
-    large-star/small-star optimization halves rounds; the simple
-    propagation here is the readable baseline and the per-round plan
-    shape is identical.
+    doc_id. Near-dup components are dense (cliques of mutual
+    near-dups), so their diameter — and the round count — is small;
+    ``doubling=True`` adds a pointer-doubling hop per round
+    (label <- label-of-label, one extra |edge-nodes| self-join) that
+    halves remaining path lengths, turning O(diameter) rounds into
+    O(log diameter) for pathological CHAIN-shaped components (A~B~C~…
+    where consecutive pairs match but distant ones don't). Same unique
+    fixpoint either way — the option trades one join per round for
+    round count, worthwhile only when components are long and thin.
     """
     from rigatoni_spark.tables import truncator
 
@@ -522,7 +528,7 @@ def duplicate_clusters(
         # probe rides the SAME job as an Observation (sum of
         # did-this-node-improve flags) — one job per round, not two.
         obs = Observation()
-        new_labels = _truncate(
+        base = _truncate(
             labels.join(prop, "doc_id", "left")
             .select(
                 "doc_id",
@@ -537,7 +543,25 @@ def duplicate_clusters(
             .observe(obs, F.sum("_chg").alias("changed"))
             .select("doc_id", "label")
         )
-        labels = new_labels
+        if doubling:
+            # pointer-doubling hop: label <- label's own label, read
+            # from the round's MATERIALIZED result (both join sides
+            # reuse it — no re-aggregation). Every label value is a
+            # doc_id inside the edge set, so the inner join is total.
+            # The _chg probe stays sound: it fires on any edge whose
+            # endpoints still disagree, and the hop only shortcuts
+            # paths the neighbor step already implies.
+            parent = base.select(
+                F.col("doc_id").alias("label"),
+                F.col("label").alias("parent_label"),
+            )
+            labels = _truncate(
+                base.join(parent, "label").select(
+                    "doc_id", F.col("parent_label").alias("label")
+                )
+            )
+        else:
+            labels = base
         if not (obs.get["changed"] or 0):
             break
     return (

@@ -94,6 +94,41 @@ class TestDedup:
         assert labels[1] == labels[2] == labels[3] == 1  # one cluster
         assert labels[9] == 9  # isolated doc keeps its own label
 
+    def test_duplicate_clusters_doubling_same_fixpoint(self, spark):
+        """Pointer doubling reaches the identical min-label fixpoint,
+        in fewer rounds, on a CHAIN component (the shape it exists
+        for: consecutive docs near-dup, distant ones don't)."""
+        # chain doc i ~ doc i+1: 9/10 shared tokens per adjacent pair,
+        # decaying overlap further out
+        docs = [
+            (i, " ".join(f"t{j}" for j in range(i, i + 10)), "s")
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id bigint, text string, source string"
+        )
+        plain = {
+            r["doc_id"]: r["label"]
+            for r in dedup.duplicate_clusters(df, threshold=0.8).collect()
+        }
+        doubled = {
+            r["doc_id"]: r["label"]
+            for r in dedup.duplicate_clusters(
+                df, threshold=0.8, doubling=True
+            ).collect()
+        }
+        assert plain == doubled
+        assert set(plain.values()) == {0}  # one chain component
+        # doubling converges within ceil(log2(chain)) + 2 rounds where
+        # the plain walk needs ~chain-length rounds
+        few = {
+            r["doc_id"]: r["label"]
+            for r in dedup.duplicate_clusters(
+                df, threshold=0.8, doubling=True, max_iterations=4
+            ).collect()
+        }
+        assert few == plain
+
     def test_duplicate_clusters_reliable_checkpoint_path(self, spark, tmp_path):
         """checkpoint_dir switches lineage truncation from localCheckpoint
         (executor shuffle files; dies with an executor) to reliable
