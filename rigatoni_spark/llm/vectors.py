@@ -468,53 +468,102 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def _l2sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance as a left-to-right fold (cross-engine IEEE
-    determinism, same pattern as _dot)."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _seed_centroids(
+    embeddings: DataFrame, n_centroids: int
+) -> list[tuple[int, list[float]]]:
+    """Driver-held seed centroids: the first ``n_centroids`` vectors —
+    a deterministic coarse quantizer (production IVF trains k-means on
+    a sample; the routing plan is identical either way). A bounded
+    probe, same class as the k-means trainer's per-round collect."""
+    rows = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        "vec_id", "embedding"
+    ).collect()
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
     )
 
 
-def _centroid_pairs(embeddings: DataFrame, n_centroids: int) -> DataFrame:
-    """(vec_id, embedding, cent_id, dist) for every vector x centroid.
+def _np_float_dist_fn(cents: list[tuple[int, list[float]]]):
+    """(ids, f) float twin of :func:`_np_dist_matrix_fn` for the
+    seeded-IVF path, where distances are raw-embedding doubles and
+    the SQL oracle evaluates a LEFT-TO-RIGHT fold: ``f`` accumulates
+    dimension-sequentially (vectorized across rows, ordered across
+    dims), reproducing the fold's exact IEEE sequence so float
+    distances — and the (dist, cent_id) orderings built on them —
+    hash-match the oracle. A blocked matmul would be faster but its
+    pairwise accumulation could flip near-tied cell routings."""
+    import numpy as np
 
-    Centroids are the first ``n_centroids`` vectors — a deterministic
-    coarse quantizer (production IVF trains k-means on a sample; the
-    cell-routing plan below is identical either way). The centroid set
-    is tiny -> broadcast; the cross join is corpus x 16, evaluated
-    stream-wise with no shuffle of the corpus.
-    """
-    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    pairs = spread(embeddings).crossJoin(F.broadcast(cent))
-    return pairs.select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        _l2sq(F.col("embedding"), F.col("c_emb")).alias("dist"),
-    )
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)  # (k, dim)
+
+    def f(M):  # (n, dim) float64 -> (n, k) float64
+        d = np.zeros((M.shape[0], C.shape[0]))
+        for i in range(C.shape[1]):
+            diff = M[:, i : i + 1] - C[None, :, i]
+            d += diff * diff
+        return d
+
+    return ids, f
+
+
+def _float_dists(emb: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Per-centroid float distance array (ascending cent_id order) as
+    an Arrow kernel — see :func:`_np_float_dist_fn` for the ordering
+    contract and :func:`_kmeans_dists` for why a kernel beats the
+    interpreted expression fold."""
+    if not cents:
+        return F.array().cast("array<double>")
+    import numpy as np
+    import pandas as pd
+
+    _, dist_fn = _np_float_dist_fn(cents)
+
+    @F.pandas_udf("array<double>")
+    def dists(s):
+        if not len(s):
+            return pd.Series([], dtype=object)
+        d = dist_fn(np.stack(s.to_numpy()).astype(np.float64))
+        return pd.Series(list(d))
+
+    return dists(emb)
+
+
+def _float_argmin_cell(
+    emb: Column, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest seed centroid id (ties -> lower cent_id, numpy argmin
+    first-index over the ascending-id matrix — the (dist, cent_id)
+    row_number rule)."""
+    if not cents:
+        return F.lit(None).cast("bigint")
+    import numpy as np
+    import pandas as pd
+
+    ids, dist_fn = _np_float_dist_fn(cents)
+
+    @F.pandas_udf("bigint")
+    def argmin(s):
+        if not len(s):
+            return pd.Series([], dtype="int64")
+        d = dist_fn(np.stack(s.to_numpy()).astype(np.float64))
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    return argmin(emb)
 
 
 def ivf_assign(
     embeddings: DataFrame, n_centroids: int = N_CENTROIDS
 ) -> DataFrame:
     """Route every vector to its nearest centroid cell (the inverted
-    file). One row_number window keyed by vec_id (16 rows per key)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
-    return (
-        _centroid_pairs(embeddings, n_centroids)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    file) — a pure scan-stage projection against the driver-held seed
+    centroids (no crossJoin, no corpus x k window; the same shape as
+    the trained path)."""
+    cents = _seed_centroids(embeddings, n_centroids)
+    return spread(embeddings).select(
+        "vec_id",
+        "embedding",
+        _float_argmin_cell(F.col("embedding"), cents).alias("cent_id"),
     )
 
 
@@ -532,22 +581,41 @@ def ivf_topk(
     (each vector lives in exactly one), so probing is an equi-join on
     cent_id touching corpus*n_probe/n_centroids rows per query — no
     all-pairs, and candidate sets need no dedup across probed cells.
+    Both sides route cells as projections against the driver-held seed
+    centroids (the trained path's shape): no crossJoin, and the probe
+    ranking window runs over n_queries x k rows, never the corpus.
     """
-    pairs = _centroid_pairs(embeddings, n_centroids)
-    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    cents = _seed_centroids(embeddings, n_centroids)
+    assign = spread(embeddings).select(
+        "vec_id",
+        "embedding",
+        _float_argmin_cell(F.col("embedding"), cents).alias("cent_id"),
     )
+    ids = _cell_ids_expr(cents)
+    wp = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
     probe = (
-        pairs.filter(F.col("vec_id") < n_queries)
-        .withColumn("rn", F.row_number().over(w))
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.posexplode(_float_dists(F.col("embedding"), cents)).alias(
+                "pos", "dist"
+            ),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "dist",
+            F.element_at(ids, F.col("pos") + 1).alias("cent_id"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            _norm(F.col("embedding")).alias("q_nrm"),
+            F.col("nrm").alias("q_nrm"),
             "cent_id",
         )
     )
