@@ -273,10 +273,14 @@ def _write_persisted(
     elif n_events is not None:
         # multi-file groups: still bound the file count by batch size
         # (coalesce is narrow — no shuffle; only bites on small batches,
-        # where write parallelism is irrelevant anyway)
+        # where write parallelism is irrelevant anyway). Unconditional:
+        # coalesce(n) at-or-above the current partition count is a
+        # no-op, and probing the count via .rdd would force plan
+        # finalization under AQE — a per-micro-batch JVM round trip the
+        # streaming path would pay on every trigger (SCALE.md's .rdd
+        # trap).
         want = max(1, -(-n_events // _TARGET_ROWS_PER_FILE))
-        if want < to_write.rdd.getNumPartitions():
-            to_write = to_write.coalesce(want)
+        to_write = to_write.coalesce(want)
     staged_mode = _staged_writer(to_write, cfg, staging, part_cols)
 
     # move staged part-files onto the key layout

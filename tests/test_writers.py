@@ -294,6 +294,26 @@ class TestReadBack:
             assert back.count() == sample.count()
             assert spy.called
 
+    def test_multi_file_groups_bound_file_count(self, change_events, tmp_path):
+        # single_file_per_group=False still bounds output files by
+        # batch size: ceil(n_events / 5000) coalesced tasks, so a batch
+        # under the target writes ONE part-file per collection dir even
+        # when the upstream arrives in many partitions (the small-file
+        # mitigation the streaming pipeline relies on per micro-batch)
+        sample = change_events.limit(2000).repartition(16)
+        n = sample.count()
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+            single_file_per_group=False,
+        )
+        keys = write_batch(sample, cfg, batch_id=7, n_events=n)
+        assert keys
+        colls = {k.split("/")[0] for k in keys}
+        # one coalesced task -> exactly one object per collection
+        assert len(keys) == len(colls)
+
     def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
         from pyspark.sql import functions as F
 
