@@ -709,6 +709,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_multiprobe": _emb(
         lambda e: vectors.multiprobe_neardup_pairs(e, threshold=0.3)
     ),
+    # same oracle through the blas kernel (home-row exactly-once rule)
+    "dedup_multiprobe_blas": _emb(
+        lambda e: vectors.multiprobe_neardup_pairs(
+            e, threshold=0.3, pair_kernel="blas"
+        )
+    ),
     # --- LLM-pipeline: similarity search ---
     "sim_cosine_topk": _emb(vectors.cosine_topk),
     "sim_ann_lsh_topk": _emb(vectors.ann_lsh_topk),
@@ -989,6 +995,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_embedding_multiprobe": vectors.multiprobe_neardup_oracle(
         threshold=0.3
     ),
+    "dedup_multiprobe_blas": vectors.multiprobe_neardup_oracle(threshold=0.3),
     "sim_cosine_topk": vectors.cosine_topk_oracle(),
     "sim_ann_lsh_topk": vectors.ann_lsh_topk_oracle(),
     "sim_ivf_topk": vectors.ivf_topk_oracle(),

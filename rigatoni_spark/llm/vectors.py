@@ -334,7 +334,10 @@ ORDER BY vec_a, vec_b
 
 
 def multiprobe_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    pair_kernel: str = "expr",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Multi-probe variant of :func:`embedding_neardup_pairs`: pairs
     whose buckets are EQUAL or exactly one hyperplane flip apart
@@ -348,12 +351,43 @@ def multiprobe_neardup_pairs(
     (1+NBITS) x the single-bucket volume; NBITS remains the lever. No
     dedup pass is needed: a same-bucket pair is reachable only through
     the identity probe and a Hamming-1 pair only through its single
-    matching flip, so every pair arrives exactly once."""
+    matching flip, so every pair arrives exactly once.
+
+    ``max_bucket`` is the mega-bucket guardrail, the same knob as
+    :func:`embedding_neardup_pairs` and computed the same way — on the
+    NON-exploded row, from its position within its HOME bucket — so the
+    probe fan-out cannot amplify a hot bucket quadratically: a pair is
+    emitted only when both rows share a chunk ordinal, bounding any
+    join key's candidate volume at (1+NBITS) x max_bucket^2. Buckets
+    under max_bucket (the designed state; chunk ordinal 0 everywhere)
+    are unaffected; cross-ordinal pairs of oversized buckets are the
+    documented recall loss, and raising NBITS remains the production
+    lever.
+
+    ``pair_kernel="blas"`` verifies candidates with the shared
+    row-blocked matmul: every row lands in its home (bucket, chunk)
+    group plus NBITS probe groups, and the exactly-once rule becomes
+    "emit (vec_a < vec_b) only where vec_b is the home row" — the blas
+    mirror of the join's one-sided explode. Row-identical output."""
+    if pair_kernel not in ("expr", "blas"):
+        raise ValueError(
+            f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
+        )
     with_bucket = spread(embeddings).withColumn(
         "bucket", _bucket(F.col("embedding"))
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
-    ).localCheckpoint()  # both join sides read it: hash+norm once, not per pair
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("vec_id")
+        with_bucket = with_bucket.withColumn(
+            "chunk",
+            ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast(
+                "int"
+            ),
+        )
+    else:
+        with_bucket = with_bucket.withColumn("chunk", F.lit(0))
     probes = F.array(
         F.col("bucket"),
         *[
@@ -361,16 +395,39 @@ def multiprobe_neardup_pairs(
             for b in range(NBITS)
         ],
     )
+    if pair_kernel == "blas":
+        exploded = with_bucket.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "chunk",
+            F.col("bucket").alias("home_bucket"),
+            F.explode(probes).alias("probe_bucket"),
+        ).withColumn("is_home", F.col("probe_bucket") == F.col("home_bucket"))
+        return _grouped_blas_pairs(
+            exploded.select(
+                "vec_id", "embedding", "nrm", "probe_bucket", "chunk", "is_home"
+            ),
+            ["probe_bucket", "chunk"],
+            threshold,
+            None,
+            "multi-probe near-dup",
+            home_col="is_home",
+        )
+    # both join sides read it: hash+norm once, not per pair
+    with_bucket = with_bucket.localCheckpoint()
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
+        F.col("chunk").alias("chunk_a"),
         F.explode(probes).alias("probe_bucket"),
     )
     b = with_bucket.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("bucket").alias("bucket_b"),
+        F.col("chunk").alias("chunk_b"),
         F.col("nrm").alias("nrm_b"),
     )
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
@@ -380,6 +437,7 @@ def multiprobe_neardup_pairs(
         a.join(
             b,
             (F.col("probe_bucket") == F.col("bucket_b"))
+            & (F.col("chunk_a") == F.col("chunk_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
@@ -388,7 +446,9 @@ def multiprobe_neardup_pairs(
     )
 
 
-def multiprobe_neardup_oracle(threshold: float = 0.95) -> str:
+def multiprobe_neardup_oracle(
+    threshold: float = 0.95, max_bucket: int | None = 4096
+) -> str:
     proj_terms = []
     for b in range(NBITS):
         proj_terms.append(
@@ -405,20 +465,28 @@ def multiprobe_neardup_oracle(threshold: float = 0.95) -> str:
     aa = dot.format(d=DIM, a="a.embedding", b="a.embedding")
     bb = dot.format(d=DIM, a="b.embedding", b="b.embedding")
     ab = dot.format(d=DIM, a="a.embedding", b="b.embedding")
+    chunk = (
+        f"(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) - 1) "
+        f"// {max_bucket}"
+        if max_bucket is not None
+        else "0"
+    )
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(NBITS)]
     )
     return f"""
-WITH bucketed AS (
+WITH raw_bucketed AS (
   SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+), bucketed AS (
+  SELECT vec_id, embedding, bucket, {chunk} AS chunk FROM raw_bucketed
 ), probed AS (
-  SELECT vec_id, embedding, UNNEST([{probe_list}]) AS probe_bucket
+  SELECT vec_id, embedding, chunk, UNNEST([{probe_list}]) AS probe_bucket
   FROM bucketed
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM probed a JOIN bucketed b
-  ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+  ON a.probe_bucket = b.bucket AND a.chunk = b.chunk AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
@@ -1129,6 +1197,7 @@ def _grouped_blas_pairs(
     threshold: float,
     group_out: str | None,
     what: str,
+    home_col: str | None = None,
 ) -> DataFrame:
     """Shared blas pair stage: per-group Arrow matmul over (vec_id,
     embedding, nrm [, group cols]) rows. Each group's above-threshold
@@ -1137,7 +1206,14 @@ def _grouped_blas_pairs(
     partitioning the expression kernel also pays. The 512-row block
     loop bounds per-task peak memory at ~512 x |group| x 8 bytes.
     ``group_out`` optionally carries the first group column into the
-    output (the semantic kernel emits its cell id)."""
+    output (the semantic kernel emits its cell id).
+
+    ``home_col`` (boolean column) supports multi-probe groupings where
+    each vector lands in several groups (its own bucket + probe
+    buckets): a pair (vec_a < vec_b) is emitted only when vec_b's row
+    is a HOME row — the blas mirror of the probe-join's one-sided
+    explode, which makes every cross-bucket pair reachable in exactly
+    one group (see :func:`multiprobe_neardup_pairs`)."""
     import numpy as np
     import pandas as pd
 
@@ -1175,6 +1251,7 @@ def _grouped_blas_pairs(
         # accumulation-order divergence from the expr kernel is the dot
         U = U / nrm[:, None]
         ids = pdf["vec_id"].to_numpy()
+        home = pdf[home_col].to_numpy() if home_col else None
         gval = int(pdf[group_out].iloc[0]) if group_out else None
         out = []
         for s in range(0, n, 512):
@@ -1193,6 +1270,11 @@ def _grouped_blas_pairs(
             # or the kernels diverge on such inputs
             ia, ib = np.nonzero((g >= thr) | np.isnan(g))
             keep = (ia + s) < ib  # global upper triangle: vec_a < vec_b
+            if home is not None:
+                # multi-probe exactly-once rule: the larger-id row must
+                # be home in this group (probe-row pairs belong to the
+                # group where the other endpoint is home)
+                keep &= home[ib]
             ia, ib = ia[keep], ib[keep]
             if len(ia):
                 frame = {"vec_a": ids[ia + s], "vec_b": ids[ib]}

@@ -205,6 +205,35 @@ def test_embedding_neardup_max_bucket_chunks_both_kernels(spark):
     assert len(expr_rows) < full.count()
 
 
+def test_multiprobe_blas_parity_and_guardrail(spark):
+    """The blas kernel's home-row exactly-once rule must reproduce the
+    probe-join's rows EXACTLY (same pairs, same rounded cosines, no
+    duplicates), and a tiny max_bucket must bound the pair set the
+    same way on both kernels."""
+    from rigatoni_spark.llm.vectors import multiprobe_neardup_pairs
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for kw in (dict(threshold=0.3), dict(threshold=0.3, max_bucket=4)):
+        expr_rows = [
+            tuple(r) for r in multiprobe_neardup_pairs(emb, **kw).collect()
+        ]
+        blas_rows = [
+            tuple(r)
+            for r in multiprobe_neardup_pairs(
+                emb, pair_kernel="blas", **kw
+            ).collect()
+        ]
+        assert expr_rows == blas_rows, kw
+        # exactly-once: no pair may arrive via two probe groups
+        pairs = [(a, b) for a, b, _ in expr_rows]
+        assert len(pairs) == len(set(pairs))
+    # the tiny max_bucket must actually reduce the pair set vs unchunked
+    full = multiprobe_neardup_pairs(emb, threshold=0.3, max_bucket=None)
+    chunked = multiprobe_neardup_pairs(emb, threshold=0.3, max_bucket=4)
+    assert chunked.count() < full.count()
+
+
 def test_multiprobe_neardup_superset_of_single_bucket(spark):
     """Hamming-1 multi-probe must find every pair the plain bucket
     join finds (identity probe) plus only pairs whose buckets differ
