@@ -725,7 +725,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the scale-path kernel (per-cell Arrow matmul) against the SAME
     # oracle: row-identical to the expr kernel on this data (the
     # 4-decimal rounding absorbs the accumulation-order delta;
-    # tests/test_approx_paths.py pins it)
+    # tests/test_approx_paths.py pins it). Caveat: on corpora where a
+    # cosine sits within float error of a half-point boundary or of
+    # the threshold, the kernels may diverge by that row — see the
+    # parity-contract note in _grouped_blas_pairs
     "dedup_semantic_blas": _emb(
         lambda emb: vectors.semantic_neardup_pairs(emb, pair_kernel="blas")
     ),

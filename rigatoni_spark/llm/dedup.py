@@ -432,6 +432,7 @@ def duplicate_clusters(
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     doubling: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: every
     document labeled with the min doc_id of its duplicate cluster — the
@@ -469,7 +470,10 @@ def duplicate_clusters(
     O(log diameter) for pathological CHAIN-shaped components (A~B~C~…
     where consecutive pairs match but distant ones don't). Same unique
     fixpoint either way — the option trades one join per round for
-    round count, worthwhile only when components are long and thin.
+    round count, worthwhile only when components are long and thin
+    (tools/scale_probe.py chain measures the flip threshold; SCALE.md
+    records it). Pass ``stats={}`` to receive ``stats["rounds"]``, the
+    executed round count.
     """
     from rigatoni_spark.tables import truncator
 
@@ -511,7 +515,9 @@ def duplicate_clusters(
     )
     from pyspark.sql import Observation
 
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         # neighbor's current label, propagated to each node
         prop = (
             edges.join(
@@ -564,6 +570,10 @@ def duplicate_clusters(
             labels = base
         if not (obs.get["changed"] or 0):
             break
+    if stats is not None:
+        # observability out-param (round count drives the plain-vs-
+        # doubling flip decision; tools/scale_probe.py measures it)
+        stats["rounds"] = rounds
     return (
         documents.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -1260,7 +1260,17 @@ def _grouped_blas_pairs(
             # HALF_UP away from zero, matching F.round / DuckDB round
             # (np.round is half-to-even: an exactly-representable
             # half-point cosine like 1/32 = 0.03125 would round DOWN
-            # and break row-parity with the expr twin)
+            # and break row-parity with the expr twin).
+            # PARITY CONTRACT CAVEAT: the blas dot is (a/|a|)@(b/|b|)
+            # while the expr kernel folds dot(a,b)/(|a||b|); the
+            # ~1e-13 accumulation/order delta is absorbed by this
+            # 4-decimal rounding EXCEPT when a cosine lies within
+            # float error of a half-point boundary (x.xxxx5) or of
+            # `threshold` itself — on such adversarial corpora the two
+            # kernels (and the DuckDB oracle) may diverge by that row.
+            # Exact row-parity is asserted on the shipped test corpora,
+            # where no cosine sits on a boundary; arbitrary-corpus
+            # comparisons should use a one-ulp-of-1e-4 tolerance.
             g = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
             # Spark's `cosine >= threshold` treats NaN as greater than
             # any double, so the expr kernel EMITS pairs whose cosine

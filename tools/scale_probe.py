@@ -15,22 +15,30 @@ Derives larger corpora from the driver testdata (never mutating it):
   100x (adversarial for the Jaccard guardrail, which routes oversized
   blocks through MinHash-LSH banding).
 
-Usage: python tools/scale_probe.py [embeddings|documents|all]
+- chain-shaped components: synthetic sliding-window docs whose
+  consecutive windows are near-dups (Jaccard ~0.85) but distance-2
+  windows are not (~0.71) — a maximally long-thin duplicate graph.
+  Measures ``duplicate_clusters`` plain vs ``doubling=True`` (wall
+  time + round counts), the flip threshold SCALE.md records.
+
+Usage: python tools/scale_probe.py [embeddings|documents|chain|all]
+                                   [--sf-dir DIR]
 Prints one RESULT line per measurement. Wall times are single-shot on
 a shared box — treat ratios, not absolutes, as the signal.
 """
 
 from __future__ import annotations
 
+import argparse
+import os
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
@@ -40,10 +48,10 @@ def _timed(label: str, fn) -> None:
     print(f"RESULT {label}: {time.time() - t0:.1f}s rows={n}", flush=True)
 
 
-def probe_embeddings(spark) -> None:
+def probe_embeddings(spark, sf_dir: str) -> None:
     from rigatoni_spark.llm import vectors
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     copies = spark.range(16).select(F.col("id").alias("copy"))
     amp_path = tempfile.mkdtemp(prefix="scale_emb_") + "/emb.parquet"
     (
@@ -74,10 +82,10 @@ def probe_embeddings(spark) -> None:
             )
 
 
-def probe_documents(spark) -> None:
+def probe_documents(spark, sf_dir: str) -> None:
     from rigatoni_spark.llm import dedup, minhash, simhash
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     copies = spark.range(10).select(F.col("id").alias("copy"))
     branches = (
         "CASE "
@@ -114,15 +122,74 @@ def probe_documents(spark) -> None:
             _timed(f"{name} {label}", lambda f=fn, d=df: f(d))
 
 
+def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
+    """Plain vs pointer-doubling propagation on a maximally long-thin
+    duplicate graph: docs are sliding windows (72 globally-unique
+    tokens, stride 6) over a per-chain token stream, so consecutive
+    windows share 66 tokens (J = 66/78 ≈ 0.846 ≥ 0.8) while
+    distance-2 windows share 60 (J = 60/84 ≈ 0.714 < 0.8) — each chain
+    is one path-shaped component of diameter chain_len-1. Plain
+    propagation needs ~chain_len rounds; doubling ~log2(chain_len)."""
+    from rigatoni_spark.llm import dedup
+
+    W, S = 72, 6
+    rows = []
+    doc_id = 0
+    for c in range(chains):
+        stream = [f"c{c}t{i}" for i in range(W + S * (chain_len - 1))]
+        for d in range(chain_len):
+            rows.append(
+                (doc_id, " ".join(stream[d * S : d * S + W]), f"chain{c}")
+            )
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    docs = docs.repartition(8).cache()
+    docs.count()
+    print(
+        f"RESULT chain corpus: {chains} chains x {chain_len} docs "
+        f"(diameter {chain_len - 1})"
+    )
+    results = {}
+    for flag in (False, True):
+        stats: dict = {}
+        t0 = time.time()
+        out = dedup.duplicate_clusters(
+            docs, max_iterations=4 * chain_len, doubling=flag, stats=stats
+        )
+        n_clusters = out.select("label").distinct().count()
+        wall = time.time() - t0
+        results[flag] = (wall, stats.get("rounds"))
+        print(
+            f"RESULT clusters doubling={flag}: {wall:.1f}s "
+            f"rounds={stats.get('rounds')} clusters={n_clusters} "
+            f"(expect {chains})",
+            flush=True,
+        )
+        assert n_clusters == chains, "fixpoint mismatch on chain graph"
+
+
 def main() -> None:
     from rigatoni_spark.session import get_spark
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "which",
+        nargs="?",
+        default="all",
+        choices=["embeddings", "documents", "chain", "all"],
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
     spark = get_spark(app_name="scale_probe")
-    if which in ("embeddings", "all"):
-        probe_embeddings(spark)
-    if which in ("documents", "all"):
-        probe_documents(spark)
+    if args.which in ("embeddings", "all"):
+        probe_embeddings(spark, args.sf_dir)
+    if args.which in ("documents", "all"):
+        probe_documents(spark, args.sf_dir)
+    if args.which in ("chain", "all"):
+        probe_chain(spark)
 
 
 if __name__ == "__main__":
