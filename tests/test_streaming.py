@@ -169,6 +169,18 @@ class TestPipelineE2E:
         colls_after = {k.split("/")[0] for k in p.stats.keys_written}
         assert colls_after == {"c0", "c1", "c2", "c3"}
         assert p.metrics.get(M.ACTIVE_COLLECTIONS) == 4.0
+        # the manifest keys are real objects: the c3 key exists on disk
+        # and serializes ONLY c3 envelopes (not a mislabeled mixed file)
+        import json as _json
+
+        c3_keys = [k for k in p.stats.keys_written if k.startswith("c3/")]
+        assert c3_keys
+        for key in c3_keys:
+            path = os.path.join(out, key)
+            assert os.path.isfile(path), key
+            with open(path) as fh:
+                rows = [_json.loads(line) for line in fh if line.strip()]
+            assert rows and all(r["collection"] == "c3" for r in rows)
 
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
