@@ -189,6 +189,7 @@ def write_batch(
     batch_id: int | None = None,
     group_times: dict | None = None,
     n_events: int | None = None,
+    deferred_probe=None,
 ) -> list[str]:
     """Write one batch of change events; returns the keys written.
 
@@ -196,10 +197,18 @@ def write_batch(
     (testability; s3_destination_test.rs:41).
 
     ``group_times`` (collection -> max cluster_time) lets a caller that
-    already aggregated the batch (the streaming pipeline folds it into
-    its invalidate/count probe) skip this function's own probe job AND
-    its defensive persist — one Spark job per micro-batch instead of
-    two, which is the dominant fixed cost at small batch sizes.
+    already aggregated the batch skip this function's own probe job AND
+    its defensive persist.
+
+    ``deferred_probe`` goes one step further — ZERO probe jobs: a
+    callable invoked AFTER the staged write that returns the
+    group-times dict (the streaming pipeline rides Observation metrics
+    on the write job itself). An exception from it (e.g. invalidate
+    detection) aborts the batch: the staging dir is deleted and
+    nothing reaches a final key. An empty dict means an empty batch —
+    staging is discarded and no keys are produced. ``n_events`` then
+    serves only as the output-file-count hint (the caller's previous
+    batch size; None skips the coalesce bound for that batch).
     """
     base = cfg.base_uri
     if not (base.startswith("/") or base.startswith("file:")):
@@ -209,8 +218,10 @@ def write_batch(
         )
 
     events = df.select(*ENVELOPE_COLUMNS)
-    if group_times is not None:
-        return _write_persisted(events, cfg, batch_id, group_times, n_events)
+    if group_times is not None or deferred_probe is not None:
+        return _write_persisted(
+            events, cfg, batch_id, group_times, n_events, deferred_probe
+        )
     # the upstream may be arbitrarily expensive (filter+dedup windows);
     # it feeds BOTH the group-time agg and the write -> persist once
     events = events.persist()
@@ -226,11 +237,12 @@ def _write_persisted(
     batch_id: int | None,
     group_times: dict | None,
     n_events: int | None = None,
+    deferred_probe=None,
 ) -> list[str]:
     out_root = cfg.base_uri.replace("file:", "")
     strategy = cfg.partition_strategy
 
-    if group_times is None:
+    if group_times is None and deferred_probe is None:
         # group-time (max cluster_time per collection) drives the key
         # stem: deterministic, unlike the reference's wall-clock naming
         # (one probe job: times + count together)
@@ -244,7 +256,7 @@ def _write_persisted(
         )
         group_times = {r["collection"]: r["t"] for r in probe}
         n_events = sum(r["n"] for r in probe)
-    if not group_times:
+    if group_times is not None and not group_times:
         return []
 
     staging = os.path.join(
@@ -282,6 +294,22 @@ def _write_persisted(
         want = max(1, -(-n_events // _TARGET_ROWS_PER_FILE))
         to_write = to_write.coalesce(want)
     staged_mode = _staged_writer(to_write, cfg, staging, part_cols)
+
+    if deferred_probe is not None:
+        # Observation-fed callers learn the batch's group times (and
+        # detect invalidate/empty) from the write job itself. Resolve
+        # BEFORE any file leaves staging: an exception here (terminal
+        # invalidate) or an empty batch discards the staging dir and
+        # produces zero keys — identical externally-visible behavior
+        # to the probe-first path, one Spark job cheaper.
+        try:
+            group_times = deferred_probe()
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        if not group_times:
+            shutil.rmtree(staging, ignore_errors=True)
+            return []
 
     # move staged part-files onto the key layout
     keys: list[str] = []

@@ -90,6 +90,10 @@ class Pipeline:
         # configured set at Collection level, like the reference's
         # per-worker gauge) plus every collection actually observed
         self._seen_collections: set[str] = set(self.config.collections or [])
+        # previous batch's event count: the observe-fused write path's
+        # output-file-count hint (steady-state batches are uniform;
+        # None = first batch, skip the coalesce bound once)
+        self._last_n: int | None = None
 
     # -- transforms applied inside each micro-batch -----------------------
 
@@ -98,18 +102,137 @@ class Pipeline:
             df = match_pipeline(df, self.config.stream.pipeline)
         return df
 
+    # observe-fused probing degrades gracefully: beyond this many
+    # watched/seen collections the per-collection max-time metrics
+    # would bloat every micro-batch plan, so fall back to the probe-job
+    # path (a DATABASE-level deployment that wide is rare; the
+    # reference fans one worker per collection well before this)
+    _MAX_OBSERVED_COLLECTIONS = 64
+
     def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         batch_df = self._transform(batch_df)
         if self.config.dedup_by_key:
             # G3: per-batch dedup, the reference's HashSet semantics
             batch_df = dedup_by_key(batch_df)
+
+        # ONE Spark job per micro-batch: the probe (count + invalidate
+        # detection (F3) + per-collection group times) rides the write
+        # job itself as Observation metrics over the known collection
+        # set — the sink resolves them after staging and before any
+        # file reaches a final key. Only a batch that carries a
+        # never-seen collection pays a supplemental agg job for the
+        # unknown group times (and teaches the set for next time).
+        with self._lock:
+            known = sorted(self._seen_collections)
+        if len(known) > self._MAX_OBSERVED_COLLECTIONS:
+            self._foreach_batch_probed(batch_df, batch_id, t0)
+            return
+
+        policy = RetryPolicy(
+            max_retries=self.config.max_retries,
+            retry_delay_ms=self.config.retry_delay_ms,
+            max_retry_delay_ms=self.config.max_retry_delay_ms,
+        )
+
+        def _on_retry(attempt: int, err: BaseException) -> None:
+            with self._lock:
+                self.stats.retries += 1
+            self.metrics.inc(M.RETRIES)
+
+        from pyspark.sql import Observation
+
+        batch_info: dict = {"n": 0, "colls": set()}
+
+        def _write() -> list[str]:
+            # fresh Observation per attempt: a retried write is a new
+            # action and must not read the failed attempt's metrics
+            obs = Observation()
+            in_known = (
+                F.col("collection").isin(known) if known else F.lit(False)
+            )
+            observed = batch_df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(
+                        F.col("operation") == OP_INVALIDATE,
+                        # database-level invalidates carry a NULL
+                        # collection — coalesce so detection can't
+                        # miss them
+                        F.coalesce(F.col("collection"), F.lit("*")),
+                    )
+                ).alias("invalidated"),
+                F.sum((~in_known).cast("long")).alias("n_unknown"),
+                *[
+                    F.max(
+                        F.when(F.col("collection") == c, F.col("cluster_time"))
+                    ).alias(f"t{i}")
+                    for i, c in enumerate(known)
+                ],
+            )
+
+            def deferred() -> dict:
+                m = obs.get
+                if m["invalidated"] is not None:
+                    self._invalidated = m["invalidated"]
+                    raise StreamInvalidatedError(
+                        f"invalidate event on {self._invalidated}"
+                    )
+                batch_info["n"] = n = m["n"] or 0
+                if n == 0:
+                    return {}
+                gt = {
+                    c: m[f"t{i}"]
+                    for i, c in enumerate(known)
+                    if m[f"t{i}"] is not None
+                }
+                if m["n_unknown"]:
+                    # discovery batch: one supplemental agg over just
+                    # the unknown collections' rows
+                    extra = (
+                        batch_df.filter(~in_known)
+                        .groupBy("collection")
+                        .agg(F.max("cluster_time").alias("t"))
+                        .collect()
+                    )
+                    gt.update({r["collection"]: r["t"] for r in extra})
+                batch_info["colls"] = set(gt)
+                return gt
+
+            return write_batch(
+                observed,
+                self.sink,
+                batch_id=batch_id,
+                deferred_probe=deferred,
+                # file-count hint: the previous batch's size (steady
+                # state is uniform); None on the first batch skips the
+                # coalesce bound for that one batch
+                n_events=self._last_n,
+            )
+
+        try:
+            keys = with_retry(_write, policy, on_retry=_on_retry)
+        except StreamInvalidatedError:
+            raise
+        except Exception:
+            with self._lock:
+                self.stats.write_errors += 1
+            self.metrics.inc(M.WRITE_ERRORS)
+            raise
+        n = batch_info["n"]
+        if n == 0:
+            return
+        self._last_n = n
+        self._finish_batch(n, keys, batch_info["colls"], t0)
+
+    def _foreach_batch_probed(
+        self, batch_df: DataFrame, batch_id: int, t0: float
+    ) -> None:
+        """Probe-job path (pre-observe design, kept for very wide
+        collection sets): one aggregation job, then the write job."""
         batch_df = batch_df.persist()
         try:
-            # ONE probe job per micro-batch: count + invalidate detection
-            # (F3) + the per-collection group times the sink needs —
-            # folding the sink's own probe away halves the fixed per-batch
-            # job count, the dominant cost at small batch sizes
             per_coll = (
                 batch_df.groupBy("collection")
                 .agg(
@@ -118,7 +241,10 @@ class Pipeline:
                     F.max(
                         F.when(
                             F.col("operation") == OP_INVALIDATE,
-                            F.col("collection"),
+                            # NULL collection on database-level
+                            # invalidates — same coalesce as the
+                            # observe path
+                            F.coalesce(F.col("collection"), F.lit("*")),
                         )
                     ).alias("invalidated"),
                 )
@@ -163,23 +289,29 @@ class Pipeline:
                     self.stats.write_errors += 1
                 self.metrics.inc(M.WRITE_ERRORS)
                 raise
-            with self._lock:
-                self.stats.events_processed += n
-                self.stats.batches_written += 1
-                self.stats.keys_written.extend(keys)
-                self._seen_collections.update(group_times)
-                # gauge published under the same lock: per-collection
-                # queries run _foreach_batch concurrently, and a stale
-                # smaller count must not overwrite a newer one
-                self.metrics.set_gauge(
-                    M.ACTIVE_COLLECTIONS, float(len(self._seen_collections))
-                )
-            self.metrics.inc(M.EVENTS_PROCESSED, n)
-            self.metrics.inc(M.BATCHES_WRITTEN)
-            self.metrics.set_gauge(M.BATCH_SIZE, n)
-            self.metrics.set_gauge(M.BATCH_DURATION, time.monotonic() - t0)
+            self._last_n = n
+            self._finish_batch(n, keys, set(group_times), t0)
         finally:
             batch_df.unpersist()
+
+    def _finish_batch(
+        self, n: int, keys: list[str], collections: set[str], t0: float
+    ) -> None:
+        with self._lock:
+            self.stats.events_processed += n
+            self.stats.batches_written += 1
+            self.stats.keys_written.extend(keys)
+            self._seen_collections.update(collections)
+            # gauge published under the same lock: per-collection
+            # queries run _foreach_batch concurrently, and a stale
+            # smaller count must not overwrite a newer one
+            self.metrics.set_gauge(
+                M.ACTIVE_COLLECTIONS, float(len(self._seen_collections))
+            )
+        self.metrics.inc(M.EVENTS_PROCESSED, n)
+        self.metrics.inc(M.BATCHES_WRITTEN)
+        self.metrics.set_gauge(M.BATCH_SIZE, n)
+        self.metrics.set_gauge(M.BATCH_DURATION, time.monotonic() - t0)
 
     # -- lifecycle --------------------------------------------------------
 

@@ -182,6 +182,40 @@ class TestPipelineE2E:
                 rows = [_json.loads(line) for line in fh if line.strip()]
             assert rows and all(r["collection"] == "c3" for r in rows)
 
+    def test_invalidate_is_terminal_and_writes_nothing(self, spark, dirs):
+        """F3 (stream.rs:1211-1220): an invalidate event fails the
+        micro-batch before ANY object reaches a final key — the
+        observe-fused probe detects it after staging, discards the
+        staging dir, and raises."""
+        from datetime import datetime, timezone
+
+        from rigatoni_spark.streaming.pipeline import StreamInvalidatedError
+
+        src, out, ckpt = dirs
+        cfg = PipelineConfig(batch_timeout_secs=1.0)
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        p = Pipeline(spark, cfg, sink, src, ckpt)
+        t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        batch = spark.createDataFrame(
+            [
+                ("insert", "app", "c0", t, '{"_id": 1}', "{}", "1"),
+                ("invalidate", "app", None, t, None, None, "2"),
+            ],
+            "operation string, database string, collection string, "
+            "cluster_time timestamp, document_key string, "
+            "full_document string, resume_token string",
+        )
+        with pytest.raises(StreamInvalidatedError):
+            p._foreach_batch(batch, 0)
+        assert p._invalidated is not None
+        # nothing written, nothing staged left behind
+        assert p.stats.keys_written == []
+        assert glob.glob(os.path.join(out, "**", "*"), recursive=True) == []
+
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
         _feed(src, "a.parquet", 0, 1000)
