@@ -116,16 +116,22 @@ class Pipeline:
             # G3: per-batch dedup, the reference's HashSet semantics
             batch_df = dedup_by_key(batch_df)
 
-        # ONE Spark job per micro-batch: the probe (count + invalidate
-        # detection (F3) + per-collection group times) rides the write
-        # job itself as Observation metrics over the known collection
-        # set — the sink resolves them after staging and before any
-        # file reaches a final key. Only a batch that carries a
-        # never-seen collection pays a supplemental agg job for the
-        # unknown group times (and teaches the set for next time).
+        # ONE Spark job per micro-batch in steady state: the probe
+        # (count + invalidate detection (F3) + per-collection group
+        # times) rides the write job itself as Observation metrics over
+        # the known collection set — the sink resolves them after
+        # staging and before any file reaches a final key. Only a batch
+        # that carries a never-seen collection pays a supplemental agg
+        # job for the unknown group times (and teaches the set for next
+        # time). The FIRST batch goes through the probe-job path
+        # instead: it both primes the output-file-count hint with an
+        # exact n (no hint = no small-file bound) and seeds the
+        # collection set, so a single-batch drain (availableNow, or
+        # batch_size covering the backlog) behaves exactly like the
+        # two-job design and multi-batch streams fuse from batch 2 on.
         with self._lock:
             known = sorted(self._seen_collections)
-        if len(known) > self._MAX_OBSERVED_COLLECTIONS:
+        if self._last_n is None or len(known) > self._MAX_OBSERVED_COLLECTIONS:
             self._foreach_batch_probed(batch_df, batch_id, t0)
             return
 

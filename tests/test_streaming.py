@@ -209,12 +209,18 @@ class TestPipelineE2E:
             "cluster_time timestamp, document_key string, "
             "full_document string, resume_token string",
         )
-        with pytest.raises(StreamInvalidatedError):
-            p._foreach_batch(batch, 0)
-        assert p._invalidated is not None
-        # nothing written, nothing staged left behind
-        assert p.stats.keys_written == []
-        assert glob.glob(os.path.join(out, "**", "*"), recursive=True) == []
+        # first batch routes through the probe-job path; a primed
+        # _last_n routes through the observe-fused path — the terminal
+        # contract must hold on BOTH
+        for last_n in (None, 10):
+            p._invalidated = None
+            p._last_n = last_n
+            with pytest.raises(StreamInvalidatedError):
+                p._foreach_batch(batch, 0)
+            assert p._invalidated is not None
+            # nothing written, nothing staged left behind
+            assert p.stats.keys_written == []
+            assert glob.glob(os.path.join(out, "**", "*"), recursive=True) == []
 
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
