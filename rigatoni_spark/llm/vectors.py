@@ -205,6 +205,43 @@ def ann_lsh_topk(
     )
 
 
+def _attach_bucket_chunk(
+    with_bucket: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """Attach the mega-bucket guardrail's ``chunk`` ordinal.
+
+    Gated on a ONE-scalar probe (max bucket size — safe to collect at
+    any corpus scale; same pattern as ``ngram_jaccard_pairs``): when no
+    bucket exceeds ``max_bucket`` — the designed steady state — every
+    chunk ordinal is 0, so a literal replaces the row_number window and
+    the common case pays neither the window's full-corpus exchange+sort
+    nor its extra stages (measured +1.1s per call at sf0.1, pure
+    overhead when nothing is oversized). Only an actually-oversized
+    bucket set engages the window, and that result is checkpointed so
+    both join sides read it once. Output is identical either way, which
+    is why the static oracle SQL (always the window form) stays
+    hash-exact.
+
+    ``with_bucket`` must already be materialized (localCheckpoint) —
+    the probe is then a cheap agg over checkpointed rows."""
+    if max_bucket is None:
+        return with_bucket.withColumn("chunk", F.lit(0))
+    biggest = (
+        with_bucket.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+        or 0
+    )
+    if biggest <= max_bucket:
+        return with_bucket.withColumn("chunk", F.lit(0))
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    return with_bucket.withColumn(
+        "chunk",
+        ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast("int"),
+    ).localCheckpoint()
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -240,20 +277,12 @@ def embedding_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket").orderBy("vec_id")
-        with_bucket = with_bucket.withColumn(
-            "chunk",
-            ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast(
-                "int"
-            ),
-        )
-    else:
-        with_bucket = with_bucket.withColumn("chunk", F.lit(0))
+    # hash+norm materialize ONCE: the probe below and every downstream
+    # consumer (join sides / the groupBy) read the checkpoint instead
+    # of recomputing the projection
+    with_bucket = with_bucket.localCheckpoint()
+    with_bucket = _attach_bucket_chunk(with_bucket, max_bucket)
     if pair_kernel == "blas":
-        # no self-join on this path — the groupBy computes hash+norm
-        # once in its shuffle map stage; a checkpoint would be a
-        # wasted materialization pass
         return _grouped_blas_pairs(
             with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
             ["bucket", "chunk"],
@@ -261,8 +290,6 @@ def embedding_neardup_pairs(
             None,
             "embedding near-dup",
         )
-    # both join sides read it: hash+norm once, not per pair
-    with_bucket = with_bucket.localCheckpoint()
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -378,16 +405,10 @@ def multiprobe_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    if max_bucket is not None:
-        wb = Window.partitionBy("bucket").orderBy("vec_id")
-        with_bucket = with_bucket.withColumn(
-            "chunk",
-            ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast(
-                "int"
-            ),
-        )
-    else:
-        with_bucket = with_bucket.withColumn("chunk", F.lit(0))
+    # hash+norm materialize ONCE: the guardrail probe and both join
+    # sides (or the probe-group explode) read the checkpoint
+    with_bucket = with_bucket.localCheckpoint()
+    with_bucket = _attach_bucket_chunk(with_bucket, max_bucket)
     probes = F.array(
         F.col("bucket"),
         *[
@@ -414,8 +435,6 @@ def multiprobe_neardup_pairs(
             "multi-probe near-dup",
             home_col="is_home",
         )
-    # both join sides read it: hash+norm once, not per pair
-    with_bucket = with_bucket.localCheckpoint()
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
