@@ -205,40 +205,42 @@ def ann_lsh_topk(
     )
 
 
-def _attach_bucket_chunk(
-    with_bucket: DataFrame, max_bucket: int | None
+def _attach_chunk(
+    df: DataFrame, key: str, max_rows: int | None
 ) -> DataFrame:
-    """Attach the mega-bucket guardrail's ``chunk`` ordinal.
+    """Attach a blocking guardrail's ``chunk`` ordinal within ``key``
+    groups (mega-bucket / degenerate-cell splitting).
 
-    Gated on a ONE-scalar probe (max bucket size — safe to collect at
+    Gated on a ONE-scalar probe (max group size — safe to collect at
     any corpus scale; same pattern as ``ngram_jaccard_pairs``): when no
-    bucket exceeds ``max_bucket`` — the designed steady state — every
+    group exceeds ``max_rows`` — the designed steady state — every
     chunk ordinal is 0, so a literal replaces the row_number window and
     the common case pays neither the window's full-corpus exchange+sort
-    nor its extra stages (measured +1.1s per call at sf0.1, pure
-    overhead when nothing is oversized). Only an actually-oversized
-    bucket set engages the window, and that result is checkpointed so
-    both join sides read it once. Output is identical either way, which
-    is why the static oracle SQL (always the window form) stays
-    hash-exact.
+    nor its extra stages (measured +1.1s per multiprobe call at sf0.1,
+    pure overhead when nothing is oversized). Only an actually-
+    oversized group set engages the window, and that result is
+    checkpointed so every downstream consumer reads it once. Output is
+    identical either way — chunk ordinals are all zero when nothing is
+    oversized — which is why the static oracle SQL (always the window
+    form) stays hash-exact.
 
-    ``with_bucket`` must already be materialized (localCheckpoint) —
-    the probe is then a cheap agg over checkpointed rows."""
-    if max_bucket is None:
-        return with_bucket.withColumn("chunk", F.lit(0))
+    The probe consumes ``df`` once; callers that read ``df`` several
+    times afterwards should pass it already materialized."""
+    if max_rows is None:
+        return df.withColumn("chunk", F.lit(0))
     biggest = (
-        with_bucket.groupBy("bucket")
+        df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.max("n").alias("m"))
         .collect()[0]["m"]
         or 0
     )
-    if biggest <= max_bucket:
-        return with_bucket.withColumn("chunk", F.lit(0))
-    wb = Window.partitionBy("bucket").orderBy("vec_id")
-    return with_bucket.withColumn(
+    if biggest <= max_rows:
+        return df.withColumn("chunk", F.lit(0))
+    wb = Window.partitionBy(key).orderBy("vec_id")
+    return df.withColumn(
         "chunk",
-        ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_bucket)).cast("int"),
+        ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_rows)).cast("int"),
     ).localCheckpoint()
 
 
@@ -281,7 +283,7 @@ def embedding_neardup_pairs(
     # consumer (join sides / the groupBy) read the checkpoint instead
     # of recomputing the projection
     with_bucket = with_bucket.localCheckpoint()
-    with_bucket = _attach_bucket_chunk(with_bucket, max_bucket)
+    with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
     if pair_kernel == "blas":
         return _grouped_blas_pairs(
             with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
@@ -408,7 +410,7 @@ def multiprobe_neardup_pairs(
     # hash+norm materialize ONCE: the guardrail probe and both join
     # sides (or the probe-group explode) read the checkpoint
     with_bucket = with_bucket.localCheckpoint()
-    with_bucket = _attach_bucket_chunk(with_bucket, max_bucket)
+    with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
     probes = F.array(
         F.col("bucket"),
         *[
@@ -1159,35 +1161,36 @@ def semantic_neardup_pairs(
     cell = _kmeans_argmin_struct(
         _quantize_expr(F.col("embedding"), scale), cents
     )["cell"]
-    assigned = embeddings.select(
+    # spread() guards the narrow-scan case (metadata-only check): the
+    # former always-on chunk window used to hash-partition the corpus
+    # as a side effect; without it a single-file scan would leave the
+    # argmin projection — and everything downstream — on one task
+    assigned = spread(embeddings).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         cell.alias("cell"),
     )
-    if max_cell is not None:
-        wc = Window.partitionBy("cell").orderBy("vec_id")
-        assigned = assigned.withColumn(
-            "chunk",
-            ((F.row_number().over(wc) - F.lit(1)) / F.lit(max_cell)).cast(
-                "int"
-            ),
-        )
-    else:
-        assigned = assigned.withColumn("chunk", F.lit(0))
-    # the chunk window leaves the table hash-partitioned by cell: with
-    # n_cells below the session parallelism the (broadcast) self-join's
-    # stream side would run on n_cells cores and idle the rest — spread
-    # it round-robin (result-independent; pairs come from the join
-    # condition). At production cell counts (SemDeDup ~100K) this
-    # branch never fires and no extra shuffle is inserted.
+    # materialize the assignment ONCE: the guardrail's one-scalar
+    # probe, then both self-join sides (or the blas groupBy), all read
+    # it instead of re-running the argmin projection
+    assigned = _truncate(assigned)
+    # degenerate-cell guardrail, gated on the max-cell-size probe (see
+    # _attach_chunk): the common no-oversized-cell case pays a literal
+    # 0 instead of the former always-on row_number window (a corpus
+    # exchange+sort per call)
+    assigned = _attach_chunk(assigned, "cell", max_cell)
+    # with n_cells below the session parallelism the (broadcast)
+    # self-join's stream side could otherwise run on few cores and
+    # idle the rest — spread it round-robin (result-independent; pairs
+    # come from the join condition). At production cell counts
+    # (SemDeDup ~100K) this branch never fires.
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     if n_cells < par:
         assigned = assigned.repartition(par)
     if pair_kernel == "blas":
         return _semantic_pairs_blas(assigned, threshold)
-    # both self-join sides read the assignment: materialize once
-    cells = _truncate(assigned)
+    cells = assigned
     a, b = cells.alias("a"), cells.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
