@@ -279,10 +279,12 @@ def embedding_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    # hash+norm materialize ONCE: the probe below and every downstream
-    # consumer (join sides / the groupBy) read the checkpoint instead
-    # of recomputing the projection
-    with_bucket = with_bucket.localCheckpoint()
+    # hash+norm materialize ONCE — persist, not localCheckpoint: the
+    # guardrail probe is the first action and FILLS the cache in the
+    # same job, every downstream consumer (join sides / the groupBy)
+    # reads it, and lineage survives executor loss (cache partitions
+    # recompute from the scan; a localCheckpoint would sever that)
+    with_bucket = with_bucket.persist()
     with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
     if pair_kernel == "blas":
         return _grouped_blas_pairs(
@@ -407,9 +409,11 @@ def multiprobe_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    # hash+norm materialize ONCE: the guardrail probe and both join
-    # sides (or the probe-group explode) read the checkpoint
-    with_bucket = with_bucket.localCheckpoint()
+    # hash+norm materialize ONCE — persist (see
+    # embedding_neardup_pairs: probe fills the cache in one job,
+    # lineage survives executor loss); the guardrail probe and both
+    # join sides (or the probe-group explode) read it
+    with_bucket = with_bucket.persist()
     with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
     probes = F.array(
         F.col("bucket"),
@@ -1155,7 +1159,6 @@ def semantic_neardup_pairs(
             f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
         )
     _, cents = _kmeans_train(embeddings, n_cells, iterations, scale, checkpoint_dir)
-    _truncate = _truncator(embeddings.sparkSession, checkpoint_dir)
     # cell is a projection over the corpus scan (quantization inlined);
     # no assignment join — embedding, norm, and cell come off one pass
     cell = _kmeans_argmin_struct(
@@ -1171,10 +1174,14 @@ def semantic_neardup_pairs(
         _norm(F.col("embedding")).alias("nrm"),
         cell.alias("cell"),
     )
-    # materialize the assignment ONCE: the guardrail's one-scalar
-    # probe, then both self-join sides (or the blas groupBy), all read
-    # it instead of re-running the argmin projection
-    assigned = _truncate(assigned)
+    # materialize the assignment ONCE — persist, not checkpoint: the
+    # guardrail's one-scalar probe is the first action and fills the
+    # cache in the same job; both self-join sides (or the blas
+    # groupBy) then read it instead of re-running the argmin
+    # projection, and lineage survives executor loss (this stage is
+    # non-iterative — the truncation the cluster loop needs does not
+    # apply here)
+    assigned = assigned.persist()
     # degenerate-cell guardrail, gated on the max-cell-size probe (see
     # _attach_chunk): the common no-oversized-cell case pays a literal
     # 0 instead of the former always-on row_number window (a corpus
