@@ -695,6 +695,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
     "dedup_clusters": _doc(ldedup.duplicate_clusters),
+    # pointer-doubling variant: same unique fixpoint, O(log diameter)
+    # rounds (the chain-component knob; flip data in SCALE.md)
+    "dedup_clusters_doubling": _doc(
+        lambda d: ldedup.duplicate_clusters(d, doubling=True)
+    ),
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
     "dedup_chunk_stats": _doc(ldedup.chunk_dedup_stats),
@@ -986,6 +991,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
     "dedup_clusters": ldedup.duplicate_clusters_oracle(),
+    "dedup_clusters_doubling": ldedup.duplicate_clusters_oracle(),
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),
