@@ -9,6 +9,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from rigatoni_spark.config import (
     CompressionCodec,
@@ -313,6 +314,43 @@ class TestReadBack:
         colls = {k.split("/")[0] for k in keys}
         # one coalesced task -> exactly one object per collection
         assert len(keys) == len(colls)
+
+    def test_deferred_probe_contract(self, spark, change_events, tmp_path):
+        # deferred_probe resolves AFTER staging, BEFORE any final key:
+        # an exception discards staging and surfaces; an empty dict
+        # means empty batch (no keys, no files); a real dict drives the
+        # same key stems the probe-first path would have produced
+        sample = change_events.limit(100)
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        probe = (
+            sample.groupBy("collection")
+            .agg(F.max("cluster_time").alias("t"))
+            .collect()
+        )
+        group_times = {r["collection"]: r["t"] for r in probe}
+
+        # exception path: nothing lands, staging removed
+        def boom():
+            raise RuntimeError("probe exploded")
+
+        with pytest.raises(RuntimeError, match="probe exploded"):
+            write_batch(sample, cfg, batch_id=1, deferred_probe=boom)
+        assert glob.glob(str(tmp_path / "**" / "*"), recursive=True) == []
+
+        # empty-batch path: no keys, no files
+        assert write_batch(sample, cfg, batch_id=1, deferred_probe=dict) == []
+        assert glob.glob(str(tmp_path / "**" / "*"), recursive=True) == []
+
+        # success path: keys identical to the probe-first design
+        keys = write_batch(
+            sample, cfg, batch_id=1, deferred_probe=lambda: group_times
+        )
+        want = write_batch(sample, cfg, batch_id=1, group_times=group_times)
+        assert sorted(keys) == sorted(want)
 
     def test_all_layouts_roundtrip_json(self, spark, change_events, tmp_path):
         from pyspark.sql import functions as F
