@@ -208,10 +208,15 @@ def main() -> None:
     detail["streaming_runs_sec_by_batch_size"] = {
         str(bs): [round(s, 3) for s in runs] for bs, runs in stream_runs.items()
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        # the detail file is ancillary: a read-only/full checkout must
+        # not cost the ~25-minute measurement its headline stdout line
+        print(f"BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
 

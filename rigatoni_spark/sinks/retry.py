@@ -49,6 +49,13 @@ FATAL_MARKERS = (
 
 
 def is_retryable_error(err: BaseException) -> bool:
+    # an error that knows its own class wins over text sniffing: e.g.
+    # StreamInvalidatedError sets retryable=False so an invalidate on a
+    # collection named "user_connections" is not mistaken for a
+    # transient network failure and re-staged max_retries times
+    flag = getattr(err, "retryable", None)
+    if flag is not None:
+        return bool(flag)
     text = str(err).lower()
     if any(m in text for m in FATAL_MARKERS):
         return False

@@ -49,6 +49,25 @@ class StreamInvalidatedError(RuntimeError):
     """F3: an ``invalidate`` event is a terminal stream error
     (stream.rs:1211-1220) — the collection was dropped/renamed."""
 
+    # self-classification for with_retry: terminal by definition, even
+    # if the collection name happens to contain a retryable marker
+    # ("user_connections" must not trigger backoff re-staging)
+    retryable = False
+
+
+@dataclass
+class _QueryState:
+    """Per-query micro-batch state.
+
+    ``foreachBatch`` invocations of a single query are serial, so no
+    lock is needed — but the state must NOT be shared across queries:
+    at COLLECTION watch level one query runs per collection, and a
+    small batch on one collection must not become the output-file-count
+    hint that coalesces another collection's burst into one task."""
+
+    last_n: int | None = None
+    seen: set[str] = field(default_factory=set)
+
 
 @dataclass
 class PipelineStats:
@@ -90,10 +109,11 @@ class Pipeline:
         # configured set at Collection level, like the reference's
         # per-worker gauge) plus every collection actually observed
         self._seen_collections: set[str] = set(self.config.collections or [])
-        # previous batch's event count: the observe-fused write path's
-        # output-file-count hint (steady-state batches are uniform;
-        # None = first batch, skip the coalesce bound once)
-        self._last_n: int | None = None
+        # state for direct _foreach_batch calls (tests / single-query
+        # levels); start() gives each spawned query its own instance
+        self._default_state = _QueryState(
+            seen=set(self.config.collections or [])
+        )
 
     # -- transforms applied inside each micro-batch -----------------------
 
@@ -109,8 +129,14 @@ class Pipeline:
     # reference fans one worker per collection well before this)
     _MAX_OBSERVED_COLLECTIONS = 64
 
-    def _foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def _foreach_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        state: _QueryState | None = None,
+    ) -> None:
         t0 = time.monotonic()
+        state = state if state is not None else self._default_state
         batch_df = self._transform(batch_df)
         if self.config.dedup_by_key:
             # G3: per-batch dedup, the reference's HashSet semantics
@@ -129,22 +155,10 @@ class Pipeline:
         # collection set, so a single-batch drain (availableNow, or
         # batch_size covering the backlog) behaves exactly like the
         # two-job design and multi-batch streams fuse from batch 2 on.
-        with self._lock:
-            known = sorted(self._seen_collections)
-        if self._last_n is None or len(known) > self._MAX_OBSERVED_COLLECTIONS:
-            self._foreach_batch_probed(batch_df, batch_id, t0)
+        known = sorted(state.seen)
+        if state.last_n is None or len(known) > self._MAX_OBSERVED_COLLECTIONS:
+            self._foreach_batch_probed(batch_df, batch_id, t0, state)
             return
-
-        policy = RetryPolicy(
-            max_retries=self.config.max_retries,
-            retry_delay_ms=self.config.retry_delay_ms,
-            max_retry_delay_ms=self.config.max_retry_delay_ms,
-        )
-
-        def _on_retry(attempt: int, err: BaseException) -> None:
-            with self._lock:
-                self.stats.retries += 1
-            self.metrics.inc(M.RETRIES)
 
         from pyspark.sql import Observation
 
@@ -211,14 +225,40 @@ class Pipeline:
                 self.sink,
                 batch_id=batch_id,
                 deferred_probe=deferred,
-                # file-count hint: the previous batch's size (steady
-                # state is uniform); None on the first batch skips the
-                # coalesce bound for that one batch
-                n_events=self._last_n,
+                # file-count hint: THIS query's previous batch size
+                # (steady state is uniform; per-query state so another
+                # collection's tiny batch can't shrink this one's write
+                # parallelism). A burst right after a small batch is
+                # over-coalesced for that one batch only — the hint
+                # self-corrects from the batch's own observed n below.
+                n_events=state.last_n,
             )
 
+        keys = self._retrying_write(_write)
+        n = batch_info["n"]
+        if n == 0:
+            return
+        state.last_n = n
+        self._finish_batch(n, keys, batch_info["colls"], t0, state)
+
+    def _retrying_write(self, write_fn):
+        """R1 wrapper shared by both batch paths: retry policy from
+        config, retry/error accounting, invalidate passes through as
+        the terminal error it is (it also self-classifies as
+        non-retryable for with_retry)."""
+        policy = RetryPolicy(
+            max_retries=self.config.max_retries,
+            retry_delay_ms=self.config.retry_delay_ms,
+            max_retry_delay_ms=self.config.max_retry_delay_ms,
+        )
+
+        def _on_retry(attempt: int, err: BaseException) -> None:
+            with self._lock:
+                self.stats.retries += 1
+            self.metrics.inc(M.RETRIES)
+
         try:
-            keys = with_retry(_write, policy, on_retry=_on_retry)
+            return with_retry(write_fn, policy, on_retry=_on_retry)
         except StreamInvalidatedError:
             raise
         except Exception:
@@ -226,17 +266,17 @@ class Pipeline:
                 self.stats.write_errors += 1
             self.metrics.inc(M.WRITE_ERRORS)
             raise
-        n = batch_info["n"]
-        if n == 0:
-            return
-        self._last_n = n
-        self._finish_batch(n, keys, batch_info["colls"], t0)
 
     def _foreach_batch_probed(
-        self, batch_df: DataFrame, batch_id: int, t0: float
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        t0: float,
+        state: _QueryState | None = None,
     ) -> None:
         """Probe-job path (pre-observe design, kept for very wide
         collection sets): one aggregation job, then the write job."""
+        state = state if state is not None else self._default_state
         batch_df = batch_df.persist()
         try:
             per_coll = (
@@ -269,40 +309,27 @@ class Pipeline:
                 )
             group_times = {r["collection"]: r["t"] for r in per_coll}
 
-            policy = RetryPolicy(
-                max_retries=self.config.max_retries,
-                retry_delay_ms=self.config.retry_delay_ms,
-                max_retry_delay_ms=self.config.max_retry_delay_ms,
-            )
-
-            def _on_retry(attempt: int, err: BaseException) -> None:
-                with self._lock:
-                    self.stats.retries += 1
-                self.metrics.inc(M.RETRIES)
-
             def _write() -> list[str]:
                 return write_batch(
                     batch_df, self.sink, batch_id=batch_id,
                     group_times=group_times, n_events=n,
                 )
 
-            try:
-                keys = with_retry(_write, policy, on_retry=_on_retry)
-            except StreamInvalidatedError:
-                raise
-            except Exception:
-                with self._lock:
-                    self.stats.write_errors += 1
-                self.metrics.inc(M.WRITE_ERRORS)
-                raise
-            self._last_n = n
-            self._finish_batch(n, keys, set(group_times), t0)
+            keys = self._retrying_write(_write)
+            state.last_n = n
+            self._finish_batch(n, keys, set(group_times), t0, state)
         finally:
             batch_df.unpersist()
 
     def _finish_batch(
-        self, n: int, keys: list[str], collections: set[str], t0: float
+        self,
+        n: int,
+        keys: list[str],
+        collections: set[str],
+        t0: float,
+        state: _QueryState,
     ) -> None:
+        state.seen.update(collections)
         with self._lock:
             self.stats.events_processed += n
             self.stats.batches_written += 1
@@ -328,10 +355,18 @@ class Pipeline:
         # one testdata file ≈ one producer flush
         max_files = max(1, self.config.batch_size // 100)
 
-        def _start_query(name: str, df: DataFrame):
+        def _start_query(name: str, df: DataFrame, seed: set[str]):
+            # one _QueryState per query: the file-count hint and the
+            # observed-collection set are per-stream facts (see
+            # _QueryState's docstring for the cross-query hazard)
+            state = _QueryState(seen=set(seed))
+
+            def _batch(bdf: DataFrame, bid: int) -> None:
+                self._foreach_batch(bdf, bid, state)
+
             return (
                 df.writeStream.queryName(name)
-                .foreachBatch(self._foreach_batch)
+                .foreachBatch(_batch)
                 .option(
                     "checkpointLocation",
                     f"{self.checkpoint_dir}/{name}",
@@ -357,11 +392,18 @@ class Pipeline:
                 q = _start_query(
                     key.replace(":", "_"),
                     stream.filter(F.col("collection") == coll),
+                    {coll},
                 )
                 self._queries.append(q)
         else:
             key = resume_token_key(level, self.config.database, None)
-            self._queries.append(_start_query(key.replace(":", "_").replace("*", "all"), stream))
+            self._queries.append(
+                _start_query(
+                    key.replace(":", "_").replace("*", "all"),
+                    stream,
+                    set(self.config.collections or []),
+                )
+            )
         self.metrics.set_gauge(M.PIPELINE_STATUS, 1.0)
         self.metrics.set_gauge(
             M.ACTIVE_COLLECTIONS, float(len(self.config.collections) or 1)

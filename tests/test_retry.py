@@ -67,3 +67,24 @@ class TestWithRetry:
         assert is_retryable_error(RuntimeError("SlowDown: please reduce rate"))
         assert not is_retryable_error(RuntimeError("InvalidBucketName"))
         assert not is_retryable_error(RuntimeError("schema validation failed"))
+
+    def test_self_classification_beats_text_sniffing(self):
+        # an error that declares `retryable` wins over its message: an
+        # invalidate on a collection named "user_connections" contains
+        # the "connection" marker but must stay terminal
+        from rigatoni_spark.streaming.pipeline import StreamInvalidatedError
+
+        terminal = StreamInvalidatedError(
+            "invalidate event on user_connections"
+        )
+        assert not is_retryable_error(terminal)
+
+        class _Flaky(RuntimeError):
+            retryable = True
+
+        assert is_retryable_error(_Flaky("schema validation failed"))
+
+        sink = FlakySink(10, StreamInvalidatedError("invalidate event on reset_tokens"))
+        with pytest.raises(StreamInvalidatedError):
+            with_retry(sink, RetryPolicy(max_retries=3), sleep=_no_sleep)
+        assert sink.calls == 1  # no backoff re-staging of a dead stream

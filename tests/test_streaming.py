@@ -210,17 +210,62 @@ class TestPipelineE2E:
             "full_document string, resume_token string",
         )
         # first batch routes through the probe-job path; a primed
-        # _last_n routes through the observe-fused path — the terminal
+        # last_n routes through the observe-fused path — the terminal
         # contract must hold on BOTH
         for last_n in (None, 10):
             p._invalidated = None
-            p._last_n = last_n
+            p._default_state.last_n = last_n
             with pytest.raises(StreamInvalidatedError):
                 p._foreach_batch(batch, 0)
             assert p._invalidated is not None
+            # the terminal error must not be retried as a transient:
+            # re-staging a dead stream max_retries times both lies in
+            # the retry metrics and delays the shutdown by the backoff
+            assert p.stats.retries == 0
             # nothing written, nothing staged left behind
             assert p.stats.keys_written == []
             assert glob.glob(os.path.join(out, "**", "*"), recursive=True) == []
+
+    def test_per_query_file_count_hints_are_isolated(self, spark, dirs):
+        """The observe-fused coalesce hint is per-query state: at
+        COLLECTION watch level one query runs per collection, and a
+        tiny batch on one collection must not become the file-count
+        hint that collapses another collection's burst into a single
+        write task."""
+        from datetime import datetime, timezone
+
+        from rigatoni_spark.streaming.pipeline import _QueryState
+
+        src, out, ckpt = dirs
+        cfg = PipelineConfig(batch_timeout_secs=1.0)
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(spark, cfg, sink, src, ckpt)
+        t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        schema = (
+            "operation string, database string, collection string, "
+            "cluster_time timestamp, document_key string, "
+            "full_document string, resume_token string"
+        )
+
+        def batch(coll: str, n: int):
+            return spark.createDataFrame(
+                [
+                    ("insert", "app", coll, t, f'{{"_id": {i}}}', "{}", str(i))
+                    for i in range(n)
+                ],
+                schema,
+            )
+
+        sa = _QueryState(seen={"c0"})
+        sb = _QueryState(seen={"c1"})
+        p._foreach_batch(batch("c0", 3), 0, sa)  # first batch: probed
+        p._foreach_batch(batch("c1", 40), 0, sb)
+        assert (sa.last_n, sb.last_n) == (3, 40)
+        # second batches take the observe-fused path, each reading and
+        # then updating its OWN hint
+        p._foreach_batch(batch("c0", 5), 1, sa)
+        p._foreach_batch(batch("c1", 60), 1, sb)
+        assert (sa.last_n, sb.last_n) == (5, 60)
 
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
