@@ -207,9 +207,11 @@ def ann_lsh_topk(
 
 def _attach_chunk(
     df: DataFrame, key: str, max_rows: int | None
-) -> DataFrame:
+) -> tuple[DataFrame, bool]:
     """Attach a blocking guardrail's ``chunk`` ordinal within ``key``
-    groups (mega-bucket / degenerate-cell splitting).
+    groups (mega-bucket / degenerate-cell splitting); returns
+    ``(df_with_chunk, oversized)`` so callers can skip the oversize-only
+    machinery (zero-chunk bridge rows) when every ordinal is 0.
 
     Gated on a ONE-scalar probe (max group size — safe to collect at
     any corpus scale; same pattern as ``ngram_jaccard_pairs``): when no
@@ -227,7 +229,7 @@ def _attach_chunk(
     The probe consumes ``df`` once; callers that read ``df`` several
     times afterwards should pass it already materialized."""
     if max_rows is None:
-        return df.withColumn("chunk", F.lit(0))
+        return df.withColumn("chunk", F.lit(0)), False
     biggest = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -236,12 +238,85 @@ def _attach_chunk(
         or 0
     )
     if biggest <= max_rows:
-        return df.withColumn("chunk", F.lit(0))
+        return df.withColumn("chunk", F.lit(0)), False
     wb = Window.partitionBy(key).orderBy("vec_id")
-    return df.withColumn(
+    chunked = df.withColumn(
         "chunk",
         ((F.row_number().over(wb) - F.lit(1)) / F.lit(max_rows)).cast("int"),
-    ).localCheckpoint()
+    ).localCheckpoint()  # eager: reads the caller's already-cached
+    # input, so this one cheap job pins the window result for every
+    # downstream consumer on the rare oversized path
+    return chunked, True
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Shared hash+norm materialization for the near-dup family: lazy
+    local checkpoint, so the guardrail's one-scalar probe — the first
+    action — computes and stores the blocks in its own job and every
+    downstream consumer (join sides / the blas groupBy) reads them.
+
+    Deliberately NOT ``persist()``: a cached DataFrame pins a
+    CacheManager entry until an explicit unpersist, and these functions
+    return lazy results — a long-lived session calling them repeatedly
+    (the 114-query bench loop does, five times per pass) would
+    accumulate a full hashed-corpus copy per call. localCheckpoint
+    blocks are GC-tied: they free when the returned plan is dropped.
+    The trade is severed lineage — executor loss during the one action
+    fails the query instead of recomputing; at cluster scale swap in a
+    reliable ``checkpoint()`` (see the module note above) if that
+    matters more than memory."""
+    return df.localCheckpoint(eager=False)
+
+
+def _with_bridge_rows(
+    df: DataFrame,
+    targets: list[tuple],
+    out_group: str,
+) -> DataFrame:
+    """Explode each row into its candidate (group, chunk) placements
+    for the blas kernel, implementing the guardrail's zero-chunk
+    bridge admission (see :func:`embedding_neardup_pairs`).
+
+    ``targets`` is ``[(group expression, is_home), ...]`` — one entry
+    ``[(own bucket, True)]`` for the plain LSH/cell paths, identity +
+    NBITS flip probes for multi-probe. Every placement carries the
+    row's chunk ordinal; a row with chunk >= 1 additionally lands in
+    every target's chunk-0 group as a BRIDGE row (``is_bridge``), which
+    is how chunk-0 rows keep pairing with every chunk of an oversized
+    group. When nothing is oversized (chunk is the literal 0) the
+    ``when`` folds away and this is exactly the classic probe explode."""
+    classic = [
+        F.struct(
+            t.cast("bigint").alias("g"),
+            F.col("chunk").alias("c"),
+            F.lit(bool(is_home)).alias("h"),
+            F.lit(False).alias("z"),
+        )
+        for t, is_home in targets
+    ]
+    bridges = [
+        F.struct(
+            t.cast("bigint").alias("g"),
+            F.lit(0).alias("c"),
+            F.lit(False).alias("h"),
+            F.lit(True).alias("z"),
+        )
+        for t, _ in targets
+    ]
+    arr = F.when(F.col("chunk") > 0, F.array(*classic, *bridges)).otherwise(
+        F.array(*classic)
+    )
+    return df.select(
+        "vec_id", "embedding", "nrm", F.explode(arr).alias("p")
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.col("p.g").alias(out_group),
+        F.col("p.c").alias("chunk"),
+        F.col("p.h").alias("is_home"),
+        F.col("p.z").alias("is_bridge"),
+    )
 
 
 def embedding_neardup_pairs(
@@ -259,11 +334,14 @@ def embedding_neardup_pairs(
     ``max_bucket`` is the mega-bucket guardrail (semantic dedup's
     ``max_cell`` twin, applied identically to BOTH kernels so their
     outputs stay row-identical): buckets above it split into
-    contiguous vec_id chunks and only within-chunk pairs are emitted —
-    re-bounding pair volume (expr) and the per-group matrix (blas) at
-    max_bucket when NBITS lags corpus growth; cross-chunk pairs of an
-    oversized bucket are the documented recall loss. The production
-    lever remains raising NBITS.
+    contiguous vec_id chunks and a pair is admitted when the two rows
+    share a chunk ordinal OR either row sits in chunk 0 (the
+    ZERO-CHUNK BRIDGE) — so every row still pairs with the group's
+    first ``max_bucket`` rows and only pairs between two different
+    non-zero chunks are dropped (the documented recall loss). Volume
+    stays linear: chunk-equal pairs cost ~max_bucket x group size and
+    the bridge at most doubles that — never the unchunked quadratic.
+    The production lever remains raising NBITS.
 
     ``pair_kernel`` follows :func:`semantic_neardup_pairs`: ``"expr"``
     (default) verifies each candidate pair with the oracle-exact
@@ -279,20 +357,29 @@ def embedding_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    # hash+norm materialize ONCE — persist, not localCheckpoint: the
-    # guardrail probe is the first action and FILLS the cache in the
-    # same job, every downstream consumer (join sides / the groupBy)
-    # reads it, and lineage survives executor loss (cache partitions
-    # recompute from the scan; a localCheckpoint would sever that)
-    with_bucket = with_bucket.persist()
-    with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
+    with_bucket = _materialize_once(with_bucket)
+    with_bucket, oversized = _attach_chunk(with_bucket, "bucket", max_bucket)
     if pair_kernel == "blas":
+        rows = with_bucket.select(
+            "vec_id", "embedding", "nrm", "bucket", "chunk"
+        )
+        if oversized:
+            # bridge rows let chunk-0 rows meet every chunk; the
+            # kernel's emission rule keeps pairs exactly-once
+            rows = _with_bridge_rows(
+                rows, [(F.col("bucket"), True)], "bucket"
+            )
+            return _grouped_blas_pairs(
+                rows,
+                ["bucket", "chunk"],
+                threshold,
+                None,
+                "embedding near-dup",
+                home_col="is_home",
+                bridge_col="is_bridge",
+            )
         return _grouped_blas_pairs(
-            with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
-            ["bucket", "chunk"],
-            threshold,
-            None,
-            "embedding near-dup",
+            rows, ["bucket", "chunk"], threshold, None, "embedding near-dup"
         )
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
@@ -315,7 +402,12 @@ def embedding_neardup_pairs(
         a.join(
             b,
             (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("chunk") == F.col("chunk_b"))
+            # zero-chunk bridge: chunk-equal OR either side in chunk 0
+            & (
+                (F.col("chunk") == F.col("chunk_b"))
+                | (F.col("chunk") == F.lit(0))
+                | (F.col("chunk_b") == F.lit(0))
+            )
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
@@ -358,7 +450,9 @@ WITH raw_bucketed AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  ON a.bucket = b.bucket
+ AND (a.chunk = b.chunk OR a.chunk = 0 OR b.chunk = 0)
+ AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
@@ -388,18 +482,23 @@ def multiprobe_neardup_pairs(
     :func:`embedding_neardup_pairs` and computed the same way — on the
     NON-exploded row, from its position within its HOME bucket — so the
     probe fan-out cannot amplify a hot bucket quadratically: a pair is
-    emitted only when both rows share a chunk ordinal, bounding any
-    join key's candidate volume at (1+NBITS) x max_bucket^2. Buckets
-    under max_bucket (the designed state; chunk ordinal 0 everywhere)
-    are unaffected; cross-ordinal pairs of oversized buckets are the
-    documented recall loss, and raising NBITS remains the production
-    lever.
+    admitted when the rows share a chunk ordinal OR either row is in
+    chunk 0 of its bucket (the zero-chunk bridge — chunk ordinals from
+    DIFFERENT home buckets have no semantic relation, so without the
+    bridge every chunk>=1 row of a hot bucket would lose ALL its
+    Hamming-1 pairs with normal-sized neighbors). Any join key's
+    candidate volume stays ~(1+NBITS) x max_bucket x bucket size —
+    linear, never the unchunked quadratic. Buckets under max_bucket
+    (the designed state; chunk ordinal 0 everywhere) are unaffected;
+    pairs between two different non-zero chunks are the documented
+    recall loss, and raising NBITS remains the production lever.
 
     ``pair_kernel="blas"`` verifies candidates with the shared
     row-blocked matmul: every row lands in its home (bucket, chunk)
-    group plus NBITS probe groups, and the exactly-once rule becomes
-    "emit (vec_a < vec_b) only where vec_b is the home row" — the blas
-    mirror of the join's one-sided explode. Row-identical output."""
+    group plus NBITS probe groups (plus chunk-0 bridge groups when
+    oversized), and the exactly-once rule is the kernel's emission
+    logic (see :func:`_grouped_blas_pairs`) — the blas mirror of the
+    join's one-sided explode. Row-identical output."""
     if pair_kernel not in ("expr", "blas"):
         raise ValueError(
             f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
@@ -409,12 +508,29 @@ def multiprobe_neardup_pairs(
     ).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    # hash+norm materialize ONCE — persist (see
-    # embedding_neardup_pairs: probe fills the cache in one job,
-    # lineage survives executor loss); the guardrail probe and both
-    # join sides (or the probe-group explode) read it
-    with_bucket = with_bucket.persist()
-    with_bucket = _attach_chunk(with_bucket, "bucket", max_bucket)
+    # hash+norm materialize ONCE (see _materialize_once); the guardrail
+    # probe and both join sides (or the probe-group explode) read it
+    with_bucket = _materialize_once(with_bucket)
+    with_bucket, oversized = _attach_chunk(with_bucket, "bucket", max_bucket)
+    probe_targets = [(F.col("bucket"), True)] + [
+        (F.col("bucket").bitwiseXOR(F.lit(1 << b)), False)
+        for b in range(NBITS)
+    ]
+    if pair_kernel == "blas":
+        placed = _with_bridge_rows(
+            with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
+            probe_targets,
+            "probe_bucket",
+        )
+        return _grouped_blas_pairs(
+            placed,
+            ["probe_bucket", "chunk"],
+            threshold,
+            None,
+            "multi-probe near-dup",
+            home_col="is_home",
+            bridge_col="is_bridge" if oversized else None,
+        )
     probes = F.array(
         F.col("bucket"),
         *[
@@ -422,25 +538,6 @@ def multiprobe_neardup_pairs(
             for b in range(NBITS)
         ],
     )
-    if pair_kernel == "blas":
-        exploded = with_bucket.select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            "chunk",
-            F.col("bucket").alias("home_bucket"),
-            F.explode(probes).alias("probe_bucket"),
-        ).withColumn("is_home", F.col("probe_bucket") == F.col("home_bucket"))
-        return _grouped_blas_pairs(
-            exploded.select(
-                "vec_id", "embedding", "nrm", "probe_bucket", "chunk", "is_home"
-            ),
-            ["probe_bucket", "chunk"],
-            threshold,
-            None,
-            "multi-probe near-dup",
-            home_col="is_home",
-        )
     a = with_bucket.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -462,7 +559,12 @@ def multiprobe_neardup_pairs(
         a.join(
             b,
             (F.col("probe_bucket") == F.col("bucket_b"))
-            & (F.col("chunk_a") == F.col("chunk_b"))
+            # zero-chunk bridge: chunk-equal OR either side in chunk 0
+            & (
+                (F.col("chunk_a") == F.col("chunk_b"))
+                | (F.col("chunk_a") == F.lit(0))
+                | (F.col("chunk_b") == F.lit(0))
+            )
             & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
@@ -511,7 +613,9 @@ WITH raw_bucketed AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM probed a JOIN bucketed b
-  ON a.probe_bucket = b.bucket AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  ON a.probe_bucket = b.bucket
+ AND (a.chunk = b.chunk OR a.chunk = 0 OR b.chunk = 0)
+ AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
@@ -1112,14 +1216,17 @@ def semantic_neardup_pairs(
     cell size, so one mega-cell — collapsed embeddings, a fixed k at a
     grown corpus — can dominate the whole join. Cells larger than
     ``max_cell`` are SPLIT into contiguous vec_id-ordered chunks of at
-    most ``max_cell`` rows and only within-chunk pairs are emitted:
-    cost is re-bounded at max_cell x rows per cell; pairs crossing a
-    chunk boundary of an oversized cell are the (documented) recall
-    loss. SemDeDup's own recipe keeps cells small by scaling k with
-    the corpus (~100K clusters in the paper) — prefer raising
-    ``n_cells`` (the default 16 targets the bench corpora; scale it
-    with rows); the guardrail is the backstop when k lags the data.
-    Chunking is a window rank, deterministic and engine-identical.
+    most ``max_cell`` rows and a pair is admitted when the rows share
+    a chunk ordinal OR either row is in chunk 0 (the zero-chunk
+    bridge, same rule as :func:`embedding_neardup_pairs`): cost is
+    re-bounded at ~2 x max_cell x rows per cell — linear — and only
+    pairs between two different non-zero chunks of an oversized cell
+    are the (documented) recall loss. SemDeDup's own recipe keeps
+    cells small by scaling k with the corpus (~100K clusters in the
+    paper) — prefer raising ``n_cells`` (the default 16 targets the
+    bench corpora; scale it with rows); the guardrail is the backstop
+    when k lags the data. Chunking is a window rank, deterministic and
+    engine-identical.
 
     Per-vector norms are computed once in the materialized cells table
     (norm(v) = sqrt(dot(v,v)) is the same IEEE value per-row or
@@ -1174,19 +1281,17 @@ def semantic_neardup_pairs(
         _norm(F.col("embedding")).alias("nrm"),
         cell.alias("cell"),
     )
-    # materialize the assignment ONCE — persist, not checkpoint: the
-    # guardrail's one-scalar probe is the first action and fills the
-    # cache in the same job; both self-join sides (or the blas
-    # groupBy) then read it instead of re-running the argmin
-    # projection, and lineage survives executor loss (this stage is
-    # non-iterative — the truncation the cluster loop needs does not
-    # apply here)
-    assigned = assigned.persist()
+    # materialize the assignment ONCE (see _materialize_once): the
+    # guardrail's one-scalar probe is the first action and stores the
+    # blocks in the same job; both self-join sides (or the blas
+    # groupBy) then read them instead of re-running the argmin
+    # projection
+    assigned = _materialize_once(assigned)
     # degenerate-cell guardrail, gated on the max-cell-size probe (see
     # _attach_chunk): the common no-oversized-cell case pays a literal
     # 0 instead of the former always-on row_number window (a corpus
     # exchange+sort per call)
-    assigned = _attach_chunk(assigned, "cell", max_cell)
+    assigned, oversized = _attach_chunk(assigned, "cell", max_cell)
     # with n_cells below the session parallelism the (broadcast)
     # self-join's stream side could otherwise run on few cores and
     # idle the rest — spread it round-robin (result-independent; pairs
@@ -1196,7 +1301,7 @@ def semantic_neardup_pairs(
     if n_cells < par:
         assigned = assigned.repartition(par)
     if pair_kernel == "blas":
-        return _semantic_pairs_blas(assigned, threshold)
+        return _semantic_pairs_blas(assigned, threshold, oversized)
     cells = assigned
     a, b = cells.alias("a"), cells.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -1206,7 +1311,12 @@ def semantic_neardup_pairs(
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
+            # zero-chunk bridge: chunk-equal OR either side in chunk 0
+            & (
+                (F.col("a.chunk") == F.col("b.chunk"))
+                | (F.col("a.chunk") == F.lit(0))
+                | (F.col("b.chunk") == F.lit(0))
+            )
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -1227,6 +1337,7 @@ def _grouped_blas_pairs(
     group_out: str | None,
     what: str,
     home_col: str | None = None,
+    bridge_col: str | None = None,
 ) -> DataFrame:
     """Shared blas pair stage: per-group Arrow matmul over (vec_id,
     embedding, nrm [, group cols]) rows. Each group's above-threshold
@@ -1239,10 +1350,21 @@ def _grouped_blas_pairs(
 
     ``home_col`` (boolean column) supports multi-probe groupings where
     each vector lands in several groups (its own bucket + probe
-    buckets): a pair (vec_a < vec_b) is emitted only when vec_b's row
-    is a HOME row — the blas mirror of the probe-join's one-sided
-    explode, which makes every cross-bucket pair reachable in exactly
-    one group (see :func:`multiprobe_neardup_pairs`)."""
+    buckets); ``bridge_col`` additionally marks the zero-chunk BRIDGE
+    rows of the oversized-group guardrail (rows with chunk >= 1
+    replicated into the chunk-0 group, see :func:`_with_bridge_rows`).
+    The exactly-once emission rule, for each in-group pair sorted so
+    vec_a < vec_b:
+
+    - both rows home           -> emit (the pair meets nowhere else);
+    - exactly one home, the other a CLASSIC probe (same chunk)
+                               -> emit only when the HOME row is vec_b:
+      a cross-bucket same-chunk pair meets in both endpoints' groups,
+      and this picks the larger-id endpoint's group;
+    - exactly one home, the other a BRIDGE row -> emit: a chunk-0 x
+      chunk>=1 pair meets only in the chunk-0 row's home group;
+    - neither home             -> skip (probe-probe pairs belong to
+      some other group, or to no admissible pair at all)."""
     import numpy as np
     import pandas as pd
 
@@ -1281,6 +1403,7 @@ def _grouped_blas_pairs(
         U = U / nrm[:, None]
         ids = pdf["vec_id"].to_numpy()
         home = pdf[home_col].to_numpy() if home_col else None
+        bridge = pdf[bridge_col].to_numpy() if bridge_col else None
         gval = int(pdf[group_out].iloc[0]) if group_out else None
         out = []
         for s in range(0, n, 512):
@@ -1310,10 +1433,22 @@ def _grouped_blas_pairs(
             ia, ib = np.nonzero((g >= thr) | np.isnan(g))
             keep = (ia + s) < ib  # global upper triangle: vec_a < vec_b
             if home is not None:
-                # multi-probe exactly-once rule: the larger-id row must
-                # be home in this group (probe-row pairs belong to the
-                # group where the other endpoint is home)
-                keep &= home[ib]
+                # exactly-once emission rule (docstring above); rows
+                # are vec_id-sorted, so position ib is always vec_b
+                ha, hb = home[ia + s], home[ib]
+                if bridge is None:
+                    # classic placements only: emit where vec_b is home
+                    # (covers both-home too)
+                    keep &= hb
+                else:
+                    # bridge flag of the non-home endpoint (only
+                    # meaningful when exactly one endpoint is home)
+                    probe_is_bridge = np.where(
+                        ha, bridge[ib], bridge[ia + s]
+                    )
+                    keep &= (ha & hb) | (
+                        (ha ^ hb) & (hb | probe_is_bridge)
+                    )
             ia, ib = ia[keep], ib[keep]
             if len(ia):
                 frame = {"vec_a": ids[ia + s], "vec_b": ids[ib]}
@@ -1330,11 +1465,29 @@ def _grouped_blas_pairs(
     )
 
 
-def _semantic_pairs_blas(assigned: DataFrame, threshold: float) -> DataFrame:
+def _semantic_pairs_blas(
+    assigned: DataFrame, threshold: float, oversized: bool = False
+) -> DataFrame:
     """Within-cell pair stage of :func:`semantic_neardup_pairs` as a
     per-(cell, chunk) Arrow matmul (see the caller's ``pair_kernel``
     docs). Groups are bounded at ``max_cell`` rows by the caller's
-    chunking."""
+    chunking; when a cell is actually oversized, bridge rows give
+    chunk-0 rows their pairs with every chunk (zero-chunk bridge)."""
+    if oversized:
+        placed = _with_bridge_rows(
+            assigned.select("vec_id", "embedding", "nrm", "cell", "chunk"),
+            [(F.col("cell"), True)],
+            "cell",
+        )
+        return _grouped_blas_pairs(
+            placed,
+            ["cell", "chunk"],
+            threshold,
+            "cell",
+            "semantic dedup",
+            home_col="is_home",
+            bridge_col="is_bridge",
+        )
     return _grouped_blas_pairs(
         assigned, ["cell", "chunk"], threshold, "cell", "semantic dedup"
     )
@@ -1378,7 +1531,9 @@ tp AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
        ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) AS cosine
 FROM cells a JOIN cells b
-  ON a.cell = b.cell AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  ON a.cell = b.cell
+ AND (a.chunk = b.chunk OR a.chunk = 0 OR b.chunk = 0)
+ AND a.vec_id < b.vec_id
 WHERE ROUND({ab} / (sqrt({aa}) * sqrt({bb})), 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """

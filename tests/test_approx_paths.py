@@ -186,7 +186,7 @@ def test_embedding_neardup_blas_matches_expr_twin(spark):
 def test_embedding_neardup_max_bucket_chunks_both_kernels(spark):
     """The mega-bucket guardrail applies to BOTH kernels identically:
     with max_bucket forcing splits, expr and blas emit the same
-    reduced (within-chunk only) pair set."""
+    guardrail-admitted pair set (a subset of the unchunked one)."""
     from rigatoni_spark.llm.vectors import embedding_neardup_pairs
     from rigatoni_spark.tables import load_table
 
@@ -200,9 +200,56 @@ def test_embedding_neardup_max_bucket_chunks_both_kernels(spark):
         ).collect()
     ]
     assert expr_rows == blas_rows
-    # the tiny max_bucket must actually reduce the pair set vs unchunked
-    full = embedding_neardup_pairs(emb, threshold=0.3, max_bucket=None)
-    assert len(expr_rows) < full.count()
+    # admitted pairs are a subset of the unchunked set; the zero-chunk
+    # bridge may make them EQUAL on corpora where every above-threshold
+    # pair touches chunk 0 — the strict drop is pinned on a synthetic
+    # mega-bucket in test_zero_chunk_bridge_admission below
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, max_bucket=None
+        ).collect()
+    }
+    assert {(a, b) for a, b, _ in expr_rows} <= full
+
+
+def test_zero_chunk_bridge_admission(spark):
+    """Pin the guardrail's admission rule on a synthetic mega-bucket:
+    12 identical vectors (one bucket, cosine 1.0 everywhere) with
+    max_bucket=4 split into chunks {0,1,2}. Admitted pairs = same
+    chunk OR either side in chunk 0; dropped pairs = exactly the
+    chunk1 x chunk2 ones. Both kernels agree."""
+    from rigatoni_spark.llm.vectors import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(12)],
+        "vec_id bigint, embedding array<float>",
+    )
+    kw = dict(threshold=0.99, max_bucket=4)
+    expr_rows = [tuple(r) for r in embedding_neardup_pairs(emb, **kw).collect()]
+    blas_rows = [
+        tuple(r)
+        for r in embedding_neardup_pairs(emb, pair_kernel="blas", **kw).collect()
+    ]
+    assert expr_rows == blas_rows
+
+    def chunk(v):  # vec_id-ordered contiguous chunks of 4
+        return v // 4
+
+    got = {(a, b) for a, b, _ in expr_rows}
+    want = {
+        (a, b)
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if chunk(a) == chunk(b) or chunk(a) == 0 or chunk(b) == 0
+    }
+    dropped = {
+        (a, b) for a in range(4, 8) for b in range(8, 12)
+    }  # chunk1 x chunk2
+    assert got == want
+    assert got.isdisjoint(dropped)
+    # sanity on the arithmetic: 3*C(4,2) same-chunk + 4*8 bridge = 50
+    assert len(got) == 50 == 66 - len(dropped)
 
 
 def test_multiprobe_blas_parity_and_guardrail(spark):
@@ -228,10 +275,73 @@ def test_multiprobe_blas_parity_and_guardrail(spark):
         # exactly-once: no pair may arrive via two probe groups
         pairs = [(a, b) for a, b, _ in expr_rows]
         assert len(pairs) == len(set(pairs))
-    # the tiny max_bucket must actually reduce the pair set vs unchunked
-    full = multiprobe_neardup_pairs(emb, threshold=0.3, max_bucket=None)
-    chunked = multiprobe_neardup_pairs(emb, threshold=0.3, max_bucket=4)
-    assert chunked.count() < full.count()
+    # guardrail-admitted pairs are a subset of the unchunked set (the
+    # zero-chunk bridge may close the gap entirely on corpora where
+    # every pair touches chunk 0)
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in multiprobe_neardup_pairs(
+            emb, threshold=0.3, max_bucket=None
+        ).collect()
+    }
+    chunked = {
+        (r.vec_a, r.vec_b)
+        for r in multiprobe_neardup_pairs(
+            emb, threshold=0.3, max_bucket=4
+        ).collect()
+    }
+    assert chunked <= full
+
+
+def test_multiprobe_bridge_keeps_cross_bucket_neighbors(spark):
+    """The round-5 recall fix: a chunk>=1 row of an oversized bucket
+    must keep its Hamming-1 pairs with rows of normal-sized neighbor
+    buckets (chunk ordinals from different home buckets have no
+    semantic relation — requiring equality silently dropped ALL such
+    pairs). Found by searching the real corpus for an oversized bucket
+    with a populated Hamming-1 neighbor."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.llm.vectors import (
+        NBITS,
+        _bucket,
+        multiprobe_neardup_pairs,
+    )
+    from rigatoni_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = (
+        emb.select("vec_id", _bucket(F.col("embedding")).alias("bucket"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.vec_id)
+    probe_pair = None  # (chunk>=1 member of oversized bucket, neighbor member)
+    for bkt, members in sorted(by_bucket.items()):
+        if len(members) <= 4:
+            continue  # not oversized at max_bucket=4
+        for b in range(NBITS):
+            neigh = by_bucket.get(bkt ^ (1 << b))
+            if neigh:
+                probe_pair = (members[4], neigh[0])  # members[4] = chunk 1
+                break
+        if probe_pair:
+            break
+    if probe_pair is None:
+        pytest.skip("corpus has no oversized bucket with a Hamming-1 neighbor")
+    u, v = probe_pair
+    lo, hi = min(u, v), max(u, v)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in multiprobe_neardup_pairs(
+            emb, threshold=-1.0, max_bucket=4
+        ).collect()
+    }
+    assert (lo, hi) in got
 
 
 def test_multiprobe_neardup_superset_of_single_bucket(spark):

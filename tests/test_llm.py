@@ -343,26 +343,39 @@ class TestMultiProbe:
 class TestSemanticDedup:
     def test_max_cell_guardrail_splits_oversized_cells(self, spark):
         """Cells larger than max_cell are split into contiguous
-        vec_id-ordered chunks; only within-chunk pairs survive — the
-        quadratic-cell backstop (MinHash's max_bucket twin). Six
-        identical vectors in one cell: unguarded = C(6,2)=15 pairs;
-        max_cell=3 -> chunks {0,1,2},{3,4,5} = 3+3=6 pairs."""
+        vec_id-ordered chunks; pairs survive when they share a chunk
+        OR either side is in chunk 0 (zero-chunk bridge) — the
+        quadratic-cell backstop (MinHash's max_bucket twin). Nine
+        identical vectors in one cell: unguarded = C(9,2)=36 pairs;
+        max_cell=3 -> chunks {0,1,2},{3,4,5},{6,7,8}: same-chunk
+        3*C(3,2)=9 + bridge 3*6=18 = 27 pairs; the dropped 9 are
+        exactly chunk1 x chunk2."""
         from rigatoni_spark.llm.vectors import semantic_neardup_pairs
 
         v = [1.0] * 64
         df = spark.createDataFrame(
-            [(i, v, 0) for i in range(6)],
+            [(i, v, 0) for i in range(9)],
             "vec_id bigint, embedding array<float>, label int",
         )
         unguarded = semantic_neardup_pairs(
             df, threshold=0.9, n_cells=1, max_cell=None
         ).collect()
-        assert len(unguarded) == 15
+        assert len(unguarded) == 36
         guarded = semantic_neardup_pairs(
             df, threshold=0.9, n_cells=1, max_cell=3
         ).collect()
         got = {(r["vec_a"], r["vec_b"]) for r in guarded}
-        assert got == {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+        want = {
+            (a, b)
+            for a in range(9)
+            for b in range(a + 1, 9)
+            if a // 3 == b // 3 or a // 3 == 0 or b // 3 == 0
+        }
+        assert got == want
+        assert len(got) == 27
+        assert got.isdisjoint(
+            {(a, b) for a in range(3, 6) for b in range(6, 9)}
+        )
 
     def test_guardrail_noop_when_cells_fit(self, spark, embeddings):
         """With max_cell above every cell size the chunk key is
