@@ -344,6 +344,58 @@ def test_multiprobe_bridge_keeps_cross_bucket_neighbors(spark):
     assert (lo, hi) in got
 
 
+def test_multiprobe_candidates_match_bruteforce(spark):
+    """Independent enumeration of the multi-probe candidate contract on
+    a random corpus: a pair is a candidate iff its buckets are within
+    Hamming distance 1 AND the guardrail admits it (chunk-equal or
+    either side in chunk 0). Both kernels must emit exactly that set,
+    each pair exactly once (threshold=-1 disables the cosine filter)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.llm.vectors import _bucket, multiprobe_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    bucket_of = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id", _bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    max_bucket = 3
+    by_bucket: dict[int, list[int]] = {}
+    for vid in sorted(bucket_of):
+        by_bucket.setdefault(bucket_of[vid], []).append(vid)
+    chunk_of = {
+        vid: i // max_bucket
+        for members in by_bucket.values()
+        for i, vid in enumerate(members)
+    }
+
+    def admissible(u: int, v: int) -> bool:
+        if bin(bucket_of[u] ^ bucket_of[v]).count("1") > 1:
+            return False
+        cu, cv = chunk_of[u], chunk_of[v]
+        return cu == cv or cu == 0 or cv == 0
+
+    want = {
+        (u, v) for u in range(60) for v in range(u + 1, 60) if admissible(u, v)
+    }
+    for kernel in ("expr", "blas"):
+        rows = multiprobe_neardup_pairs(
+            emb, threshold=-1.0, max_bucket=max_bucket, pair_kernel=kernel
+        ).collect()
+        pairs = [(r.vec_a, r.vec_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), kernel  # exactly-once
+        assert set(pairs) == want, kernel
+
+
 def test_multiprobe_neardup_superset_of_single_bucket(spark):
     """Hamming-1 multi-probe must find every pair the plain bucket
     join finds (identity probe) plus only pairs whose buckets differ
