@@ -80,6 +80,17 @@ def probe_embeddings(spark, sf_dir: str) -> None:
                     big, n_cells=c, pair_kernel=k
                 ),
             )
+    # guardrail ENGAGED: max_cell below the ~2K-row cells forces chunk
+    # splits, so this measures the zero-chunk-bridge admission (pair
+    # volume ~1.5x the chunk-equal-only rule, bounded linear either
+    # way) rather than asserting it scales
+    for kernel in ("expr", "blas"):
+        _timed(
+            f"semantic n_cells=16 max_cell=1024 bridge kernel={kernel}",
+            lambda k=kernel: vectors.semantic_neardup_pairs(
+                big, n_cells=16, max_cell=1024, pair_kernel=k
+            ),
+        )
 
 
 def probe_documents(spark, sf_dir: str) -> None:
