@@ -267,6 +267,28 @@ class TestPipelineE2E:
         p._foreach_batch(batch("c1", 60), 1, sb)
         assert (sa.last_n, sb.last_n) == (5, 60)
 
+        # a collection set wider than _MAX_OBSERVED_COLLECTIONS must
+        # route through the probe-job path even with a primed hint —
+        # the observe-fused plan would carry one max-time metric per
+        # collection, bloating every micro-batch plan
+        probed_batches = []
+        orig = p._foreach_batch_probed
+
+        def spy(bdf, bid, t0, state=None):
+            probed_batches.append(bid)
+            return orig(bdf, bid, t0, state)
+
+        p._foreach_batch_probed = spy
+        wide = _QueryState(
+            last_n=10, seen={f"w{i}" for i in range(65)}
+        )
+        p._foreach_batch(batch("w0", 4), 7, wide)
+        assert probed_batches == [7]
+        assert wide.last_n == 4
+        # ...while a narrow primed state stays fused (no probe call)
+        p._foreach_batch(batch("c0", 5), 8, sa)
+        assert probed_batches == [7]
+
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
         _feed(src, "a.parquet", 0, 1000)
