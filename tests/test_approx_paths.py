@@ -395,6 +395,30 @@ def test_multiprobe_candidates_match_bruteforce(spark):
         assert len(pairs) == len(set(pairs)), kernel  # exactly-once
         assert set(pairs) == want, kernel
 
+    # same contract for the single-bucket path: identical buckets only
+    def admissible_single(u: int, v: int) -> bool:
+        if bucket_of[u] != bucket_of[v]:
+            return False
+        cu, cv = chunk_of[u], chunk_of[v]
+        return cu == cv or cu == 0 or cv == 0
+
+    from rigatoni_spark.llm.vectors import embedding_neardup_pairs
+
+    want_single = {
+        (u, v)
+        for u in range(60)
+        for v in range(u + 1, 60)
+        if admissible_single(u, v)
+    }
+    for kernel in ("expr", "blas"):
+        rows = embedding_neardup_pairs(
+            emb, threshold=-1.0, max_bucket=max_bucket, pair_kernel=kernel
+        ).collect()
+        pairs = [(r.vec_a, r.vec_b) for r in rows]
+        assert len(pairs) == len(set(pairs)), kernel
+        assert set(pairs) == want_single, kernel
+    assert want_single <= want  # identity probe is a subset
+
 
 def test_multiprobe_neardup_superset_of_single_bucket(spark):
     """Hamming-1 multi-probe must find every pair the plain bucket
