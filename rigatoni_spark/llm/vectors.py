@@ -207,11 +207,14 @@ def ann_lsh_topk(
 
 def _attach_chunk(
     df: DataFrame, key: str, max_rows: int | None
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, DataFrame | None]:
     """Attach a blocking guardrail's ``chunk`` ordinal within ``key``
     groups (mega-bucket / degenerate-cell splitting); returns
-    ``(df_with_chunk, oversized)`` so callers can skip the oversize-only
-    machinery (zero-chunk bridge rows) when every ordinal is 0.
+    ``(df_with_chunk, oversized_counts)`` where ``oversized_counts``
+    is None in the designed steady state (nothing oversized) or a
+    small ``(key, max_chunk)`` DataFrame listing ONLY the groups that
+    were actually split — the zero-chunk-bridge machinery broadcasts
+    it to place bridge rows.
 
     Gated on a ONE-scalar probe (max group size — safe to collect at
     any corpus scale; same pattern as ``ngram_jaccard_pairs``): when no
@@ -229,7 +232,7 @@ def _attach_chunk(
     The probe consumes ``df`` once; callers that read ``df`` several
     times afterwards should pass it already materialized."""
     if max_rows is None:
-        return df.withColumn("chunk", F.lit(0)), False
+        return df.withColumn("chunk", F.lit(0)), None
     biggest = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -238,7 +241,7 @@ def _attach_chunk(
         or 0
     )
     if biggest <= max_rows:
-        return df.withColumn("chunk", F.lit(0)), False
+        return df.withColumn("chunk", F.lit(0)), None
     wb = Window.partitionBy(key).orderBy("vec_id")
     chunked = df.withColumn(
         "chunk",
@@ -246,7 +249,13 @@ def _attach_chunk(
     ).localCheckpoint()  # eager: reads the caller's already-cached
     # input, so this one cheap job pins the window result for every
     # downstream consumer on the rare oversized path
-    return chunked, True
+    counts = (
+        chunked.groupBy(key)
+        .agg(F.max("chunk").alias("max_chunk"))
+        .filter(F.col("max_chunk") > 0)
+    )  # reads the checkpoint; small by construction (oversized groups
+    # are the pathological few the guardrail exists for)
+    return chunked, counts
 
 
 def _materialize_once(df: DataFrame) -> DataFrame:
@@ -272,6 +281,7 @@ def _with_bridge_rows(
     df: DataFrame,
     targets: list[tuple],
     out_group: str,
+    counts: DataFrame | None,
 ) -> DataFrame:
     """Explode each row into its candidate (group, chunk) placements
     for the blas kernel, implementing the guardrail's zero-chunk
@@ -280,43 +290,68 @@ def _with_bridge_rows(
     ``targets`` is ``[(group expression, is_home), ...]`` — one entry
     ``[(own bucket, True)]`` for the plain LSH/cell paths, identity +
     NBITS flip probes for multi-probe. Every placement carries the
-    row's chunk ordinal; a row with chunk >= 1 additionally lands in
-    every target's chunk-0 group as a BRIDGE row (``is_bridge``), which
-    is how chunk-0 rows keep pairing with every chunk of an oversized
-    group. When nothing is oversized (chunk is the literal 0) the
-    ``when`` folds away and this is exactly the classic probe explode."""
+    row's chunk ordinal. When ``counts`` (the oversized-group list
+    from :func:`_attach_chunk`) is given, each CHUNK-0 row is
+    additionally replicated into chunks 1..max_chunk of every
+    oversized target it probes, as BRIDGE rows (``is_bridge``) — the
+    bounded inversion: every (group, k) kernel group holds its own
+    <= max_rows home rows plus at most ``max_rows x len(targets)``
+    bridge copies, never a whole funneled group (funneling the
+    chunk>=1 rows into chunk 0 instead would rebuild the unbounded
+    matrix the guardrail exists to prevent)."""
     classic = [
         F.struct(
             t.cast("bigint").alias("g"),
             F.col("chunk").alias("c"),
             F.lit(bool(is_home)).alias("h"),
-            F.lit(False).alias("z"),
         )
         for t, is_home in targets
     ]
-    bridges = [
-        F.struct(
-            t.cast("bigint").alias("g"),
-            F.lit(0).alias("c"),
-            F.lit(False).alias("h"),
-            F.lit(True).alias("z"),
+    placed = (
+        df.select("vec_id", "embedding", "nrm", F.explode(F.array(*classic)).alias("p"))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.col("p.g").alias(out_group),
+            F.col("p.c").alias("chunk"),
+            F.col("p.h").alias("is_home"),
+            F.lit(False).alias("is_bridge"),
         )
-        for t, _ in targets
-    ]
-    arr = F.when(F.col("chunk") > 0, F.array(*classic, *bridges)).otherwise(
-        F.array(*classic)
     )
-    return df.select(
-        "vec_id", "embedding", "nrm", F.explode(arr).alias("p")
-    ).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        F.col("p.g").alias(out_group),
-        F.col("p.c").alias("chunk"),
-        F.col("p.h").alias("is_home"),
-        F.col("p.z").alias("is_bridge"),
+    if counts is None:
+        return placed
+    key_col = [c for c in counts.columns if c != "max_chunk"][0]
+    bridges = (
+        df.filter(F.col("chunk") == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.explode(
+                F.array(*[t.cast("bigint") for t, _ in targets])
+            ).alias(out_group),
+        )
+        # broadcast: counts lists only the oversized groups, small by
+        # construction — the join prunes bridge copies to the targets
+        # that actually have nonzero chunks
+        .join(
+            F.broadcast(counts.withColumnRenamed(key_col, out_group)),
+            out_group,
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            out_group,
+            F.explode(
+                F.sequence(F.lit(1), F.col("max_chunk"))
+            ).alias("chunk"),
+            F.lit(False).alias("is_home"),
+            F.lit(True).alias("is_bridge"),
+        )
     )
+    return placed.unionByName(bridges)
 
 
 def embedding_neardup_pairs(
@@ -358,16 +393,16 @@ def embedding_neardup_pairs(
         "nrm", _norm(F.col("embedding"))
     )
     with_bucket = _materialize_once(with_bucket)
-    with_bucket, oversized = _attach_chunk(with_bucket, "bucket", max_bucket)
+    with_bucket, counts = _attach_chunk(with_bucket, "bucket", max_bucket)
     if pair_kernel == "blas":
         rows = with_bucket.select(
             "vec_id", "embedding", "nrm", "bucket", "chunk"
         )
-        if oversized:
+        if counts is not None:
             # bridge rows let chunk-0 rows meet every chunk; the
             # kernel's emission rule keeps pairs exactly-once
             rows = _with_bridge_rows(
-                rows, [(F.col("bucket"), True)], "bucket"
+                rows, [(F.col("bucket"), True)], "bucket", counts
             )
             return _grouped_blas_pairs(
                 rows,
@@ -398,19 +433,29 @@ def embedding_neardup_pairs(
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    return (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            # zero-chunk bridge: chunk-equal OR either side in chunk 0
-            & (
-                (F.col("chunk") == F.col("chunk_b"))
-                | (F.col("chunk") == F.lit(0))
-                | (F.col("chunk_b") == F.lit(0))
+    base = (F.col("bucket") == F.col("bucket_b")) & (
+        F.col("vec_a") < F.col("vec_b")
+    )
+    # zero-chunk bridge as a UNION of equi-joins, never an OR on the
+    # join condition: an OR would demote chunk from the join key to a
+    # residual predicate and an oversized bucket would pay O(|B|^2)
+    # condition evaluations; each union arm keeps at least one side
+    # bounded at max_bucket rows per key, so the work IS the admitted
+    # volume. The disjuncts are disjoint (0-0 pairs only in the
+    # chunk-equal arm), so no dedup pass is needed.
+    cand = a.join(b, base & (F.col("chunk") == F.col("chunk_b")))
+    if counts is not None:
+        cand = cand.unionByName(
+            a.filter(F.col("chunk") == 0).join(
+                b.filter(F.col("chunk_b") > 0), base
             )
-            & (F.col("vec_a") < F.col("vec_b")),
+        ).unionByName(
+            a.filter(F.col("chunk") > 0).join(
+                b.filter(F.col("chunk_b") == 0), base
+            )
         )
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
+    return (
+        cand.select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
@@ -495,10 +540,13 @@ def multiprobe_neardup_pairs(
 
     ``pair_kernel="blas"`` verifies candidates with the shared
     row-blocked matmul: every row lands in its home (bucket, chunk)
-    group plus NBITS probe groups (plus chunk-0 bridge groups when
-    oversized), and the exactly-once rule is the kernel's emission
-    logic (see :func:`_grouped_blas_pairs`) — the blas mirror of the
-    join's one-sided explode. Row-identical output."""
+    group plus NBITS probe groups, and chunk-0 rows are additionally
+    replicated into the nonzero chunks of every OVERSIZED target they
+    probe (bridge copies — bounding each kernel group at
+    ~(2 + NBITS) x max_bucket rows); the exactly-once rule is the
+    kernel's emission logic (see :func:`_grouped_blas_pairs`) — the
+    blas mirror of the join's one-sided explode. Row-identical
+    output."""
     if pair_kernel not in ("expr", "blas"):
         raise ValueError(
             f"pair_kernel must be 'expr' or 'blas', got {pair_kernel!r}"
@@ -511,7 +559,7 @@ def multiprobe_neardup_pairs(
     # hash+norm materialize ONCE (see _materialize_once); the guardrail
     # probe and both join sides (or the probe-group explode) read it
     with_bucket = _materialize_once(with_bucket)
-    with_bucket, oversized = _attach_chunk(with_bucket, "bucket", max_bucket)
+    with_bucket, counts = _attach_chunk(with_bucket, "bucket", max_bucket)
     probe_targets = [(F.col("bucket"), True)] + [
         (F.col("bucket").bitwiseXOR(F.lit(1 << b)), False)
         for b in range(NBITS)
@@ -521,6 +569,7 @@ def multiprobe_neardup_pairs(
             with_bucket.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
             probe_targets,
             "probe_bucket",
+            counts,
         )
         return _grouped_blas_pairs(
             placed,
@@ -529,7 +578,7 @@ def multiprobe_neardup_pairs(
             None,
             "multi-probe near-dup",
             home_col="is_home",
-            bridge_col="is_bridge" if oversized else None,
+            bridge_col="is_bridge" if counts is not None else None,
         )
     probes = F.array(
         F.col("bucket"),
@@ -555,19 +604,26 @@ def multiprobe_neardup_pairs(
     sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
-    return (
-        a.join(
-            b,
-            (F.col("probe_bucket") == F.col("bucket_b"))
-            # zero-chunk bridge: chunk-equal OR either side in chunk 0
-            & (
-                (F.col("chunk_a") == F.col("chunk_b"))
-                | (F.col("chunk_a") == F.lit(0))
-                | (F.col("chunk_b") == F.lit(0))
+    base = (F.col("probe_bucket") == F.col("bucket_b")) & (
+        F.col("vec_a") < F.col("vec_b")
+    )
+    # zero-chunk bridge as a UNION of equi-joins (see
+    # embedding_neardup_pairs): keeping chunk in the equi-key of the
+    # chunk-equal arm and bounding one side of each bridge arm at
+    # max_bucket rows per key is what keeps a hot bucket linear
+    cand = a.join(b, base & (F.col("chunk_a") == F.col("chunk_b")))
+    if counts is not None:
+        cand = cand.unionByName(
+            a.filter(F.col("chunk_a") == 0).join(
+                b.filter(F.col("chunk_b") > 0), base
             )
-            & (F.col("vec_a") < F.col("vec_b")),
+        ).unionByName(
+            a.filter(F.col("chunk_a") > 0).join(
+                b.filter(F.col("chunk_b") == 0), base
+            )
         )
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
+    return (
+        cand.select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
@@ -1291,7 +1347,7 @@ def semantic_neardup_pairs(
     # _attach_chunk): the common no-oversized-cell case pays a literal
     # 0 instead of the former always-on row_number window (a corpus
     # exchange+sort per call)
-    assigned, oversized = _attach_chunk(assigned, "cell", max_cell)
+    assigned, counts = _attach_chunk(assigned, "cell", max_cell)
     # with n_cells below the session parallelism the (broadcast)
     # self-join's stream side could otherwise run on few cores and
     # idle the rest — spread it round-robin (result-independent; pairs
@@ -1301,31 +1357,45 @@ def semantic_neardup_pairs(
     if n_cells < par:
         assigned = assigned.repartition(par)
     if pair_kernel == "blas":
-        return _semantic_pairs_blas(assigned, threshold, oversized)
+        return _semantic_pairs_blas(assigned, threshold, counts)
     cells = assigned
     a, b = cells.alias("a"), cells.alias("b")
     sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            # zero-chunk bridge: chunk-equal OR either side in chunk 0
-            & (
-                (F.col("a.chunk") == F.col("b.chunk"))
-                | (F.col("a.chunk") == F.lit(0))
-                | (F.col("b.chunk") == F.lit(0))
-            )
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    base = (F.col("a.cell") == F.col("b.cell")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+
+    # zero-chunk bridge as a UNION of equi-joins (see
+    # embedding_neardup_pairs): chunk stays in the equi-key of the
+    # chunk-equal arm; each bridge arm has its chunk-0 side bounded at
+    # max_cell rows per cell. The self-join sides share column names,
+    # so each arm projects its output BEFORE the union.
+    def _arm(ad: DataFrame, bd: DataFrame, chunk_equal: bool) -> DataFrame:
+        cond = (
+            base & (F.col("a.chunk") == F.col("b.chunk"))
+            if chunk_equal
+            else base
         )
-        .select(
+        return ad.join(bd, cond).select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").alias("cell"),
             F.round(sim, 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+
+    cand = _arm(a, b, True)
+    if counts is not None:
+        a0 = cells.filter(F.col("chunk") == 0).alias("a")
+        aK = cells.filter(F.col("chunk") > 0).alias("a")
+        b0 = cells.filter(F.col("chunk") == 0).alias("b")
+        bK = cells.filter(F.col("chunk") > 0).alias("b")
+        cand = cand.unionByName(_arm(a0, bK, False)).unionByName(
+            _arm(aK, b0, False)
+        )
+    return (
+        cand.filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1351,20 +1421,22 @@ def _grouped_blas_pairs(
     ``home_col`` (boolean column) supports multi-probe groupings where
     each vector lands in several groups (its own bucket + probe
     buckets); ``bridge_col`` additionally marks the zero-chunk BRIDGE
-    rows of the oversized-group guardrail (rows with chunk >= 1
-    replicated into the chunk-0 group, see :func:`_with_bridge_rows`).
-    The exactly-once emission rule, for each in-group pair sorted so
-    vec_a < vec_b:
+    rows of the oversized-group guardrail (chunk-0 rows replicated
+    into each chunk>=1 group of the oversized targets they probe, see
+    :func:`_with_bridge_rows` — the bounded orientation: groups stay
+    <= max_rows x (1 + #targets)). The exactly-once emission rule is
+    ``emit iff home(vec_b) OR (home(vec_a) AND bridge(vec_b))``:
 
-    - both rows home           -> emit (the pair meets nowhere else);
-    - exactly one home, the other a CLASSIC probe (same chunk)
-                               -> emit only when the HOME row is vec_b:
-      a cross-bucket same-chunk pair meets in both endpoints' groups,
-      and this picks the larger-id endpoint's group;
-    - exactly one home, the other a BRIDGE row -> emit: a chunk-0 x
-      chunk>=1 pair meets only in the chunk-0 row's home group;
-    - neither home             -> skip (probe-probe pairs belong to
-      some other group, or to no admissible pair at all)."""
+    - both rows home -> emit (the pair meets nowhere else);
+    - cross-bucket same-chunk pairs meet in BOTH endpoints' groups as
+      (home, classic probe) mirrors — ``home(vec_b)`` picks exactly
+      the larger-id endpoint's group;
+    - a chunk-0 x chunk>=1 pair meets exactly once, in the chunk>=1
+      row's home group with the chunk-0 row as a bridge copy — either
+      orientation of the rule fires depending on which endpoint has
+      the larger id;
+    - neither home -> skip (probe/bridge-only pairs belong to some
+      other group, or to no admissible pair at all)."""
     import numpy as np
     import pandas as pd
 
@@ -1441,14 +1513,13 @@ def _grouped_blas_pairs(
                     # (covers both-home too)
                     keep &= hb
                 else:
-                    # bridge flag of the non-home endpoint (only
-                    # meaningful when exactly one endpoint is home)
-                    probe_is_bridge = np.where(
-                        ha, bridge[ib], bridge[ia + s]
-                    )
-                    keep &= (ha & hb) | (
-                        (ha ^ hb) & (hb | probe_is_bridge)
-                    )
+                    # emit when vec_b is home (both-home pairs and the
+                    # classic-mirror pick of the larger-id endpoint's
+                    # group), or when vec_a is home and vec_b is a
+                    # bridge copy (the single-meeting orientation the
+                    # hb rule would miss); bridge x bridge pairs
+                    # belong to their own chunk-0 home group
+                    keep &= hb | (ha & bridge[ib])
             ia, ib = ia[keep], ib[keep]
             if len(ia):
                 frame = {"vec_a": ids[ia + s], "vec_b": ids[ib]}
@@ -1466,18 +1537,21 @@ def _grouped_blas_pairs(
 
 
 def _semantic_pairs_blas(
-    assigned: DataFrame, threshold: float, oversized: bool = False
+    assigned: DataFrame, threshold: float, counts: DataFrame | None = None
 ) -> DataFrame:
     """Within-cell pair stage of :func:`semantic_neardup_pairs` as a
     per-(cell, chunk) Arrow matmul (see the caller's ``pair_kernel``
     docs). Groups are bounded at ``max_cell`` rows by the caller's
-    chunking; when a cell is actually oversized, bridge rows give
-    chunk-0 rows their pairs with every chunk (zero-chunk bridge)."""
-    if oversized:
+    chunking; when a cell is actually oversized (``counts`` row),
+    each chunk-k group additionally receives the cell's chunk-0 rows
+    as bridge copies (zero-chunk bridge, <= 2 x max_cell rows per
+    group)."""
+    if counts is not None:
         placed = _with_bridge_rows(
             assigned.select("vec_id", "embedding", "nrm", "cell", "chunk"),
             [(F.col("cell"), True)],
             "cell",
+            counts,
         )
         return _grouped_blas_pairs(
             placed,
