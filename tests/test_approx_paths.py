@@ -344,6 +344,49 @@ def test_multiprobe_bridge_keeps_cross_bucket_neighbors(spark):
     assert (lo, hi) in got
 
 
+def test_bridge_placement_bounds_kernel_groups(spark):
+    """The zero-chunk bridge must never funnel an oversized group into
+    one kernel group (that would rebuild the unbounded matrix the
+    guardrail exists to prevent): with the oversized-count table
+    driving chunk-0 replication, every (group, chunk) holds at most
+    max_rows home rows plus max_rows bridge copies."""
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.llm.vectors import (
+        _attach_chunk,
+        _materialize_once,
+        _with_bridge_rows,
+    )
+
+    n, mb = 5000, 256
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "id as vec_id",
+            "transform(sequence(1, 8), i -> 1.0f) as embedding",
+            "cast(1.0 as double) as nrm",
+        )
+        .withColumn("bucket", F.lit(7).cast("bigint"))
+    )
+    chunked, counts = _attach_chunk(_materialize_once(df), "bucket", mb)
+    assert counts is not None
+    placed = _with_bridge_rows(
+        chunked.select("vec_id", "embedding", "nrm", "bucket", "chunk"),
+        [(F.col("bucket"), True)],
+        "bucket",
+        counts,
+    )
+    per_group = placed.groupBy("bucket", "chunk").count().collect()
+    assert max(r["count"] for r in per_group) <= 2 * mb
+    # every nonzero chunk received exactly the mb chunk-0 bridge copies
+    n_chunks = -(-n // mb)
+    assert len(per_group) == n_chunks
+    homes = placed.filter("is_home").count()
+    bridges = placed.filter("is_bridge").count()
+    assert homes == n
+    assert bridges == mb * (n_chunks - 1)
+
+
 def test_multiprobe_candidates_match_bruteforce(spark):
     """Independent enumeration of the multi-probe candidate contract on
     a random corpus: a pair is a candidate iff its buckets are within
