@@ -127,7 +127,10 @@ class TestPipelineE2E:
         p.process_all_available()
         p.stop()
         colls = {k.split("/")[0] for k in p.stats.keys_written}
-        assert colls == {"c0", "c1"}
+        # flaked once in a full-suite run under heavy hypervisor steal
+        # (passed 7 consecutive re-runs); carry the manifest in the
+        # assertion so the next occurrence is diagnosable
+        assert colls == {"c0", "c1"}, p.stats.keys_written
         # per-collection checkpoints (watch_level.rs key scheme)
         assert os.path.isdir(os.path.join(ckpt, "app_c0"))
         assert os.path.isdir(os.path.join(ckpt, "app_c1"))
