@@ -190,6 +190,7 @@ def write_batch(
     group_times: dict | None = None,
     n_events: int | None = None,
     deferred_probe=None,
+    staging_scope: str | None = None,
 ) -> list[str]:
     """Write one batch of change events; returns the keys written.
 
@@ -209,6 +210,14 @@ def write_batch(
     staging is discarded and no keys are produced. ``n_events`` then
     serves only as the output-file-count hint (the caller's previous
     batch size; None skips the coalesce bound for that batch).
+
+    ``staging_scope`` isolates the temporary staging dir between
+    CONCURRENT callers sharing one ``base_uri``: at COLLECTION watch
+    level the pipeline runs one streaming query per collection, each
+    with its own batch_id sequence starting at 0, so batch_id alone
+    does not make the staging path unique — without a scope, one
+    query's empty-batch/invalidate rmtree could delete another query's
+    in-flight staged files, and the rename loop could claim them.
     """
     base = cfg.base_uri
     if not (base.startswith("/") or base.startswith("file:")):
@@ -220,13 +229,16 @@ def write_batch(
     events = df.select(*ENVELOPE_COLUMNS)
     if group_times is not None or deferred_probe is not None:
         return _write_persisted(
-            events, cfg, batch_id, group_times, n_events, deferred_probe
+            events, cfg, batch_id, group_times, n_events, deferred_probe,
+            staging_scope=staging_scope,
         )
     # the upstream may be arbitrarily expensive (filter+dedup windows);
     # it feeds BOTH the group-time agg and the write -> persist once
     events = events.persist()
     try:
-        return _write_persisted(events, cfg, batch_id, None, n_events)
+        return _write_persisted(
+            events, cfg, batch_id, None, n_events, staging_scope=staging_scope
+        )
     finally:
         events.unpersist()
 
@@ -238,6 +250,7 @@ def _write_persisted(
     group_times: dict | None,
     n_events: int | None = None,
     deferred_probe=None,
+    staging_scope: str | None = None,
 ) -> list[str]:
     out_root = cfg.base_uri.replace("file:", "")
     strategy = cfg.partition_strategy
@@ -260,7 +273,10 @@ def _write_persisted(
         return []
 
     staging = os.path.join(
-        out_root, f"_staging_{batch_id if batch_id is not None else 'batch'}"
+        out_root,
+        "_staging_"
+        + (f"{staging_scope}_" if staging_scope else "")
+        + f"{batch_id if batch_id is not None else 'batch'}",
     )
     # partition on SHADOW copies of the layout columns: Spark's
     # partitionBy drops partition columns from the data files, but the
@@ -311,7 +327,14 @@ def _write_persisted(
             shutil.rmtree(staging, ignore_errors=True)
             return []
 
-    # move staged part-files onto the key layout
+    # move staged part-files onto the key layout. partitionBy writes a
+    # NULL collection (deployment-level events with no ns) to the Hive
+    # default-partition dir — align the group-times key so those rows
+    # still get the deterministic group-time stem, not wall clock.
+    group_times = {
+        ("__HIVE_DEFAULT_PARTITION__" if k is None else k): v
+        for k, v in group_times.items()
+    }
     keys: list[str] = []
     avro_jobs: list[tuple[str, str, CompressionCodec]] = []
     for dirpath in sorted(glob.glob(os.path.join(staging, "**/"), recursive=True)):

@@ -67,6 +67,10 @@ class _QueryState:
 
     last_n: int | None = None
     seen: set[str] = field(default_factory=set)
+    # staging-dir scope for write_batch: per-collection queries share
+    # one sink base_uri and each restarts batch_id at 0, so the scope
+    # keeps concurrent queries' staging dirs disjoint
+    scope: str | None = None
 
 
 @dataclass
@@ -168,8 +172,14 @@ class Pipeline:
             # fresh Observation per attempt: a retried write is a new
             # action and must not read the failed attempt's metrics
             obs = Observation()
+            # null-safe: isin() returns NULL for a NULL collection, and
+            # sum(~NULL) would silently count such rows as known —
+            # coalesce so they route through the unknown path (and its
+            # supplemental group-time agg) instead
             in_known = (
-                F.col("collection").isin(known) if known else F.lit(False)
+                F.coalesce(F.col("collection").isin(known), F.lit(False))
+                if known
+                else F.lit(False)
             )
             observed = batch_df.observe(
                 obs,
@@ -228,10 +238,11 @@ class Pipeline:
                 # file-count hint: THIS query's previous batch size
                 # (steady state is uniform; per-query state so another
                 # collection's tiny batch can't shrink this one's write
-                # parallelism). A burst right after a small batch is
-                # over-coalesced for that one batch only — the hint
-                # self-corrects from the batch's own observed n below.
-                n_events=state.last_n,
+                # parallelism), floored at the configured batch_size so
+                # a burst arriving right after a tiny batch is never
+                # coalesced below the steady-state write parallelism.
+                n_events=max(state.last_n, self.config.batch_size),
+                staging_scope=state.scope,
             )
 
         keys = self._retrying_write(_write)
@@ -313,6 +324,7 @@ class Pipeline:
                 return write_batch(
                     batch_df, self.sink, batch_id=batch_id,
                     group_times=group_times, n_events=n,
+                    staging_scope=state.scope,
                 )
 
             keys = self._retrying_write(_write)
@@ -329,6 +341,11 @@ class Pipeline:
         t0: float,
         state: _QueryState,
     ) -> None:
+        # a NULL-collection group (deployment-level events with no ns)
+        # is not a collection: keep it out of the seen/gauge sets —
+        # sorted(seen) must stay comparable and the gauge counts real
+        # collections only
+        collections = {c for c in collections if c is not None}
         state.seen.update(collections)
         with self._lock:
             self.stats.events_processed += n
@@ -359,7 +376,7 @@ class Pipeline:
             # one _QueryState per query: the file-count hint and the
             # observed-collection set are per-stream facts (see
             # _QueryState's docstring for the cross-query hazard)
-            state = _QueryState(seen=set(seed))
+            state = _QueryState(seen=set(seed), scope=name)
 
             def _batch(bdf: DataFrame, bid: int) -> None:
                 self._foreach_batch(bdf, bid, state)

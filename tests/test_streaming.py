@@ -292,6 +292,92 @@ class TestPipelineE2E:
         p._foreach_batch(batch("c0", 5), 8, sa)
         assert probed_batches == [7]
 
+    def test_null_collection_rows_route_as_unknown(self, spark, dirs):
+        """Non-invalidate rows with a NULL collection must be treated
+        as UNKNOWN by the observe-fused path (isin() is NULL for NULL
+        input — the null-unsafe form silently counted them as known)
+        and land under the Hive default partition with the
+        deterministic group-time stem, not wall-clock naming."""
+        from datetime import datetime, timezone
+
+        from rigatoni_spark.streaming.pipeline import _QueryState
+
+        src, out, ckpt = dirs
+        cfg = PipelineConfig(batch_timeout_secs=1.0)
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        p = Pipeline(spark, cfg, sink, src, ckpt)
+        t0 = datetime(2024, 3, 1, 12, 0, 5, tzinfo=timezone.utc)
+        t1 = datetime(2024, 3, 1, 13, 30, 0, tzinfo=timezone.utc)
+        batch = spark.createDataFrame(
+            [
+                ("insert", "app", "c0", t0, '{"_id": 1}', "{}", "1"),
+                ("insert", "app", None, t1, '{"_id": 2}', "{}", "2"),
+            ],
+            "operation string, database string, collection string, "
+            "cluster_time timestamp, document_key string, "
+            "full_document string, resume_token string",
+        )
+        state = _QueryState(last_n=10, seen={"c0"})  # primed -> fused
+        p._foreach_batch(batch, 0, state)
+        keys = list(p.stats.keys_written)
+        null_keys = [k for k in keys if "__HIVE_DEFAULT_PARTITION__" in k]
+        assert len(keys) == 2 and len(null_keys) == 1
+        # deterministic stem = the NULL group's OWN max cluster_time
+        stem_ms = str(int(t1.timestamp() * 1000))
+        assert stem_ms in null_keys[0]
+        # the NULL group never enters the seen set: sorted(seen) must
+        # stay comparable and the gauge counts real collections only
+        assert None not in state.seen and state.seen == {"c0"}
+        # replay -> byte-identical keys (wall-clock naming would drift)
+        p._foreach_batch(batch, 0, state)
+        assert p.stats.keys_written == keys * 2
+
+    def test_burst_after_tiny_batch_keeps_write_parallelism(self, spark, dirs):
+        """The observe-fused file-count hint is floored at the
+        configured batch_size: a burst arriving right after a tiny
+        batch must not be coalesced into a single write task."""
+        from datetime import datetime, timezone
+
+        from rigatoni_spark.streaming.pipeline import _QueryState
+
+        src, out, ckpt = dirs
+        cfg = PipelineConfig(batch_timeout_secs=1.0, batch_size=10_000)
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+            single_file_per_group=False,
+        )
+        p = Pipeline(spark, cfg, sink, src, ckpt)
+        t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+        def batch(n: int):
+            return spark.createDataFrame(
+                [
+                    ("insert", "app", "c0", t, f'{{"_id": {i}}}', "{}", str(i))
+                    for i in range(n)
+                ],
+                "operation string, database string, collection string, "
+                "cluster_time timestamp, document_key string, "
+                "full_document string, resume_token string",
+            )
+
+        state = _QueryState(seen={"c0"})
+        p._foreach_batch(batch(3), 0, state)  # first batch: probed, last_n=3
+        assert state.last_n == 3
+        # burst arrives in 16 partitions; hint floor = ceil(10000/5000)
+        # = 2 coalesced tasks -> 2 part-files (the unfloored hint of 3
+        # events would coalesce to ONE task, serializing the write)
+        p._foreach_batch(batch(64).repartition(16), 1, state)
+        burst_keys = [
+            k for k in p.stats.keys_written if "/000000000001-" in k
+        ]
+        assert len(burst_keys) == 2
+
     def test_dedup_within_batch(self, spark, dirs):
         src, out, ckpt = dirs
         _feed(src, "a.parquet", 0, 1000)

@@ -170,6 +170,66 @@ class TestWriteBatch:
         empty = change_events.filter("operation = 'nope'")
         assert write_batch(empty, cfg) == []
 
+    def test_concurrent_staging_scopes_isolated(self, change_events, tmp_path):
+        """Two concurrent callers sharing one base_uri and the SAME
+        batch_id (per-collection streaming queries each start their
+        batch_id sequence at 0) must not collide in staging: query A's
+        empty-batch rmtree runs while query B's staged files are still
+        waiting on its deferred probe — B's files must survive and land
+        on final keys."""
+        import threading
+
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        sample = change_events.limit(100)
+        probe = (
+            sample.groupBy("collection")
+            .agg(F.max("cluster_time").alias("t"))
+            .collect()
+        )
+        group_times = {r["collection"]: r["t"] for r in probe}
+
+        b_staged = threading.Event()
+        a_done = threading.Event()
+        results: dict = {}
+
+        def writer_b():
+            def probe_b():
+                # B has finished staging when its deferred probe runs;
+                # hold here so A's rmtree executes in the window
+                b_staged.set()
+                if not a_done.wait(60):
+                    raise TimeoutError("writer A never finished")
+                return group_times
+
+            results["b"] = write_batch(
+                sample, cfg, batch_id=0,
+                deferred_probe=probe_b, staging_scope="db_c1",
+            )
+
+        tb = threading.Thread(target=writer_b)
+        tb.start()
+        try:
+            assert b_staged.wait(60)
+            # query A, same batch_id, empty batch -> staging rmtree
+            assert (
+                write_batch(
+                    sample, cfg, batch_id=0,
+                    deferred_probe=dict, staging_scope="db_c0",
+                )
+                == []
+            )
+        finally:
+            a_done.set()
+            tb.join(120)
+        keys = results["b"]
+        assert len(keys) == len(group_times)
+        for k in keys:
+            assert os.path.isfile(tmp_path / k), k
+
 
 class TestReadBack:
     """Consumer loop closure: every layout round-trips through
