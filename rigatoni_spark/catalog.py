@@ -760,6 +760,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             d.filter(F.col("doc_id") % 3 == 0),
         )
     ),
+    "dedup_incremental_neardup": _doc(
+        lambda d: minhash.incremental_near_duplicates(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 3 == 0),
+        )
+    ),
     "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
     "text_denylist_scrub": _doc(corpus.denylist_scrub),
     "pipeline_corpus_report": _doc(corpus.corpus_pipeline_report),
@@ -1074,6 +1080,7 @@ WHERE d.n_chars >= 200
 GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "mix_temperature_sample": mixing.temperature_mix_oracle(),
     "dedup_incremental_new": mixing.INCREMENTAL_ORACLE,
+    "dedup_incremental_neardup": minhash.incremental_near_oracle(),
     "text_quantile_length_gate": mixing.quantile_gate_oracle(),
     "text_denylist_scrub": corpus.denylist_scrub_oracle(),
     "pipeline_corpus_report": corpus.corpus_pipeline_oracle(),

@@ -164,6 +164,100 @@ def near_duplicates(
     )
 
 
+def incremental_near_duplicates(
+    corpus: DataFrame,
+    increment: DataFrame,
+    threshold: float = 0.7,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup admission report for a new crawl batch against the
+    existing corpus: per increment doc, how many corpus docs share an
+    LSH bucket (``n_candidates``), the best verified Jaccard among them
+    (``best_jaccard_x10k``, NULL when no candidate), and ``is_new``
+    (1 = no verified near-duplicate at ``threshold``, admit).
+
+    The near-dup twin of ``mixing.incremental_new_docs``: admission
+    cost is ∝ |increment| x bands, NEVER a re-dedup of everything
+    ingested so far. At 100 TB the corpus band sketch (|corpus| x bands
+    narrow rows) is the precomputed index — materialize it once (e.g.
+    bucketed by (band, band_hash), operators/bucketing.py) and each new
+    batch pays one equi-join probe into it plus Jaccard verification on
+    the candidates only.
+
+    ``max_bucket`` drops degenerate CORPUS buckets exactly like
+    ``candidate_pairs`` — one boilerplate band value must not turn a
+    batch admission into a quadratic blow-up.
+    """
+    cb = lsh_bands(corpus, k=k, bands=bands, shingle_n=shingle_n)
+    if max_bucket is not None:
+        sizes = cb.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_rows")
+        )
+        cb = cb.join(
+            F.broadcast(sizes.filter(F.col("_bucket_rows") > max_bucket)),
+            ["band", "band_hash"],
+            "left_anti",
+        )
+    ib = lsh_bands(increment, k=k, bands=bands, shingle_n=shingle_n)
+    cands = (
+        ib.join(
+            cb.withColumnRenamed("doc_id", "corpus_id"),
+            ["band", "band_hash"],
+        )
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    shi = spread(increment).select(
+        "doc_id", _shingles(n=shingle_n).alias("sh_i")
+    )
+    shc = spread(corpus).select(
+        F.col("doc_id").alias("corpus_id"), _shingles(n=shingle_n).alias("sh_c")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_c")))
+    union = F.size("sh_i") + F.size("sh_c") - inter
+    t_x10k = int(round(threshold * 10000))
+    per_doc = (
+        cands.join(shi, "doc_id")
+        .join(shc, "corpus_id")
+        .select(
+            "doc_id",
+            F.floor(inter * 10000 / union).alias("jx"),
+            # exact-rational threshold test (dedup._jaccard_ge form):
+            # integer compare, never a floored double near the boundary
+            (inter * 10000 >= F.lit(t_x10k) * union)
+            .cast("int")
+            .alias("dup"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.max("jx").cast("bigint").alias("best_jaccard_x10k"),
+            F.max("dup").alias("any_dup"),
+        )
+    )
+    return (
+        increment.select("doc_id")
+        # both sides are batch-sized (per_doc ⊆ increment): a shuffled
+        # hash join on doc_id — never a sort, never a broadcast whose
+        # safety depends on how big the crawl batch is
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.col("best_jaccard_x10k"),
+            (F.coalesce("any_dup", F.lit(0)) == 0).cast("bigint").alias(
+                "is_new"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 
 def _shingle_cte(shingle_n: int = 3) -> str:
@@ -194,9 +288,9 @@ def bands_oracle(k: int = DEFAULT_K, bands: int = DEFAULT_BANDS, shingle_n: int 
     r = k // bands
     return f"""
 WITH sigs AS ({signatures_oracle(k, shingle_n).strip()})
-SELECT doc_id, CAST(salt / {r} AS INT) AS band,
+SELECT doc_id, CAST(salt // {r} AS INT) AS band,
        md5(string_agg(minhash, '|' ORDER BY salt, minhash)) AS band_hash
-FROM sigs GROUP BY doc_id, CAST(salt / {r} AS INT)
+FROM sigs GROUP BY doc_id, CAST(salt // {r} AS INT)
 ORDER BY doc_id, band
 """
 
@@ -229,4 +323,77 @@ SELECT doc_a, doc_b,
   CAST(FLOOR(i * 10000.0 / u) AS BIGINT) AS jaccard_x10k
 FROM verified WHERE i * 10000 >= {int(round(threshold * 10000))} * u
 ORDER BY doc_a, doc_b
+"""
+
+
+def _bands_sql(src: str, k: int, bands: int, shingle_n: int) -> str:
+    """Band sketch for an arbitrary source CTE/table (the table-name-
+    parameterized form of bands_oracle — same expressions)."""
+    r = k // bands
+    return f"""
+    SELECT doc_id, CAST(salt // {r} AS INT) AS band,
+           md5(string_agg(minhash, '|' ORDER BY salt, minhash)) AS band_hash
+    FROM (
+      SELECT doc_id, s.salt, MIN(md5(s.salt::VARCHAR || ':' || sh)) AS minhash
+      FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(w) - {shingle_n - 1}, 1)),
+          i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+      ) sh CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS salt) s
+      GROUP BY doc_id, s.salt
+    ) GROUP BY doc_id, CAST(salt // {r} AS INT)"""
+
+
+def _shingle_list_sql(src: str, shingle_n: int) -> str:
+    return f"""
+    SELECT doc_id, list_distinct(list(sh)) AS shl FROM (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - {shingle_n - 1}, 1)),
+        i -> array_to_string(w[i:i+{shingle_n - 1}], ' ')))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+    ) GROUP BY doc_id"""
+
+
+def incremental_near_oracle(
+    threshold: float = 0.7, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle for incremental_near_duplicates over the documents table
+    split by doc_id % 3 (corpus = remainder != 0, increment = 0 — the
+    same split dedup_incremental_new uses)."""
+    t = int(round(threshold * 10000))
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+  inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+  cb AS ({_bands_sql('corpus', k, bands, shingle_n)}),
+  ib AS ({_bands_sql('inc', k, bands, shingle_n)}),
+  cands AS (
+    SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+    FROM ib i JOIN cb c ON i.band = c.band AND i.band_hash = c.band_hash
+  ),
+  ish AS ({_shingle_list_sql('inc', shingle_n)}),
+  csh AS ({_shingle_list_sql('corpus', shingle_n)}),
+  v AS (
+    SELECT cands.doc_id,
+      len(list_intersect(si.shl, sc.shl)) AS i,
+      len(si.shl) + len(sc.shl) - len(list_intersect(si.shl, sc.shl)) AS u
+    FROM cands
+    JOIN ish si ON si.doc_id = cands.doc_id
+    JOIN csh sc ON sc.doc_id = cands.corpus_id
+  ),
+  agg AS (
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(MAX(FLOOR(i * 10000.0 / u)) AS BIGINT) AS best_jaccard_x10k,
+      MAX(CASE WHEN i * 10000 >= {t} * u THEN 1 ELSE 0 END) AS any_dup
+    FROM v GROUP BY doc_id
+  )
+SELECT inc.doc_id,
+  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+  best_jaccard_x10k,
+  CAST(CASE WHEN COALESCE(any_dup, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_new
+FROM inc LEFT JOIN agg ON inc.doc_id = agg.doc_id
+ORDER BY inc.doc_id
 """

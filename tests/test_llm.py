@@ -184,6 +184,55 @@ class TestDedup:
         full = minhash.candidate_pairs(df).count()
         assert full >= 190
 
+    def test_incremental_near_duplicates(self, spark):
+        """Admission semantics: an increment doc with an exact twin in
+        the corpus is rejected, a doc sharing only a few shingles is
+        admitted (candidate found, below threshold), a doc sharing
+        nothing is admitted with zero candidates — and corpus-side
+        mega-buckets can be capped without losing the normal match."""
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y z w v u t s"), (4, "k l m n o p q r")],
+            ["doc_id", "text"],
+        )
+        inc = spark.createDataFrame(
+            [
+                (3, "a b c d e f g h"),       # exact twin of corpus 1
+                (6, "a b c d q q2 q3 q4"),    # shares a prefix band, low jaccard
+                (9, "zz1 zz2 zz3 zz4 zz5"),   # nothing shared
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in minhash.incremental_near_duplicates(
+                corpus, inc, threshold=0.7
+            ).collect()
+        }
+        assert rows[3]["is_new"] == 0 and rows[3]["best_jaccard_x10k"] == 10000
+        assert rows[9]["is_new"] == 1 and rows[9]["n_candidates"] == 0
+        assert rows[9]["best_jaccard_x10k"] is None
+        assert rows[6]["is_new"] == 1  # any candidate it found is sub-threshold
+        # guardrail: a degenerate corpus bucket (20 identical docs) is
+        # dropped at max_bucket=5; the normal-sized match still rejects
+        mega = spark.createDataFrame(
+            [(i + 100, "same same same same same same") for i in range(20)]
+            + [(1, "a b c d e f g h")],
+            ["doc_id", "text"],
+        )
+        inc2 = spark.createDataFrame(
+            [(3, "a b c d e f g h"), (5, "same same same same same same")],
+            ["doc_id", "text"],
+        )
+        capped = {
+            r["doc_id"]: r
+            for r in minhash.incremental_near_duplicates(
+                mega, inc2, threshold=0.7, max_bucket=5
+            ).collect()
+        }
+        assert capped[3]["is_new"] == 0          # size-1 bucket survives
+        assert capped[5]["n_candidates"] == 0    # mega bucket dropped
+        assert capped[5]["is_new"] == 1
+
     def test_simhash_is_32bit(self, documents):
         sigs = simhash.simhash_signatures(documents)
         row = sigs.agg(

@@ -88,10 +88,25 @@ class TestPlanProperties:
     def test_no_cartesian_products_anywhere(self, spark):
         # cross joins are only ever broadcast-nested-loop against tiny
         # literal-bounded sides (ANN centroids/queries); a CartesianProduct
-        # node means a corpus x corpus blowup sneaked in
+        # node means a corpus x corpus blowup sneaked in. Zero
+        # SortMergeJoin is the same catalog-wide invariant (PLANS.md):
+        # every join is broadcast, shuffled-hash, or a fused kernel —
+        # a sort on a 100 TB join side is never the intended plan.
+        # The SMJ check needs the AQE FINAL plan (the initial plan may
+        # carry SMJ placeholders that runtime stats replace with
+        # broadcast/shuffled-hash), so execute and drop the appended
+        # "== Initial Plan ==" copy, as tools/explain_report.py does.
         for name in QUERIES:
-            plan = _plan(spark, name)
+            df = QUERIES[name](spark, SF_DIR)
+            df.collect()
+            plan = (
+                df._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("== Initial Plan ==")[0]
+            )
             assert "CartesianProduct" not in plan, name
+            assert "SortMergeJoin" not in plan, name
 
 
 class TestNewOperatorPlans:
