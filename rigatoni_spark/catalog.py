@@ -703,6 +703,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
     "dedup_chunk_stats": _doc(ldedup.chunk_dedup_stats),
+    # sliding-window twin of chunk_stats: the repeated PASSAGES
+    # themselves (boilerplate mining), top-k by document frequency
+    "dedup_duplicated_spans": _doc(ldedup.top_duplicated_spans),
     "sample_train_val_test": _doc(sampling.train_val_test_split),
     # threshold 0.3: the synthetic embeddings are near-random (max
     # same-bucket cosine ~0.44), so the production default 0.95 finds
@@ -764,6 +767,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         lambda d: minhash.incremental_near_duplicates(
             d.filter(F.col("doc_id") % 3 != 0),
             d.filter(F.col("doc_id") % 3 == 0),
+        )
+    ),
+    # vector admission twin (threshold 0.3: see dedup_embedding_cosine)
+    "dedup_incremental_embedding": _emb(
+        lambda e: vectors.incremental_embedding_neardup(
+            e.filter(F.col("vec_id") % 3 != 0),
+            e.filter(F.col("vec_id") % 3 == 0),
+            threshold=0.3,
         )
     ),
     "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
@@ -1001,6 +1012,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),
+    "dedup_duplicated_spans": ldedup.top_duplicated_spans_oracle(),
     "text_training_shuffle": sampling.training_shuffle_oracle(),
     "text_boilerplate_stats": contamination.boilerplate_stats_oracle(),
     "text_boilerplate_clean": contamination.boilerplate_clean_oracle(),
@@ -1081,6 +1093,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "mix_temperature_sample": mixing.temperature_mix_oracle(),
     "dedup_incremental_new": mixing.INCREMENTAL_ORACLE,
     "dedup_incremental_neardup": minhash.incremental_near_oracle(),
+    "dedup_incremental_embedding": vectors.incremental_embedding_oracle(
+        threshold=0.3
+    ),
     "text_quantile_length_gate": mixing.quantile_gate_oracle(),
     "text_denylist_scrub": corpus.denylist_scrub_oracle(),
     "pipeline_corpus_report": corpus.corpus_pipeline_oracle(),

@@ -165,6 +165,66 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def top_duplicated_spans(
+    documents: DataFrame, span_tokens: int = 8, k: int = 30
+) -> DataFrame:
+    """Cross-document repeated-passage mining: the SLIDING-window twin
+    of ``chunk_dedup_stats`` (which uses fixed non-overlapping windows
+    and reports per-doc fractions). Emits the top-``k`` exact
+    ``span_tokens``-token passages occurring in >= 2 distinct documents
+    — the "duplicated substrings" signal of train-data dedup (Lee et
+    al. 2022): boilerplate headers, license blocks, templated intros.
+
+    Ranking: document frequency DESC, total occurrences DESC, span ASC
+    — the span itself totalizes the order, so the top-k cut is
+    deterministic and hash-stable against the SQL oracle.
+
+    Plan shape: explode every window position (|tokens| narrow rows) ->
+    count-distinct agg keyed on the span (Spark's two-phase rewrite:
+    partial (span, doc_id) dedup map-side, so a corpus-dominant
+    boilerplate span never ships duplicate (span, doc) rows) ->
+    TakeOrderedAndProject for the top-k (no global sort). Docs shorter
+    than the window contribute their whole text as one span — same rule
+    as the shingler."""
+    toks = F.split(F.col("text"), " ")
+    spans = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (span_tokens - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
+    )
+    return (
+        spread(documents)
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "span"
+        )
+        .limit(k)
+    )
+
+
+def top_duplicated_spans_oracle(span_tokens: int = 8, k: int = 30) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, array_to_string(w[i:i+{span_tokens - 1}], ' ') AS span
+  FROM toks, LATERAL unnest(generate_series(
+    1, greatest(len(w) - {span_tokens - 1}, 1))) AS g(i)
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT {k}
+"""
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -340,14 +400,19 @@ def _jaccard_pairs_lsh_blocked(
 # Scaled-integer Jaccard output + exact-rational threshold test: hashed
 # output columns must not be rounded doubles (1-ulp fragile across
 # engines), and i*10000 >= thr*u compares exact integers — no division.
+# i/u come from F.size (IntegerType): widen to long BEFORE multiplying —
+# a book-length doc with >214,748 distinct shingles would silently wrap
+# the int product in non-ANSI Spark and corrupt the verdict.
 # Built lazily: constructing a Column requires an active SparkContext.
 def _jaccard_x10k():
-    return F.floor(F.col("i") * 10000 / F.col("u")).alias("jaccard_x10k")
+    return F.floor(F.col("i").cast("long") * 10000 / F.col("u")).alias(
+        "jaccard_x10k"
+    )
 
 
 def _jaccard_ge(threshold: float):
     thr = int(round(threshold * 10000))
-    return F.col("i") * 10000 >= F.lit(thr) * F.col("u")
+    return F.col("i").cast("long") * 10000 >= F.lit(thr) * F.col("u").cast("long")
 
 
 def _jaccard_pairs_bitmask(

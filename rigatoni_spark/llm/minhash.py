@@ -172,6 +172,7 @@ def incremental_near_duplicates(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup admission report for a new crawl batch against the
     existing corpus: per increment doc, how many corpus docs share an
@@ -181,17 +182,30 @@ def incremental_near_duplicates(
 
     The near-dup twin of ``mixing.incremental_new_docs``: admission
     cost is ∝ |increment| x bands, NEVER a re-dedup of everything
-    ingested so far. At 100 TB the corpus band sketch (|corpus| x bands
-    narrow rows) is the precomputed index — materialize it once (e.g.
-    bucketed by (band, band_hash), operators/bucketing.py) and each new
-    batch pays one equi-join probe into it plus Jaccard verification on
-    the candidates only.
+    ingested so far. At 100 TB pass ``corpus_bands`` — the precomputed
+    corpus band sketch (|corpus| x bands narrow rows of
+    (doc_id, band, band_hash), e.g. ``lsh_bands(corpus)`` written out
+    bucketed by (band, band_hash), operators/bucketing.py) — and each
+    new batch pays one equi-join probe into it. The Jaccard-verify
+    stage touches corpus TEXT only for the candidate corpus_ids: the
+    corpus is semi-join-pruned to the (batch-bounded, broadcast)
+    candidate id set BEFORE shingling, so verify cost is
+    ∝ |candidates|, never a corpus re-shingle per admission batch.
 
     ``max_bucket`` drops degenerate CORPUS buckets exactly like
     ``candidate_pairs`` — one boilerplate band value must not turn a
-    batch admission into a quadratic blow-up.
+    batch admission into a quadratic blow-up (it also bounds the
+    candidate id set, keeping the verify-stage broadcast safe).
     """
-    cb = lsh_bands(corpus, k=k, bands=bands, shingle_n=shingle_n)
+    if corpus_bands is None:
+        # no precomputed index: the sketch feeds the bucket-size agg
+        # (when max_bucket is set) AND the probe join — materialize it
+        # once rather than re-running shingle+minhash per consumer
+        # (same reasoning as candidate_pairs above)
+        corpus_bands = lsh_bands(
+            corpus, k=k, bands=bands, shingle_n=shingle_n
+        ).localCheckpoint()
+    cb = corpus_bands
     if max_bucket is not None:
         sizes = cb.groupBy("band", "band_hash").agg(
             F.count(F.lit(1)).alias("_bucket_rows")
@@ -202,6 +216,9 @@ def incremental_near_duplicates(
             "left_anti",
         )
     ib = lsh_bands(increment, k=k, bands=bands, shingle_n=shingle_n)
+    # batch-bounded: |increment| x bands probes, each hitting buckets of
+    # width <= max_bucket. Materialize once — consumed by BOTH the
+    # corpus-prune broadcast below and the per_doc verify join.
     cands = (
         ib.join(
             cb.withColumnRenamed("doc_id", "corpus_id"),
@@ -209,15 +226,30 @@ def incremental_near_duplicates(
         )
         .select("doc_id", "corpus_id")
         .distinct()
+        .localCheckpoint()
     )
     shi = spread(increment).select(
         "doc_id", _shingles(n=shingle_n).alias("sh_i")
     )
-    shc = spread(corpus).select(
-        F.col("doc_id").alias("corpus_id"), _shingles(n=shingle_n).alias("sh_c")
+    # verify-stage prune: only candidate corpus docs get (re-)shingled.
+    # The id set is candidates-sized (broadcastable by the max_bucket
+    # contract); the semi join pushes past the scan so corpus text rows
+    # touched here are bounded by |candidates|, not |corpus|.
+    cand_ids = cands.select(F.col("corpus_id").alias("doc_id")).distinct()
+    # prune on the RAW scan (spread()'s narrow-input repartition would
+    # otherwise exchange the full corpus text before the semi filter);
+    # only the candidate survivors reach the shingle expressions
+    shc = (
+        corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            _shingles(n=shingle_n).alias("sh_c"),
+        )
     )
-    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_c")))
-    union = F.size("sh_i") + F.size("sh_c") - inter
+    # F.size is IntegerType — widen before multiplying (book-length docs
+    # can exceed 214,748 distinct shingles; int product would wrap)
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_c"))).cast("long")
+    union = (F.size("sh_i") + F.size("sh_c")).cast("long") - inter
     t_x10k = int(round(threshold * 10000))
     per_doc = (
         cands.join(shi, "doc_id")

@@ -503,6 +503,164 @@ ORDER BY vec_a, vec_b
 """
 
 
+def _bucket_sql(src_alias: str = "") -> str:
+    """DuckDB expression recomputing _bucket()'s sign-random-projection
+    id (identical md5-parity hyperplanes)."""
+    col = f"{src_alias}embedding"
+    terms = []
+    for b in range(NBITS):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(0, {DIM - 1}), "
+            f"i -> ({col}[i+1])::DOUBLE * "
+            f"(CASE WHEN ('0x' || substr(md5('{b}:' || i::VARCHAR), 1, 1))::INT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))) >= 0 THEN {1 << b} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def incremental_embedding_neardup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    threshold: float = 0.95,
+    max_bucket: int | None = None,
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine admission report for a new batch of vectors
+    against the existing corpus — the vector twin of
+    ``minhash.incremental_near_duplicates``: per increment vec_id, the
+    number of corpus vectors sharing its LSH bucket (``n_candidates``),
+    the best exact cosine among them (``best_cosine``, NULL when no
+    candidate), and ``is_new`` (1 = nothing at/above ``threshold``).
+
+    Admission cost is ∝ |increment|, never a corpus re-index: pass
+    ``corpus_buckets`` — the precomputed corpus side
+    (vec_id, embedding, bucket, nrm), at 100 TB a table stored
+    BUCKETED on ``bucket`` (operators/bucketing.py) so the probe join
+    shuffles only the batch — and each admission pays the batch's own
+    bucketing + one equi-join probe + exact-cosine verification of the
+    candidates (the vectors ride the index rows: an IVF-style posting
+    list, no second fetch). ``max_bucket`` drops degenerate CORPUS
+    buckets (the mega-bucket guardrail, identical policy to
+    ``embedding_neardup_pairs``'s chunking but admission only needs
+    drop-or-probe, not pair chunking).
+    """
+    if corpus_buckets is None:
+        # the index feeds the bucket-size agg (when capped) AND the
+        # probe join — materialize once, not once per consumer
+        corpus_buckets = _materialize_once(
+            spread(corpus).select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("c_emb"),
+                _bucket(F.col("embedding")).alias("bucket"),
+                _norm(F.col("embedding")).alias("c_nrm"),
+            )
+        )
+    cb = corpus_buckets
+    if max_bucket is not None:
+        sizes = cb.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_rows")
+        )
+        cb = cb.join(
+            F.broadcast(sizes.filter(F.col("_bucket_rows") > max_bucket)),
+            ["bucket"],
+            "left_anti",
+        )
+    ib = spread(increment).select(
+        "vec_id",
+        F.col("embedding").alias("q_emb"),
+        _bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    sim = F.round(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (F.col("q_nrm") * F.col("c_nrm")),
+        4,
+    )
+    per_vec = (
+        ib.join(cb, "bucket")
+        .select(
+            "vec_id",
+            sim.alias("cos"),
+            (sim >= F.lit(threshold)).cast("int").alias("dup"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.max("cos").alias("best_cosine"),
+            F.max("dup").alias("any_dup"),
+        )
+    )
+    return (
+        increment.select("vec_id")
+        # batch-sized on both sides (per_vec ⊆ increment): shuffled hash
+        # join — never a sort, never a broadcast whose safety depends on
+        # the batch size (same posture as the MinHash admission twin)
+        .join(per_vec.hint("shuffle_hash"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.col("best_cosine"),
+            (F.coalesce("any_dup", F.lit(0)) == 0).cast("bigint").alias(
+                "is_new"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def incremental_embedding_oracle(
+    threshold: float = 0.95, max_bucket: int | None = None
+) -> str:
+    """Oracle for incremental_embedding_neardup over the embeddings
+    table split by vec_id % 3 (corpus = remainder != 0, increment = 0 —
+    the documents-side incremental queries use the same split)."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="i.embedding", b="i.embedding")
+    cc = dot.format(d=DIM, a="c.embedding", b="c.embedding")
+    qc = dot.format(d=DIM, a="i.embedding", b="c.embedding")
+    cap = (
+        f", capped AS (SELECT * FROM cb WHERE bucket IN "
+        f"(SELECT bucket FROM cb GROUP BY bucket "
+        f"HAVING COUNT(*) <= {max_bucket}))"
+        if max_bucket is not None
+        else ", capped AS (SELECT * FROM cb)"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 <> 0
+), inc AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+), cb AS (
+  SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM corpus
+), ibx AS (
+  SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM inc
+){cap},
+v AS (
+  SELECT i.vec_id,
+    ROUND({qc} / (sqrt({qq}) * sqrt({cc})), 4) AS cos
+  FROM ibx i JOIN capped c ON i.bucket = c.bucket
+),
+agg AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    MAX(cos) AS best_cosine,
+    MAX(CASE WHEN cos >= {threshold} THEN 1 ELSE 0 END) AS any_dup
+  FROM v GROUP BY vec_id
+)
+SELECT inc.vec_id,
+  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+  best_cosine,
+  CAST(CASE WHEN COALESCE(any_dup, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_new
+FROM inc LEFT JOIN agg ON inc.vec_id = agg.vec_id
+ORDER BY inc.vec_id
+"""
+
+
 def multiprobe_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 from datetime import datetime, timezone
 
@@ -61,6 +62,17 @@ class FormatNotAvailable(RuntimeError):
     """Raised when a format needs a jar absent from this Spark build
     (feature-gating like the reference's cargo features,
     rigatoni-destinations/src/lib.rs:28-37)."""
+
+
+def _unescape_hive(name: str) -> str:
+    """Invert Spark/Hive partition-path escaping (%XX hex sequences;
+    ExternalCatalogUtils.unescapePathName semantics). partitionBy
+    escapes e.g. '/', '=', ':', '%' in partition VALUES when building
+    dir names — collection names containing those chars must round-trip
+    back to the raw name for group-time lookups and key generation."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
 
 
 def _staged_writer(
@@ -209,7 +221,9 @@ def write_batch(
     nothing reaches a final key. An empty dict means an empty batch —
     staging is discarded and no keys are produced. ``n_events`` then
     serves only as the output-file-count hint (the caller's previous
-    batch size; None skips the coalesce bound for that batch).
+    batch size floored at the configured batch size, so the hint never
+    collapses a full batch into too few files after a small trigger;
+    None skips the coalesce bound for that batch).
 
     ``staging_scope`` isolates the temporary staging dir between
     CONCURRENT callers sharing one ``base_uri``: at COLLECTION watch
@@ -339,7 +353,14 @@ def _write_persisted(
     avro_jobs: list[tuple[str, str, CompressionCodec]] = []
     for dirpath in sorted(glob.glob(os.path.join(staging, "**/"), recursive=True)):
         parts = [p for p in os.path.relpath(dirpath, staging).split(os.sep) if "=" in p]
-        kv = dict(p.split("=", 1) for p in parts)
+        # partitionBy Hive-escapes special chars in dir names (%XX, e.g.
+        # 'a/b' -> 'a%2Fb'); unescape so the group_times lookup (keyed by
+        # RAW collection names) hits and the generated key carries the
+        # real name, not the escaped dir form
+        kv = {
+            p.split("=", 1)[0]: _unescape_hive(p.split("=", 1)[1])
+            for p in parts
+        }
         if "_pc" not in kv:
             continue
         files = sorted(

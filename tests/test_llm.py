@@ -233,6 +233,100 @@ class TestDedup:
         assert capped[5]["n_candidates"] == 0    # mega bucket dropped
         assert capped[5]["is_new"] == 1
 
+    def test_incremental_neardup_precomputed_index(self, spark):
+        """The 100 TB path: a precomputed corpus band sketch
+        (``corpus_bands=lsh_bands(corpus)``) must produce row-identical
+        admission verdicts to the self-computed sketch — the index is a
+        cache, never a semantics change."""
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y z w v u t s"), (4, "k l m n o p q r")],
+            ["doc_id", "text"],
+        )
+        inc = spark.createDataFrame(
+            [(3, "a b c d e f g h"), (9, "zz1 zz2 zz3 zz4 zz5")],
+            ["doc_id", "text"],
+        )
+        sketch = minhash.lsh_bands(corpus).localCheckpoint()
+        with_index = minhash.incremental_near_duplicates(
+            corpus, inc, threshold=0.7, corpus_bands=sketch
+        ).collect()
+        without = minhash.incremental_near_duplicates(
+            corpus, inc, threshold=0.7
+        ).collect()
+        assert with_index == without
+        assert {r["doc_id"]: r["is_new"] for r in with_index} == {3: 0, 9: 1}
+
+    def test_top_duplicated_spans(self, spark):
+        """Cross-doc repeated passages surface with their document
+        frequency; passages unique to one doc never appear (even when
+        repeated WITHIN that doc, n_docs >= 2 gates them out)."""
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+        rows = [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 " + shared),
+            (3, "solo a b c d e f g solo a b c d e f g"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["span"]: r for r in dedup.top_duplicated_spans(df).collect()}
+        assert shared in out
+        assert out[shared]["n_docs"] == 2
+        assert out[shared]["n_occurrences"] == 2
+        assert out[shared]["first_doc_id"] == 1
+        # doc 3's internally-repeated 8-gram is single-doc -> excluded
+        assert all(r["n_docs"] >= 2 for r in out.values())
+        assert not any("solo" in s for s in out)
+
+    def test_incremental_embedding_neardup(self, spark):
+        """Vector admission semantics: an increment vector identical to
+        a corpus vector is rejected (cosine 1.0); its negation lands in
+        the complementary bucket — zero candidates, admitted. A
+        precomputed corpus_buckets index is a pure cache (identical
+        rows), and max_bucket drops degenerate corpus buckets."""
+        from rigatoni_spark.llm import vectors
+
+        v = [float((i * 7) % 13 - 6) or 1.0 for i in range(64)]
+        neg = [-x for x in v]
+        corpus = spark.createDataFrame(
+            [(1, v), (2, v)], "vec_id bigint, embedding array<float>"
+        )
+        inc = spark.createDataFrame(
+            [(3, v), (6, neg)], "vec_id bigint, embedding array<float>"
+        )
+        rows = {
+            r["vec_id"]: r
+            for r in vectors.incremental_embedding_neardup(
+                corpus, inc, threshold=0.95
+            ).collect()
+        }
+        assert rows[3]["is_new"] == 0 and rows[3]["best_cosine"] == 1.0
+        assert rows[3]["n_candidates"] == 2
+        assert rows[6]["is_new"] == 1 and rows[6]["n_candidates"] == 0
+        assert rows[6]["best_cosine"] is None
+        # precomputed index -> identical admission rows
+        idx = vectors._materialize_once(
+            corpus.select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("c_emb"),
+                vectors._bucket(F.col("embedding")).alias("bucket"),
+                vectors._norm(F.col("embedding")).alias("c_nrm"),
+            )
+        )
+        with_idx = vectors.incremental_embedding_neardup(
+            corpus, inc, threshold=0.95, corpus_buckets=idx
+        ).collect()
+        assert {r["vec_id"]: r.asDict() for r in with_idx} == {
+            k: r.asDict() for k, r in rows.items()
+        }
+        # mega-bucket guardrail: corpus bucket of size 2 > max_bucket=1
+        # is dropped -> the twin is admitted as new
+        capped = {
+            r["vec_id"]: r
+            for r in vectors.incremental_embedding_neardup(
+                corpus, inc, threshold=0.95, max_bucket=1
+            ).collect()
+        }
+        assert capped[3]["n_candidates"] == 0 and capped[3]["is_new"] == 1
+
     def test_simhash_is_32bit(self, documents):
         sigs = simhash.simhash_signatures(documents)
         row = sigs.agg(

@@ -90,6 +90,31 @@ class TestWriteBatch:
         k2 = write_batch(change_events, cfg, batch_id=9)
         assert k1 == k2
 
+    def test_escaped_collection_names_keep_deterministic_keys(
+        self, change_events, tmp_path
+    ):
+        """Collections with chars Spark Hive-escapes in partition dirs
+        (':', '=', '%') must still hit the group-times lookup: the
+        staged dir says e.g. _pc=ns%3Ausers but the key + replay stem
+        must carry the RAW name and the deterministic group-time stem,
+        never a wall-clock fallback."""
+        weird = change_events.withColumn(
+            "collection", F.concat(F.lit("ns:"), F.col("collection"))
+        ).cache()
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path),
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        try:
+            k1 = write_batch(weird, cfg, batch_id=4)
+            k2 = write_batch(weird, cfg, batch_id=4)
+        finally:
+            weird.unpersist()
+        assert k1 == k2  # wall-clock fallback would differ between runs
+        assert k1 and all("ns:" in k for k in k1)
+        assert all("%3A" not in k and "%3a" not in k for k in k1)
+
     def test_avro_write(self, spark, change_events, tmp_path):
         """K6: AVRO is two-tier like the reference's `avro` cargo
         feature (rigatoni-destinations/src/lib.rs:28-37): the spark-avro

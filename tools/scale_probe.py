@@ -133,6 +133,100 @@ def probe_documents(spark, sf_dir: str) -> None:
             _timed(f"{name} {label}", lambda f=fn, d=df: f(d))
 
 
+def _amplified_docs(spark, sf_dir: str, copies_n: int = 10):
+    """(base, amplified) documents with per-copy alphabet rotation —
+    copies share no shingles, so near-dup mass grows linearly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = spark.range(copies_n).select(F.col("id").alias("copy"))
+    branches = (
+        "CASE "
+        + " ".join(
+            f"WHEN copy = {c} THEN "
+            f"translate(text, '{ALPHA}', '{ALPHA[c:] + ALPHA[:c]}')"
+            for c in range(copies_n)
+        )
+        + " END"
+    )
+    amp_path = tempfile.mkdtemp(prefix="scale_docs_") + "/docs.parquet"
+    (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") * copies_n + F.col("copy")).alias("doc_id"),
+            F.expr(branches).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    return docs, spark.read.parquet(amp_path)
+
+
+def probe_incremental(spark, sf_dir: str) -> None:
+    """Admission-cost scaling for incremental_near_duplicates.
+
+    The operator's contract: with a precomputed corpus band sketch
+    (``corpus_bands``), per-batch admission cost is ∝ |increment| (+
+    candidate verification) — NEVER ∝ |corpus|. Two sweeps prove it:
+
+    - 10x corpus, fixed increment, precomputed index -> flat wall
+      (the verify stage semi-join-prunes corpus text to candidate ids,
+      so 10x more corpus rows never reach the shingle expressions);
+    - fixed corpus, 10x increment -> wall grows with the batch.
+
+    The no-index walls are printed too: they grow with the corpus (the
+    sketch build itself is ∝ corpus) — that cost is the once-per-corpus
+    index build the 100 TB deployment amortizes, not the per-batch fee.
+    """
+    from rigatoni_spark.llm import minhash
+
+    docs, big = _amplified_docs(spark, sf_dir)
+    # fixed admission batch: ~10% of the BASE corpus, ids disjoint from
+    # both corpora (doc_id * 10 + copy is always even-mod-10 aligned)
+    inc_small = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    ).cache()
+    inc_big = docs.select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text"
+    ).cache()
+    n_small, n_big = inc_small.count(), inc_big.count()
+    print(
+        f"RESULT incremental corpora: {docs.count()} / {big.count()} docs; "
+        f"increments {n_small} / {n_big}"
+    )
+    for label, corpus in (("1x", docs), ("10x", big)):
+        t0 = time.time()
+        sketch = minhash.lsh_bands(corpus).localCheckpoint()
+        print(
+            f"RESULT incremental index build {label}: "
+            f"{time.time() - t0:.1f}s rows={sketch.count()}",
+            flush=True,
+        )
+        _timed(
+            f"incremental admit corpus={label} inc={n_small} indexed",
+            lambda c=corpus, s=sketch: minhash.incremental_near_duplicates(
+                c, inc_small, max_bucket=50, corpus_bands=s
+            ),
+        )
+        _timed(
+            f"incremental admit corpus={label} inc={n_small} no-index",
+            lambda c=corpus: minhash.incremental_near_duplicates(
+                c, inc_small, max_bucket=50
+            ),
+        )
+    sketch_big = minhash.lsh_bands(big).localCheckpoint()
+    sketch_big.count()
+    _timed(
+        f"incremental admit corpus=10x inc={n_big} indexed",
+        lambda: minhash.incremental_near_duplicates(
+            big, inc_big, max_bucket=50, corpus_bands=sketch_big
+        ),
+    )
+    inc_small.unpersist()
+    inc_big.unpersist()
+
+
 def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
     """Plain vs pointer-doubling propagation on a maximally long-thin
     duplicate graph: docs are sliding windows (72 globally-unique
@@ -187,7 +281,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -201,6 +295,8 @@ def main() -> None:
         probe_documents(spark, args.sf_dir)
     if args.which in ("chain", "all"):
         probe_chain(spark)
+    if args.which in ("incremental", "all"):
+        probe_incremental(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
