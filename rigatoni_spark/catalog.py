@@ -523,6 +523,63 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return advanced.pivot_op_by_collection(read_change_events(spark, sf_dir))
 
 
+def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-admission gate (streaming/admission.py)
+    drained for real over 3 deterministic micro-batches (documents
+    split by doc_id % 3, fed oldest-mtime-first at one file per
+    trigger): returns the final admitted-corpus doc_ids, hash-verified
+    against the chained sequential-SQL fixpoint
+    (minhash.admission_rounds_oracle) — so micro-batch boundaries,
+    checkpoint WAL, and the partitioned corpus/index state trees are
+    all inside the correctness gate, not just pytest."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from rigatoni_spark.streaming.admission import AdmissionStream
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="admission_q_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(3):
+            stage = os.path.join(root, f"w{i}")
+            (
+                docs.filter(F.col("doc_id") % 3 == i)
+                .select("doc_id", "text")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(part, dst)
+            # pinned, strictly-increasing mtimes: the file source
+            # dequeues oldest-first, so batch order == remainder order
+            # == the oracle's round order
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        s = AdmissionStream(
+            spark,
+            src,
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+        ).start()
+        s.process_all_available()
+        s.stop()
+        if s.stats.batches != 3:
+            raise RuntimeError(
+                f"admission stream drained {s.stats.batches} micro-batches,"
+                " expected 3 — file-per-trigger pacing broke"
+            )
+        # detach the result from the temp state tree before cleanup
+        out = s.corpus().select("doc_id").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(tables.load_table(spark, sf_dir, "documents"))
@@ -798,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "mm_frame_sample": _q_mm_frame_sample,
     "text_training_shuffle": _doc(sampling.training_shuffle),
+    "s6_stream_admission": _q_stream_admission,
 }
 
 
@@ -1103,4 +1161,5 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_pack_sequences": sampling.pack_sequences_oracle(512),
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
     "rel_skew_salted_join": advanced.SKEW_SALTED_ORACLE,
+    "s6_stream_admission": minhash.admission_rounds_oracle(),
 }

@@ -387,6 +387,64 @@ def _shingle_list_sql(src: str, shingle_n: int) -> str:
     ) GROUP BY doc_id"""
 
 
+def admission_rounds_oracle(
+    threshold: float = 0.7, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3, rounds: int = 3,
+) -> str:
+    """Oracle for the STREAMING admission gate
+    (streaming/admission.py) drained over ``rounds`` deterministic
+    batches (documents split by doc_id % rounds, fed in remainder
+    order): the final corpus is the chained fixpoint
+
+        c_0 = batch_0   (empty corpus: everything admitted)
+        c_i = c_{i-1} ∪ {d ∈ batch_i with no verified near-dup in c_{i-1}}
+
+    Each round instantiates the same band/shingle/verify SQL as
+    ``incremental_near_oracle`` with the PREVIOUS round's corpus CTE —
+    so the streaming path (micro-batches, checkpoint WAL, partitioned
+    state trees) hash-verifies against pure sequential SQL."""
+    t = int(round(threshold * 10000))
+    parts = [
+        f"b{i} AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {rounds} = {i})"
+        for i in range(rounds)
+    ]
+    parts.append("c0 AS (SELECT doc_id, text FROM b0)")
+    for i in range(1, rounds):
+        prev, inc, s = f"c{i - 1}", f"b{i}", str(i)
+        parts += [
+            f"cb{s} AS ({_bands_sql(prev, k, bands, shingle_n)})",
+            f"ib{s} AS ({_bands_sql(inc, k, bands, shingle_n)})",
+            f"""cands{s} AS (
+    SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+    FROM ib{s} i JOIN cb{s} c
+      ON i.band = c.band AND i.band_hash = c.band_hash
+  )""",
+            f"ish{s} AS ({_shingle_list_sql(inc, shingle_n)})",
+            f"csh{s} AS ({_shingle_list_sql(prev, shingle_n)})",
+            f"""dup{s} AS (
+    SELECT DISTINCT cands{s}.doc_id
+    FROM cands{s}
+    JOIN ish{s} si ON si.doc_id = cands{s}.doc_id
+    JOIN csh{s} sc ON sc.doc_id = cands{s}.corpus_id
+    WHERE len(list_intersect(si.shl, sc.shl)) * 10000
+       >= {t} * (len(si.shl) + len(sc.shl)
+                 - len(list_intersect(si.shl, sc.shl)))
+  )""",
+            f"""c{s} AS (
+    SELECT doc_id, text FROM c{i - 1}
+    UNION ALL
+    SELECT doc_id, text FROM b{i}
+    WHERE doc_id NOT IN (SELECT doc_id FROM dup{s})
+  )""",
+        ]
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f"\nSELECT doc_id FROM c{rounds - 1} ORDER BY doc_id"
+    )
+
+
 def incremental_near_oracle(
     threshold: float = 0.7, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,

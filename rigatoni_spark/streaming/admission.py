@@ -1,0 +1,216 @@
+"""Continuous corpus admission: a streaming near-duplicate gate over
+document batches — the streaming face of
+``minhash.incremental_near_duplicates``.
+
+The 100 TB ingest loop this models: crawl batches arrive continuously
+and each batch must be admitted against everything admitted so far
+WITHOUT re-deduplicating the corpus (the reference's pipeline identity
+— an incremental stream, never a rebuild; stream.rs:891-944 — applied
+to the training-data world). Corpus state is two partition trees the
+stream itself maintains:
+
+    <state_dir>/corpus/ingest_batch=N/   admitted docs (doc_id, text)
+    <state_dir>/index/ingest_batch=N/    their LSH band sketch
+    <state_dir>/reports/ingest_batch=N/  per-batch admission audit
+
+``foreachBatch`` body, per micro-batch:
+
+1. read the band-sketch index and corpus, PRUNED to
+   ``ingest_batch < batch_id`` — a partition-column filter, so Spark
+   prunes the directories without listing file contents. The bound is
+   the replay guard: an at-least-once replay of batch N must not see
+   batch N's own half-written state, or every replayed doc would be
+   rejected as a duplicate of itself.
+2. ``incremental_near_duplicates(corpus, batch, corpus_bands=index)``
+   — probe cost ∝ |batch| x bands; the Jaccard verify semi-join-prunes
+   corpus text to the candidate ids (llm/minhash.py).
+3. write the admission report, then the admitted docs and their bands,
+   each to the batch's OWN ``ingest_batch=N`` partition with
+   ``mode("overwrite")`` — a replayed micro-batch rewrites its own
+   partitions and never appends duplicates: at-least-once delivery +
+   per-batch-id overwrite = exactly-once corpus state (the same
+   idempotent-replay contract the CDC sink gets from deterministic
+   keys, SURVEY.md §7.3).
+
+Intra-batch duplicates are admitted together by design (the operator
+gates against the CORPUS); run ``minhash.near_duplicates`` /
+``dedup.exact_dedup`` on the raw feed first if batches self-duplicate.
+
+Scale posture: the index partitions are narrow (doc_id, band,
+band_hash) rows — at 100 TB compact them periodically into a table
+bucketed on (band, band_hash) (operators/bucketing.py) and pass that
+as the probe side; the per-batch cost contract is measured in SCALE.md
+(flat admission wall under 10x corpus with a precomputed index).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rigatoni_spark.llm import minhash
+
+
+@dataclass
+class AdmissionStats:
+    """Running totals, updated after each committed micro-batch."""
+
+    batches: int = 0
+    docs_seen: int = 0
+    docs_admitted: int = 0
+    docs_rejected: int = 0
+
+
+class AdmissionStream:
+    """Wire a parquet document feed through the admission gate.
+
+    ``source_dir`` is a file-stream of parquet batches (schema taken
+    from the files already present — the same static-infer convention
+    as the CDC file source). ``state_dir`` holds the corpus/index/
+    reports trees; ``checkpoint_dir`` is the Spark WAL that makes
+    replays land on the same batch_id.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        state_dir: str,
+        checkpoint_dir: str,
+        threshold: float = 0.7,
+        k: int = minhash.DEFAULT_K,
+        bands: int = minhash.DEFAULT_BANDS,
+        shingle_n: int = 3,
+        max_bucket: int | None = None,
+        max_files_per_trigger: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.state_dir = state_dir.replace("file:", "")
+        self.checkpoint_dir = checkpoint_dir
+        self.threshold = threshold
+        self.k = k
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.max_bucket = max_bucket
+        self.max_files_per_trigger = max_files_per_trigger
+        self.stats = AdmissionStats()
+        self._query = None
+
+    # -- state trees ----------------------------------------------------
+    def _tree(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _committed_partitions(self, name: str) -> list[str]:
+        return glob.glob(os.path.join(self._tree(name), "ingest_batch=*"))
+
+    def corpus(self) -> DataFrame | None:
+        """Everything admitted so far (None before the first commit)."""
+        if not self._committed_partitions("corpus"):
+            return None
+        return self.spark.read.parquet(self._tree("corpus"))
+
+    # -- micro-batch body ----------------------------------------------
+    def _admit(self, batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        prior = [
+            p
+            for p in self._committed_partitions("corpus")
+            if int(p.rsplit("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            # replay guard: NEVER read the in-flight batch's own
+            # partition — ingest_batch is a partition column, so the
+            # bound prunes directories, not rows
+            corpus = (
+                self.spark.read.parquet(self._tree("corpus"))
+                .filter(F.col("ingest_batch") < batch_id)
+                .select("doc_id", "text")
+            )
+            index = (
+                self.spark.read.parquet(self._tree("index"))
+                .filter(F.col("ingest_batch") < batch_id)
+                .select("doc_id", "band", "band_hash")
+            )
+            report = minhash.incremental_near_duplicates(
+                corpus,
+                batch,
+                threshold=self.threshold,
+                k=self.k,
+                bands=self.bands,
+                shingle_n=self.shingle_n,
+                max_bucket=self.max_bucket,
+                corpus_bands=index,
+            )
+        else:
+            # empty corpus: everything is new, no probe to pay
+            report = batch.select(
+                "doc_id",
+                F.lit(0).cast("bigint").alias("n_candidates"),
+                F.lit(None).cast("bigint").alias("best_jaccard_x10k"),
+                F.lit(1).cast("bigint").alias("is_new"),
+            )
+        report_path = os.path.join(
+            self._tree("reports"), f"ingest_batch={batch_id}"
+        )
+        report.write.mode("overwrite").parquet(report_path)
+        # downstream stages read the COMMITTED report back (lineage
+        # truncation: the admission plan runs exactly once)
+        report_back = self.spark.read.parquet(report_path)
+        admitted = batch.join(
+            report_back.filter(F.col("is_new") == 1).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        corpus_path = os.path.join(
+            self._tree("corpus"), f"ingest_batch={batch_id}"
+        )
+        admitted.write.mode("overwrite").parquet(corpus_path)
+        # the index partition derives from the WRITTEN corpus partition,
+        # so index and corpus can never disagree about what batch N
+        # contributed — even across a replay
+        adm_back = self.spark.read.parquet(corpus_path)
+        minhash.lsh_bands(
+            adm_back, k=self.k, bands=self.bands, shingle_n=self.shingle_n
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._tree("index"), f"ingest_batch={batch_id}")
+        )
+        probe = report_back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_new").cast("bigint").alias("adm"),
+        ).collect()[0]
+        self.stats.batches += 1
+        self.stats.docs_seen += probe["n"]
+        self.stats.docs_admitted += int(probe["adm"] or 0)
+        self.stats.docs_rejected += probe["n"] - int(probe["adm"] or 0)
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self) -> "AdmissionStream":
+        schema = self.spark.read.parquet(self.source_dir).schema
+        stream = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .parquet(self.source_dir)
+        )
+        self._query = (
+            stream.writeStream.foreachBatch(self._admit)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("corpus_admission")
+            .start()
+        )
+        return self
+
+    def process_all_available(self) -> None:
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query.awaitTermination()
+
+    def is_running(self) -> bool:
+        return self._query is not None and self._query.isActive

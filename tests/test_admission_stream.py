@@ -1,0 +1,121 @@
+"""Streaming corpus admission e2e: continuous near-dup gating of
+document batches with replay-idempotent corpus state
+(streaming/admission.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rigatoni_spark.streaming.admission import AdmissionStream
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir(), state.mkdir(), ckpt.mkdir()
+    return str(src), str(state), str(ckpt)
+
+
+def _feed(src: str, name: str, rows: list[tuple[int, str]]) -> None:
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(src, name))
+
+
+A = "the quick brown fox jumps over the lazy dog"
+B = "pack my box with five dozen liquor jugs today"
+C = "how vexingly quick daft zebras jump around here"
+D = "entirely different words compose this new document text"
+
+
+class TestAdmissionStream:
+    def test_gate_rejects_cross_batch_duplicates(self, spark, dirs):
+        src, state, ckpt = dirs
+        _feed(src, "b0.parquet", [(1, A), (2, B)])
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        assert s.stats.docs_seen == 2 and s.stats.docs_admitted == 2
+        # batch 2: one exact twin of doc 1, one genuinely new doc
+        _feed(src, "b1.parquet", [(3, A), (4, C)])
+        s.process_all_available()
+        s.stop()
+        assert s.stats.batches == 2
+        assert s.stats.docs_seen == 4
+        assert s.stats.docs_admitted == 3
+        assert s.stats.docs_rejected == 1
+        corpus = {r["doc_id"] for r in s.corpus().collect()}
+        assert corpus == {1, 2, 4}
+        # the index mirrors the corpus exactly
+        idx_docs = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(state, "index")).collect()
+        }
+        assert idx_docs == corpus
+        # audit trail: one report per micro-batch
+        reports = glob.glob(os.path.join(state, "reports", "ingest_batch=*"))
+        assert len(reports) == 2
+
+    def test_replay_is_idempotent_and_never_self_rejects(self, spark, dirs):
+        """An at-least-once replay of micro-batch N re-runs against the
+        corpus BEFORE N (partition-pruned), so a replayed doc is not
+        rejected as a duplicate of its own half-written state, and the
+        partition overwrite leaves corpus content identical."""
+        src, state, ckpt = dirs
+        _feed(src, "b0.parquet", [(1, A), (2, B)])
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        _feed(src, "b1.parquet", [(3, A), (4, C)])
+        s.process_all_available()
+        s.stop()
+        before = sorted(
+            (r["doc_id"], r["text"]) for r in s.corpus().collect()
+        )
+        # simulate the replay: same batch content, same batch_id, with
+        # batch 1's own partitions already on disk
+        replay = spark.createDataFrame(
+            [(3, A), (4, C)], "doc_id bigint, text string"
+        )
+        s._admit(replay, 1)
+        after = sorted((r["doc_id"], r["text"]) for r in s.corpus().collect())
+        assert after == before
+        assert {r["doc_id"] for r in s.corpus().collect()} == {1, 2, 4}
+
+    def test_restart_resumes_without_reprocessing(self, spark, dirs):
+        src, state, ckpt = dirs
+        _feed(src, "b0.parquet", [(1, A), (2, B)])
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        s2 = AdmissionStream(spark, src, state, ckpt).start()
+        s2.process_all_available()
+        assert s2.stats.batches == 0  # checkpoint WAL: nothing replays
+        _feed(src, "b1.parquet", [(5, D)])
+        s2.process_all_available()
+        s2.stop()
+        assert s2.stats.batches == 1
+        assert s2.stats.docs_admitted == 1
+        assert {r["doc_id"] for r in s2.corpus().collect()} == {1, 2, 5}
+
+    def test_near_duplicate_rejected_not_just_exact(self, spark, dirs):
+        src, state, ckpt = dirs
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        _feed(src, "b0.parquet", [(1, base)])
+        s = AdmissionStream(spark, src, state, ckpt, threshold=0.5).start()
+        s.process_all_available()
+        _feed(src, "b1.parquet", [(2, near), (3, D)])
+        s.process_all_available()
+        s.stop()
+        assert s.stats.docs_rejected == 1
+        assert {r["doc_id"] for r in s.corpus().collect()} == {1, 3}
