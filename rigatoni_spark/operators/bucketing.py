@@ -29,22 +29,27 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int,
-    sort_col: str | None = None,
+    sort_col: str | list[str] | None = None,
 ) -> None:
-    """Persist ``df`` as a parquet table bucketed by ``bucket_col``.
+    """Persist ``df`` as a parquet table bucketed by ``bucket_col``
+    (one column or a composite key list — a later equi-join skips its
+    shuffle only when the join keys cover the FULL bucket spec, so
+    composite join keys need composite bucketing).
 
     ``table`` may be qualified (``db.name``); create the database with
     an explicit LOCATION first to control where files land.
     """
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
+        .bucketBy(n_buckets, *cols)
     )
     if sort_col is not None:
-        writer = writer.sortBy(sort_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        writer = writer.sortBy(*scols)
     writer.saveAsTable(table)
 
 

@@ -63,6 +63,61 @@ class TestBucketedJoin:
         ).count()
         assert n == expected
 
+    def test_bucketed_band_sketch_probe_skips_corpus_exchange(self, spark):
+        """The 100 TB admission path: when the corpus band sketch is a
+        table bucketed on the probe key (band, band_hash), the
+        admission probe join shuffles ONLY the increment — exactly one
+        fewer Exchange than the same probe against an unbucketed
+        sketch, with row-identical candidates. This is the measured
+        backing for incremental_near_duplicates' corpus_bands contract
+        (llm/minhash.py docstring; SCALE.md admission table)."""
+        from rigatoni_spark.llm import minhash
+
+        docs = load_table(spark, SF_DIR, "documents")
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        inc = docs.filter(F.col("doc_id") % 3 == 0)
+        loc = "/tmp/sketchdb_test"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS sketchdb LOCATION '{loc}'")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            bucketing.write_bucketed(
+                minhash.lsh_bands(corpus),
+                "sketchdb.sketch_b",
+                ["band", "band_hash"],
+                N_BUCKETS,
+                sort_col=["band", "band_hash"],
+            )
+            # forbid broadcast so the probe exercises the shuffle path
+            # the bucketed scan is supposed to short-circuit
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            exchanges, results = {}, {}
+            plain_sketch = minhash.lsh_bands(corpus).localCheckpoint()
+            for label, cb in (
+                ("bucketed", spark.table("sketchdb.sketch_b")),
+                ("plain", plain_sketch),
+            ):
+                cands = (
+                    minhash.lsh_bands(inc)
+                    .join(
+                        cb.withColumnRenamed("doc_id", "corpus_id"),
+                        ["band", "band_hash"],
+                    )
+                    .select("doc_id", "corpus_id")
+                )
+                results[label] = sorted(map(tuple, cands.collect()))
+                plan = (
+                    cands._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                    .split("== Initial Plan ==")[0]
+                )
+                exchanges[label] = plan.count("Exchange")
+            assert results["bucketed"] == results["plain"]
+            assert exchanges["bucketed"] == exchanges["plain"] - 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP DATABASE IF EXISTS sketchdb CASCADE")
+
     def test_bucketed_agg_skips_exchange(self, spark, bucketed_tables):
         _, lineitem_b = bucketed_tables
         agg = (
