@@ -834,6 +834,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             threshold=0.3,
         )
     ),
+    # Hamming-1 multi-probe recall variant of the admission probe
+    "dedup_incremental_embedding_mp": _emb(
+        lambda e: vectors.incremental_embedding_neardup(
+            e.filter(F.col("vec_id") % 3 != 0),
+            e.filter(F.col("vec_id") % 3 == 0),
+            threshold=0.3,
+            multiprobe=True,
+        )
+    ),
     "text_quantile_length_gate": _doc(mixing.quantile_length_gate),
     "text_denylist_scrub": _doc(corpus.denylist_scrub),
     "pipeline_corpus_report": _doc(corpus.corpus_pipeline_report),
@@ -1153,6 +1162,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "dedup_incremental_neardup": minhash.incremental_near_oracle(),
     "dedup_incremental_embedding": vectors.incremental_embedding_oracle(
         threshold=0.3
+    ),
+    "dedup_incremental_embedding_mp": vectors.incremental_embedding_oracle(
+        threshold=0.3, multiprobe=True
     ),
     "text_quantile_length_gate": mixing.quantile_gate_oracle(),
     "text_denylist_scrub": corpus.denylist_scrub_oracle(),

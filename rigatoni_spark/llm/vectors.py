@@ -524,6 +524,7 @@ def incremental_embedding_neardup(
     threshold: float = 0.95,
     max_bucket: int | None = None,
     corpus_buckets: DataFrame | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine admission report for a new batch of vectors
     against the existing corpus — the vector twin of
@@ -543,6 +544,16 @@ def incremental_embedding_neardup(
     buckets (the mega-bucket guardrail, identical policy to
     ``embedding_neardup_pairs``'s chunking but admission only needs
     drop-or-probe, not pair chunking).
+
+    ``multiprobe=True`` is the recall knob of
+    :func:`multiprobe_neardup_pairs` applied to admission: each batch
+    vector ALSO probes the NBITS corpus buckets one hyperplane flip
+    away (Hamming-1), as an explode into 1+NBITS equi-join probe keys —
+    never a bit_count(xor) theta-join against the corpus. Every
+    (vector, corpus-row) candidate is reachable through exactly one
+    probe (the identity if buckets are equal, the single matching flip
+    otherwise), so candidate counts stay exact without a dedup pass;
+    volume is (1+NBITS) x the single-bucket volume.
     """
     if corpus_buckets is None:
         # the index feeds the bucket-size agg (when capped) AND the
@@ -571,6 +582,17 @@ def incremental_embedding_neardup(
         _bucket(F.col("embedding")).alias("bucket"),
         _norm(F.col("embedding")).alias("q_nrm"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("bigint")
+                for b in range(NBITS)
+            ],
+        )
+        ib = ib.select(
+            "vec_id", "q_emb", "q_nrm", F.explode(probes).alias("bucket")
+        )
     sim = F.round(
         _dot(F.col("q_emb"), F.col("c_emb"))
         / (F.col("q_nrm") * F.col("c_nrm")),
@@ -611,11 +633,14 @@ def incremental_embedding_neardup(
 
 
 def incremental_embedding_oracle(
-    threshold: float = 0.95, max_bucket: int | None = None
+    threshold: float = 0.95, max_bucket: int | None = None,
+    multiprobe: bool = False,
 ) -> str:
     """Oracle for incremental_embedding_neardup over the embeddings
     table split by vec_id % 3 (corpus = remainder != 0, increment = 0 —
-    the documents-side incremental queries use the same split)."""
+    the documents-side incremental queries use the same split).
+    ``multiprobe`` widens the candidate condition to Hamming distance
+    <= 1 between bucket ids (a theta-join is fine oracle-side)."""
     dot = (
         "list_sum(list_transform(generate_series(1, {d}), "
         "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
@@ -643,7 +668,9 @@ WITH corpus AS (
 v AS (
   SELECT i.vec_id,
     ROUND({qc} / (sqrt({qq}) * sqrt({cc})), 4) AS cos
-  FROM ibx i JOIN capped c ON i.bucket = c.bucket
+  FROM ibx i JOIN capped c
+    ON {"bit_count(xor(i.bucket, c.bucket)) <= 1" if multiprobe
+        else "i.bucket = c.bucket"}
 ),
 agg AS (
   SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,

@@ -327,6 +327,39 @@ class TestDedup:
         }
         assert capped[3]["n_candidates"] == 0 and capped[3]["is_new"] == 1
 
+    def test_incremental_embedding_multiprobe_is_superset(self, embeddings):
+        """Hamming-1 multi-probe admission sees every single-bucket
+        candidate plus the one-flip neighbors: per-vector candidate
+        counts dominate the plain probe, strictly somewhere on the
+        testdata, and no vector flips from rejected to admitted (more
+        candidates can only lower is_new)."""
+        from rigatoni_spark.llm import vectors
+
+        corpus = embeddings.filter(F.col("vec_id") % 3 != 0)
+        inc = embeddings.filter(F.col("vec_id") % 3 == 0)
+        plain = {
+            r["vec_id"]: r
+            for r in vectors.incremental_embedding_neardup(
+                corpus, inc, threshold=0.3
+            ).collect()
+        }
+        mp = {
+            r["vec_id"]: r
+            for r in vectors.incremental_embedding_neardup(
+                corpus, inc, threshold=0.3, multiprobe=True
+            ).collect()
+        }
+        assert set(mp) == set(plain)
+        assert all(
+            mp[v]["n_candidates"] >= plain[v]["n_candidates"] for v in plain
+        )
+        assert sum(r["n_candidates"] for r in mp.values()) > sum(
+            r["n_candidates"] for r in plain.values()
+        )
+        assert all(
+            mp[v]["is_new"] <= plain[v]["is_new"] for v in plain
+        )
+
     def test_simhash_is_32bit(self, documents):
         sigs = simhash.simhash_signatures(documents)
         row = sigs.agg(
