@@ -763,6 +763,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sliding-window twin of chunk_stats: the repeated PASSAGES
     # themselves (boilerplate mining), top-k by document frequency
     "dedup_duplicated_spans": _doc(ldedup.top_duplicated_spans),
+    # the transform half: rewrite docs minus already-seen chunks
+    "dedup_chunk_clean": _doc(ldedup.chunk_dedup_clean),
+    # subset-duplicates (short doc quoted inside a long one) — threshold
+    # 0.5: the synthetic unigram sets overlap heavily at 0.9 only for
+    # exact dups, 0.5 exercises the asymmetric orientation too
+    "dedup_containment": _doc(
+        lambda d: ldedup.containment_pairs(d, threshold=0.5)
+    ),
     "sample_train_val_test": _doc(sampling.train_val_test_split),
     # threshold 0.3: the synthetic embeddings are near-random (max
     # same-bucket cosine ~0.44), so the production default 0.95 finds
@@ -1080,6 +1088,8 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),
     "dedup_duplicated_spans": ldedup.top_duplicated_spans_oracle(),
+    "dedup_chunk_clean": ldedup.chunk_dedup_clean_oracle(),
+    "dedup_containment": ldedup.containment_oracle(threshold=0.5),
     "text_training_shuffle": sampling.training_shuffle_oracle(),
     "text_boilerplate_stats": contamination.boilerplate_stats_oracle(),
     "text_boilerplate_clean": contamination.boilerplate_clean_oracle(),

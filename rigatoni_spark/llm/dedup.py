@@ -165,6 +165,204 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def chunk_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """The TRANSFORM half of ``chunk_dedup_stats``: rewrite every
+    document keeping only chunks whose text has NOT occurred earlier in
+    the corpus (corpus order = (doc_id, chunk_idx), identical
+    first-occurrence rule), re-concatenated in original chunk order —
+    Lee et al. 2022's repeated-passage REMOVAL, not just the per-doc
+    fraction. A document whose every chunk is boilerplate survives with
+    empty text (``n_kept_chunks = 0``) — dropping entirely is the
+    caller's gate, not this operator's.
+
+    Plan shape: the stats operator's explode -> MIN(order_key) hash agg
+    -> join back, then ONE per-doc agg that reassembles the text:
+    collect_list of (chunk_idx, chunk) structs, array_sort (chunk_idx
+    totalizes the order — deterministic regardless of partitioning),
+    transform+array_join. The reassembly agg carries each doc's kept
+    text once — the same volume the write side would carry anyway."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_texts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    chunks = spread(documents).select(
+        "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.md5(F.col("chunk")).alias("h"),
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("order_key"),
+    )
+    firsts = chunks.groupBy("h").agg(F.min("order_key").alias("first_key"))
+    kept = chunks.join(firsts, "h").filter(
+        F.col("order_key") == F.col("first_key")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept_chunks"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_chunks", F.lit(0)).cast("bigint").alias(
+                "n_kept_chunks"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def chunk_dedup_clean_oracle(chunk_tokens: int = 10) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+    array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ') AS chunk,
+    md5(array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ')) AS h,
+    doc_id * 1000 + (i - 1) AS order_key
+  FROM toks, LATERAL unnest(generate_series(
+    1, CAST(ceil(len(w) * 1.0 / {chunk_tokens}) AS BIGINT))) AS g(i)
+),
+firsts AS (SELECT h, MIN(order_key) AS first_key FROM chunks GROUP BY h),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk
+  FROM chunks JOIN firsts USING (h) WHERE order_key = first_key
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+         COUNT(*) AS n_kept_chunks
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(n_kept_chunks, 0) AS BIGINT) AS n_kept_chunks
+FROM documents d LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "source",
+    max_block_rows: int = 10_000,
+) -> DataFrame:
+    """Subset-duplicate pairs by token-set CONTAINMENT:
+    |A∩B| / min(|A|,|B|) >= threshold — catches a short document quoted
+    or concatenated inside a longer one, which Jaccard structurally
+    misses (containment of a small set in a big one has Jaccard
+    ≈ |A|/|B|, far below any near-dup threshold).
+
+    Output: (doc_contained, doc_container, containment_x10k), oriented
+    by distinct-token-set size (ties: the lower doc_id is "contained" —
+    equal-size containment == Jaccard == symmetric).
+
+    Scale honesty: MinHash-LSH banding is NOT a valid candidate
+    generator here — band collision probability tracks JACCARD, so the
+    small-in-large pairs this operator exists for are exactly the ones
+    LSH drops. Candidates therefore come from the metadata blocking key
+    (``block_col``), O(rows²/2) within a block, and a block larger than
+    ``max_block_rows`` raises instead of silently degrading: the 100 TB
+    remedies are a finer block key (domain, shard, time bucket) or a
+    containment-aware sketch (prefix-filtered / partitioned MinHash),
+    not the Jaccard-band hatch ``ngram_jaccard_pairs`` uses."""
+    sizes = documents.groupBy(block_col).agg(
+        F.count(F.lit(1)).alias("_block_rows")
+    )
+    max_block = (
+        sizes.agg(F.max("_block_rows").alias("m")).collect()[0]["m"] or 0
+    )
+    if max_block > max_block_rows:
+        raise ValueError(
+            f"containment_pairs: block key {block_col!r} has a block of "
+            f"{max_block} rows (> {max_block_rows}); refine the blocking "
+            "key — the Jaccard-LSH fallback is unsound for containment"
+        )
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    t = spread(documents).select(
+        "doc_id",
+        F.col(block_col).alias("_b"),
+        toks.alias("s"),
+        F.size(toks).alias("n"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.s"), F.col("b.s"))
+    ).cast("long")
+    mn = F.least(F.col("a.n"), F.col("b.n")).cast("long")
+    thr = int(round(threshold * 10000))
+    a_contained = F.col("a.n") <= F.col("b.n")  # tie -> lower doc_id
+    return (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.when(a_contained, F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("doc_contained"),
+            F.when(a_contained, F.col("b.doc_id"))
+            .otherwise(F.col("a.doc_id"))
+            .alias("doc_container"),
+            inter.alias("i"),
+            mn.alias("m"),
+        )
+        .filter(F.col("i") * 10000 >= F.lit(thr) * F.col("m"))
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.floor(F.col("i") * 10000 / F.col("m")).alias(
+                "containment_x10k"
+            ),
+        )
+        .orderBy("doc_contained", "doc_container")
+    )
+
+
+def containment_oracle(
+    threshold: float = 0.9, block_col: str = "source"
+) -> str:
+    thr = int(round(threshold * 10000))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {block_col} AS b,
+         list_distinct(string_split(text, ' ')) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT
+    CASE WHEN len(a.s) <= len(b.s) THEN a.doc_id ELSE b.doc_id END
+      AS doc_contained,
+    CASE WHEN len(a.s) <= len(b.s) THEN b.doc_id ELSE a.doc_id END
+      AS doc_container,
+    len(list_intersect(a.s, b.s)) AS i,
+    least(len(a.s), len(b.s)) AS m
+  FROM t a JOIN t b ON a.b = b.b AND a.doc_id < b.doc_id
+)
+SELECT doc_contained, doc_container,
+       CAST(FLOOR(i * 10000.0 / m) AS BIGINT) AS containment_x10k
+FROM pairs WHERE i * 10000 >= {thr} * m
+ORDER BY doc_contained, doc_container
+"""
+
+
 def top_duplicated_spans(
     documents: DataFrame, span_tokens: int = 8, k: int = 30
 ) -> DataFrame:

@@ -276,6 +276,52 @@ class TestDedup:
         assert all(r["n_docs"] >= 2 for r in out.values())
         assert not any("solo" in s for s in out)
 
+    def test_chunk_dedup_clean(self, spark):
+        """First occurrence of a chunk survives; later copies are cut
+        from the rebuilt text; an all-boilerplate doc survives as empty
+        text rather than vanishing."""
+        c1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # exactly one chunk
+        c2 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+        rows = [
+            (1, c1 + " " + c2),   # both chunks first-seen -> unchanged
+            (2, c1),              # chunk already seen -> empty
+            (3, c2 + " " + "y1 y2 y3"),  # dup chunk + new short chunk
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in dedup.chunk_dedup_clean(df).collect()}
+        assert out[1]["clean_text"] == c1 + " " + c2
+        assert out[1]["n_kept_chunks"] == 2
+        assert out[2]["clean_text"] == "" and out[2]["n_kept_chunks"] == 0
+        assert out[3]["clean_text"] == "y1 y2 y3"
+        assert out[3]["n_kept_chunks"] == 1
+
+    def test_containment_pairs(self, spark):
+        """A short doc fully quoted inside a long one scores 10000 with
+        the short side oriented as doc_contained — the pair Jaccard
+        misses (here J = 4/12); unrelated docs don't pair; an oversized
+        block raises instead of degrading."""
+        short = "q1 q2 q3 q4"
+        long_ = short + " f1 f2 f3 f4 f5 f6 f7 f8"
+        df = spark.createDataFrame(
+            [
+                (1, long_, "web"),
+                (2, short, "web"),
+                (3, "z1 z2 z3 z4 z5", "web"),
+            ],
+            "doc_id bigint, text string, source string",
+        )
+        rows = dedup.containment_pairs(df, threshold=0.9).collect()
+        assert [
+            (r["doc_contained"], r["doc_container"], r["containment_x10k"])
+            for r in rows
+        ] == [(2, 1, 10000)]
+        # the same pair is invisible to Jaccard at any near-dup threshold
+        assert (
+            dedup.ngram_jaccard_pairs(df, threshold=0.8).count() == 0
+        )
+        with pytest.raises(ValueError, match="refine the blocking"):
+            dedup.containment_pairs(df, max_block_rows=2)
+
     def test_incremental_embedding_neardup(self, spark):
         """Vector admission semantics: an increment vector identical to
         a corpus vector is rejected (cosine 1.0); its negation lands in
