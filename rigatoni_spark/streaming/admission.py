@@ -106,7 +106,14 @@ class AdmissionStream:
         return os.path.join(self.state_dir, name)
 
     def _committed_partitions(self, name: str) -> list[str]:
-        return glob.glob(os.path.join(self._tree(name), "ingest_batch=*"))
+        # only partitions that carry DATA count: an empty micro-batch
+        # commits a dir with just _SUCCESS, and a parquet read over a
+        # tree whose every partition is file-less cannot infer a schema
+        return [
+            p
+            for p in glob.glob(os.path.join(self._tree(name), "ingest_batch=*"))
+            if glob.glob(os.path.join(p, "*.parquet"))
+        ]
 
     def corpus(self) -> DataFrame | None:
         """Everything admitted so far (None before the first commit)."""

@@ -107,6 +107,25 @@ class TestAdmissionStream:
         assert s2.stats.docs_admitted == 1
         assert {r["doc_id"] for r in s2.corpus().collect()} == {1, 2, 5}
 
+    def test_empty_first_batch_does_not_poison_the_corpus_read(
+        self, spark, dirs
+    ):
+        """An empty micro-batch commits a data-less ingest_batch
+        partition; later batches must still read the corpus tree
+        (schema inference needs >= 1 data file) and gate correctly."""
+        src, state, ckpt = dirs
+        _feed(src, "b0.parquet", [])  # zero-row parquet -> empty batch
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        assert s.stats.batches == 1 and s.stats.docs_seen == 0
+        _feed(src, "b1.parquet", [(1, A)])
+        s.process_all_available()
+        _feed(src, "b2.parquet", [(2, A), (3, B)])
+        s.process_all_available()
+        s.stop()
+        assert s.stats.docs_rejected == 1  # doc 2 vs doc 1 across batches
+        assert {r["doc_id"] for r in s.corpus().collect()} == {1, 3}
+
     def test_near_duplicate_rejected_not_just_exact(self, spark, dirs):
         src, state, ckpt = dirs
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
