@@ -48,6 +48,15 @@ def _timed(label: str, fn) -> None:
     print(f"RESULT {label}: {time.time() - t0:.1f}s rows={n}", flush=True)
 
 
+def _timed_write(label: str, fn) -> None:
+    """noop-write variant: count() lets column pruning drop expensive
+    projection expressions (chunk_clean's text reassembly agg), so
+    transform-shaped operators are timed through a full-width write."""
+    t0 = time.time()
+    fn().write.format("noop").mode("overwrite").save()
+    print(f"RESULT {label}: {time.time() - t0:.1f}s", flush=True)
+
+
 def probe_embeddings(spark, sf_dir: str) -> None:
     from rigatoni_spark.llm import vectors
 
@@ -127,10 +136,16 @@ def probe_documents(spark, sf_dir: str) -> None:
         ("ngram_jaccard", dedup.ngram_jaccard_pairs),
         ("simhash_neardups", simhash.near_duplicates),
         ("clusters", dedup.duplicate_clusters),
+        ("duplicated_spans", dedup.top_duplicated_spans),
     ]
     for name, fn in probes:
         for label, df in (("1x", docs), ("10x", big)):
             _timed(f"{name} {label}", lambda f=fn, d=df: f(d))
+    for label, df in (("1x", docs), ("10x", big)):
+        _timed_write(
+            f"chunk_clean {label}",
+            lambda d=df: dedup.chunk_dedup_clean(d),
+        )
 
 
 def _amplified_docs(spark, sf_dir: str, copies_n: int = 10):
