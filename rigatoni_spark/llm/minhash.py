@@ -236,11 +236,17 @@ def incremental_near_duplicates(
     # contract); the semi join pushes past the scan so corpus text rows
     # touched here are bounded by |candidates|, not |corpus|.
     cand_ids = cands.select(F.col("corpus_id").alias("doc_id")).distinct()
+    # FORCE the broadcast only when max_bucket bounds the candidate set
+    # (<= |increment| x bands x max_bucket ids); unbounded, let AQE
+    # choose from the real size — the same never-force-an-unbounded-
+    # broadcast posture as the report join below
+    if max_bucket is not None:
+        cand_ids = F.broadcast(cand_ids)
     # prune on the RAW scan (spread()'s narrow-input repartition would
     # otherwise exchange the full corpus text before the semi filter);
     # only the candidate survivors reach the shingle expressions
     shc = (
-        corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        corpus.join(cand_ids, "doc_id", "left_semi")
         .select(
             F.col("doc_id").alias("corpus_id"),
             _shingles(n=shingle_n).alias("sh_c"),
