@@ -108,18 +108,33 @@ class AdmissionStream:
     def _committed_partitions(self, name: str) -> list[str]:
         # only partitions that carry DATA count: an empty micro-batch
         # commits a dir with just _SUCCESS, and a parquet read over a
-        # tree whose every partition is file-less cannot infer a schema
+        # tree whose every partition is file-less cannot infer a schema.
+        # Partitions below the compaction floor are merged-away garbage
+        # (crash leftovers of compact()) and never count.
+        floor = self._floor(name)
         return [
             p
             for p in glob.glob(os.path.join(self._tree(name), "ingest_batch=*"))
             if glob.glob(os.path.join(p, "*.parquet"))
+            and int(p.rsplit("=", 1)[1]) >= floor
         ]
+
+    def _floor(self, name: str) -> int:
+        """Compaction floor: batches <= floor live merged inside the
+        ``ingest_batch=<floor>`` partition; anything below is garbage."""
+        try:
+            with open(os.path.join(self._tree(name), "_compacted_floor")) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     def corpus(self) -> DataFrame | None:
         """Everything admitted so far (None before the first commit)."""
         if not self._committed_partitions("corpus"):
             return None
-        return self.spark.read.parquet(self._tree("corpus"))
+        return self.spark.read.parquet(self._tree("corpus")).filter(
+            F.col("ingest_batch") >= self._floor("corpus")
+        )
 
     # -- micro-batch body ----------------------------------------------
     def _admit(self, batch: DataFrame, batch_id: int) -> None:
@@ -132,15 +147,22 @@ class AdmissionStream:
         if prior:
             # replay guard: NEVER read the in-flight batch's own
             # partition — ingest_batch is a partition column, so the
-            # bound prunes directories, not rows
+            # bounds prune directories, not rows (lower bound: the
+            # compaction floor; see compact())
             corpus = (
                 self.spark.read.parquet(self._tree("corpus"))
-                .filter(F.col("ingest_batch") < batch_id)
+                .filter(
+                    (F.col("ingest_batch") >= self._floor("corpus"))
+                    & (F.col("ingest_batch") < batch_id)
+                )
                 .select("doc_id", "text")
             )
             index = (
                 self.spark.read.parquet(self._tree("index"))
-                .filter(F.col("ingest_batch") < batch_id)
+                .filter(
+                    (F.col("ingest_batch") >= self._floor("index"))
+                    & (F.col("ingest_batch") < batch_id)
+                )
                 .select("doc_id", "band", "band_hash")
             )
             report = minhash.incremental_near_duplicates(
@@ -195,8 +217,102 @@ class AdmissionStream:
         self.stats.docs_admitted += int(probe["adm"] or 0)
         self.stats.docs_rejected += probe["n"] - int(probe["adm"] or 0)
 
+    # -- maintenance -----------------------------------------------------
+    def compact(self, up_to: int | None = None, n_files: int = 8) -> None:
+        """Merge every committed state partition with id <= ``up_to``
+        (default: all of them) into ONE ``ingest_batch=<up_to>``
+        partition per tree — the small-files remedy: a long-running
+        gate accrues one directory per micro-batch, and at 100 TB the
+        probe join's scan cost becomes file-listing-bound long before
+        it is data-bound.
+
+        Crash-safe and restartable, per tree:
+
+        1. write the merged rows to a ``_compact_tmp_<id>`` dir
+           (underscore prefix — invisible to Spark reads) — rerunnable;
+        2. atomically publish ``_compaction_pending`` = id — from this
+           point recovery (``start()`` or the next ``compact()``)
+           finishes the swap;
+        3. delete the merged-away partitions (<= id), rename tmp to
+           ``ingest_batch=<id>``, atomically advance
+           ``_compacted_floor`` and clear the pending marker.
+
+        Every step is idempotent; a crash anywhere re-enters at the
+        right phase. Reads never see a partial state: partitions below
+        the floor are ignored, and the swap itself only runs while the
+        stream is stopped (enforced). Replay stays correct: compaction
+        is only meaningful for batches the checkpoint WAL has committed,
+        and a replayed batch N always has N > floor, so its
+        ``ingest_batch < N`` read still sees the merged partition.
+        """
+        if self.is_running():
+            raise RuntimeError("stop the stream before compacting")
+        for name in ("corpus", "index"):
+            self._finish_compaction(name)  # recover any pending swap
+            ids = sorted(
+                int(p.rsplit("=", 1)[1])
+                for p in self._committed_partitions(name)
+            )
+            merge = [i for i in ids if up_to is None or i <= up_to]
+            if len(merge) < 2:
+                continue
+            target = merge[-1]
+            lo = self._floor(name)
+            tmp = os.path.join(self._tree(name), f"_compact_tmp_{target}")
+            (
+                self.spark.read.parquet(self._tree(name))
+                .filter(
+                    (F.col("ingest_batch") >= lo)
+                    & (F.col("ingest_batch") <= target)
+                )
+                .drop("ingest_batch")
+                .coalesce(n_files)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            self._atomic_write(
+                os.path.join(self._tree(name), "_compaction_pending"),
+                str(target),
+            )
+            self._finish_compaction(name)
+
+    def _finish_compaction(self, name: str) -> None:
+        pend = os.path.join(self._tree(name), "_compaction_pending")
+        if not os.path.exists(pend):
+            return
+        with open(pend) as fh:
+            target = int(fh.read().strip())
+        tmp = os.path.join(self._tree(name), f"_compact_tmp_{target}")
+        dest = os.path.join(self._tree(name), f"ingest_batch={target}")
+        if os.path.isdir(tmp):
+            import shutil
+
+            for p in glob.glob(
+                os.path.join(self._tree(name), "ingest_batch=*")
+            ):
+                if int(p.rsplit("=", 1)[1]) <= target:
+                    shutil.rmtree(p, ignore_errors=True)
+            os.rename(tmp, dest)
+        # tmp absent + pending present == crash after the rename:
+        # only the floor advance + marker cleanup remain
+        self._atomic_write(
+            os.path.join(self._tree(name), "_compacted_floor"), str(target)
+        )
+        os.remove(pend)
+
+    @staticmethod
+    def _atomic_write(path: str, content: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
+
     # -- lifecycle -------------------------------------------------------
     def start(self) -> "AdmissionStream":
+        # finish any compaction a crash interrupted BEFORE the first
+        # micro-batch can read a half-swapped tree
+        for name in ("corpus", "index"):
+            self._finish_compaction(name)
         schema = self.spark.read.parquet(self.source_dir).schema
         stream = (
             self.spark.readStream.schema(schema)

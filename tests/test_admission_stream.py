@@ -126,6 +126,76 @@ class TestAdmissionStream:
         assert s.stats.docs_rejected == 1  # doc 2 vs doc 1 across batches
         assert {r["doc_id"] for r in s.corpus().collect()} == {1, 3}
 
+    def test_compaction_preserves_state_and_gating(self, spark, dirs):
+        """compact() merges the per-batch partitions into one, the
+        corpus content is unchanged, and a restarted stream still
+        rejects duplicates against the merged state."""
+        src, state, ckpt = dirs
+        for i, rows in enumerate([[(1, A)], [(2, B)], [(3, C)]]):
+            _feed(src, f"b{i}.parquet", rows)
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        assert s.stats.batches == 3
+        before = sorted(r["doc_id"] for r in s.corpus().collect())
+        s.compact()
+        after = sorted(r["doc_id"] for r in s.corpus().collect())
+        assert after == before == [1, 2, 3]
+        for name in ("corpus", "index"):
+            parts = glob.glob(
+                os.path.join(state, name, "ingest_batch=*")
+            )
+            assert len(parts) == 1 and parts[0].endswith("ingest_batch=2")
+            assert s._floor(name) == 2
+        # compact again: single partition -> no-op, state intact
+        s.compact()
+        assert sorted(r["doc_id"] for r in s.corpus().collect()) == [1, 2, 3]
+        # the gate still works against the merged partition
+        _feed(src, "b3.parquet", [(4, A), (5, D)])
+        s2 = AdmissionStream(spark, src, state, ckpt).start()
+        s2.process_all_available()
+        s2.stop()
+        assert s2.stats.docs_rejected == 1
+        assert sorted(r["doc_id"] for r in s2.corpus().collect()) == [
+            1, 2, 3, 5,
+        ]
+
+    def test_compaction_crash_recovery(self, spark, dirs):
+        """A crash after the pending marker is published (the worst
+        window: merged tmp written, old partitions possibly half
+        deleted) is finished by the next start() — no data loss, no
+        duplicates."""
+        import shutil
+
+        src, state, ckpt = dirs
+        for i, rows in enumerate([[(1, A)], [(2, B)]]):
+            _feed(src, f"b{i}.parquet", rows)
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        # hand-build the crash state for the corpus tree: tmp written
+        # + pending published, swap NOT performed
+        tree = os.path.join(state, "corpus")
+        tmp = os.path.join(tree, "_compact_tmp_1")
+        (
+            spark.read.parquet(tree)
+            .drop("ingest_batch")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        AdmissionStream._atomic_write(
+            os.path.join(tree, "_compaction_pending"), "1"
+        )
+        # ...and simulate the half-finished delete phase
+        shutil.rmtree(os.path.join(tree, "ingest_batch=0"))
+        s2 = AdmissionStream(spark, src, state, ckpt).start()  # recovers
+        s2.process_all_available()
+        s2.stop()
+        assert sorted(r["doc_id"] for r in s2.corpus().collect()) == [1, 2]
+        assert s2._floor("corpus") == 1
+        assert not os.path.exists(os.path.join(tree, "_compaction_pending"))
+
     def test_near_duplicate_rejected_not_just_exact(self, spark, dirs):
         src, state, ckpt = dirs
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
