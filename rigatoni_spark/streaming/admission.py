@@ -36,6 +36,12 @@ Intra-batch duplicates are admitted together by design (the operator
 gates against the CORPUS); run ``minhash.near_duplicates`` /
 ``dedup.exact_dedup`` on the raw feed first if batches self-duplicate.
 
+The same state machine gates EMBEDDING batches (``mode="vector"``):
+the report operator becomes ``vectors.incremental_embedding_neardup``
+and the index tree holds the cosine-LSH bucket posting list
+(corpus_id, c_emb, bucket, c_nrm) instead of MinHash bands — everything
+else (partition overwrite, replay guard, compaction) is identical.
+
 Scale posture: the index partitions are narrow (doc_id, band,
 band_hash) rows — at 100 TB compact them periodically into a table
 bucketed on (band, band_hash) (operators/bucketing.py) and pass that
@@ -66,13 +72,22 @@ class AdmissionStats:
 
 
 class AdmissionStream:
-    """Wire a parquet document feed through the admission gate.
+    """Wire a parquet feed through the admission gate.
 
     ``source_dir`` is a file-stream of parquet batches (schema taken
     from the files already present — the same static-infer convention
     as the CDC file source). ``state_dir`` holds the corpus/index/
     reports trees; ``checkpoint_dir`` is the Spark WAL that makes
     replays land on the same batch_id.
+
+    ``mode`` selects the modality, same state machine either way:
+    ``"text"`` gates (doc_id, text) batches through MinHash admission
+    with a band-sketch index; ``"vector"`` gates (vec_id, embedding)
+    batches through cosine-LSH admission
+    (:func:`vectors.incremental_embedding_neardup`) with a bucket
+    posting-list index (the vectors ride the index rows). In vector
+    mode the shingle knobs (k/bands/shingle_n) are unused and
+    ``threshold`` is a cosine.
     """
 
     def __init__(
@@ -87,7 +102,10 @@ class AdmissionStream:
         shingle_n: int = 3,
         max_bucket: int | None = None,
         max_files_per_trigger: int = 1,
+        mode: str = "text",
     ) -> None:
+        if mode not in ("text", "vector"):
+            raise ValueError(f"mode must be 'text' or 'vector', got {mode!r}")
         self.spark = spark
         self.source_dir = source_dir
         self.state_dir = state_dir.replace("file:", "")
@@ -98,6 +116,11 @@ class AdmissionStream:
         self.shingle_n = shingle_n
         self.max_bucket = max_bucket
         self.max_files_per_trigger = max_files_per_trigger
+        self.mode = mode
+        self._id = "doc_id" if mode == "text" else "vec_id"
+        self._payload = (
+            ["doc_id", "text"] if mode == "text" else ["vec_id", "embedding"]
+        )
         self.stats = AdmissionStats()
         self._query = None
 
@@ -136,9 +159,64 @@ class AdmissionStream:
             F.col("ingest_batch") >= self._floor("corpus")
         )
 
+    # -- modality hooks ---------------------------------------------------
+    def _index_cols(self) -> list[str]:
+        if self.mode == "text":
+            return ["doc_id", "band", "band_hash"]
+        return ["corpus_id", "c_emb", "bucket", "c_nrm"]
+
+    def _report(self, corpus, batch, index) -> DataFrame:
+        if self.mode == "text":
+            return minhash.incremental_near_duplicates(
+                corpus,
+                batch,
+                threshold=self.threshold,
+                k=self.k,
+                bands=self.bands,
+                shingle_n=self.shingle_n,
+                max_bucket=self.max_bucket,
+                corpus_bands=index,
+            )
+        from rigatoni_spark.llm import vectors
+
+        return vectors.incremental_embedding_neardup(
+            corpus,
+            batch,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+            corpus_buckets=index,
+        )
+
+    def _empty_corpus_report(self, batch: DataFrame) -> DataFrame:
+        best = (
+            F.lit(None).cast("bigint").alias("best_jaccard_x10k")
+            if self.mode == "text"
+            else F.lit(None).cast("double").alias("best_cosine")
+        )
+        return batch.select(
+            self._id,
+            F.lit(0).cast("bigint").alias("n_candidates"),
+            best,
+            F.lit(1).cast("bigint").alias("is_new"),
+        )
+
+    def _build_index(self, admitted: DataFrame) -> DataFrame:
+        if self.mode == "text":
+            return minhash.lsh_bands(
+                admitted, k=self.k, bands=self.bands, shingle_n=self.shingle_n
+            )
+        from rigatoni_spark.llm import vectors
+
+        return admitted.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("c_emb"),
+            vectors._bucket(F.col("embedding")).alias("bucket"),
+            vectors._norm(F.col("embedding")).alias("c_nrm"),
+        )
+
     # -- micro-batch body ----------------------------------------------
     def _admit(self, batch: DataFrame, batch_id: int) -> None:
-        batch = batch.select("doc_id", "text")
+        batch = batch.select(*self._payload)
         prior = [
             p
             for p in self._committed_partitions("corpus")
@@ -155,7 +233,7 @@ class AdmissionStream:
                     (F.col("ingest_batch") >= self._floor("corpus"))
                     & (F.col("ingest_batch") < batch_id)
                 )
-                .select("doc_id", "text")
+                .select(*self._payload)
             )
             index = (
                 self.spark.read.parquet(self._tree("index"))
@@ -163,26 +241,12 @@ class AdmissionStream:
                     (F.col("ingest_batch") >= self._floor("index"))
                     & (F.col("ingest_batch") < batch_id)
                 )
-                .select("doc_id", "band", "band_hash")
+                .select(*self._index_cols())
             )
-            report = minhash.incremental_near_duplicates(
-                corpus,
-                batch,
-                threshold=self.threshold,
-                k=self.k,
-                bands=self.bands,
-                shingle_n=self.shingle_n,
-                max_bucket=self.max_bucket,
-                corpus_bands=index,
-            )
+            report = self._report(corpus, batch, index)
         else:
             # empty corpus: everything is new, no probe to pay
-            report = batch.select(
-                "doc_id",
-                F.lit(0).cast("bigint").alias("n_candidates"),
-                F.lit(None).cast("bigint").alias("best_jaccard_x10k"),
-                F.lit(1).cast("bigint").alias("is_new"),
-            )
+            report = self._empty_corpus_report(batch)
         report_path = os.path.join(
             self._tree("reports"), f"ingest_batch={batch_id}"
         )
@@ -191,8 +255,8 @@ class AdmissionStream:
         # truncation: the admission plan runs exactly once)
         report_back = self.spark.read.parquet(report_path)
         admitted = batch.join(
-            report_back.filter(F.col("is_new") == 1).select("doc_id"),
-            "doc_id",
+            report_back.filter(F.col("is_new") == 1).select(self._id),
+            self._id,
             "left_semi",
         )
         corpus_path = os.path.join(
@@ -203,9 +267,7 @@ class AdmissionStream:
         # so index and corpus can never disagree about what batch N
         # contributed — even across a replay
         adm_back = self.spark.read.parquet(corpus_path)
-        minhash.lsh_bands(
-            adm_back, k=self.k, bands=self.bands, shingle_n=self.shingle_n
-        ).write.mode("overwrite").parquet(
+        self._build_index(adm_back).write.mode("overwrite").parquet(
             os.path.join(self._tree("index"), f"ingest_batch={batch_id}")
         )
         probe = report_back.agg(

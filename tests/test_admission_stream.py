@@ -196,6 +196,48 @@ class TestAdmissionStream:
         assert s2._floor("corpus") == 1
         assert not os.path.exists(os.path.join(tree, "_compaction_pending"))
 
+    def test_vector_mode_gates_embeddings(self, spark, dirs):
+        """mode='vector': the same state machine gates embedding
+        batches — an exact twin of an earlier-batch vector is rejected
+        by cosine, its negation (complementary LSH bucket) is admitted,
+        and a restart resumes against the persisted posting list."""
+        src, state, ckpt = dirs
+        v = [float((i * 7) % 13 - 6) or 1.0 for i in range(64)]
+        w = [float((i * 11) % 17 - 8) or 2.0 for i in range(64)]
+        neg = [-x for x in v]
+
+        def feed_vec(name, rows):
+            t = pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            )
+            pq.write_table(t, os.path.join(src, name))
+
+        feed_vec("b0.parquet", [(1, v), (2, w)])
+        s = AdmissionStream(
+            spark, src, state, ckpt, threshold=0.95, mode="vector"
+        ).start()
+        s.process_all_available()
+        feed_vec("b1.parquet", [(3, v), (4, neg)])
+        s.process_all_available()
+        s.stop()
+        assert s.stats.docs_seen == 4
+        assert s.stats.docs_rejected == 1  # vec 3 == vec 1
+        assert {r["vec_id"] for r in s.corpus().collect()} == {1, 2, 4}
+        # restart: the twin of vec 2 is still rejected
+        feed_vec("b2.parquet", [(5, w)])
+        s2 = AdmissionStream(
+            spark, src, state, ckpt, threshold=0.95, mode="vector"
+        ).start()
+        s2.process_all_available()
+        s2.stop()
+        assert s2.stats.docs_rejected == 1
+        assert {r["vec_id"] for r in s2.corpus().collect()} == {1, 2, 4}
+
     def test_near_duplicate_rejected_not_just_exact(self, spark, dirs):
         src, state, ckpt = dirs
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
