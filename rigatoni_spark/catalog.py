@@ -523,15 +523,21 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return advanced.pivot_op_by_collection(read_change_events(spark, sf_dir))
 
 
-def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming corpus-admission gate (streaming/admission.py)
-    drained for real over 3 deterministic micro-batches (documents
-    split by doc_id % 3, fed oldest-mtime-first at one file per
-    trigger): returns the final admitted-corpus doc_ids, hash-verified
-    against the chained sequential-SQL fixpoint
-    (minhash.admission_rounds_oracle) — so micro-batch boundaries,
-    checkpoint WAL, and the partitioned corpus/index state trees are
-    all inside the correctness gate, not just pytest."""
+def _run_admission_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    payload: list[str],
+    mode: str,
+    threshold: float,
+) -> DataFrame:
+    """Drain the streaming admission gate (streaming/admission.py) for
+    real over 3 deterministic micro-batches (rows split by id % 3, fed
+    oldest-mtime-first at one file per trigger) and return the final
+    admitted-corpus ids — so micro-batch boundaries, checkpoint WAL,
+    and the partitioned corpus/index state trees are all inside the
+    correctness gate, not just pytest."""
     import glob as _glob
     import os
     import shutil
@@ -539,7 +545,7 @@ def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rigatoni_spark.streaming.admission import AdmissionStream
 
-    docs = tables.load_table(spark, sf_dir, "documents")
+    rows = tables.load_table(spark, sf_dir, table)
     root = tempfile.mkdtemp(prefix="admission_q_")
     try:
         src = os.path.join(root, "src")
@@ -547,8 +553,8 @@ def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3):
             stage = os.path.join(root, f"w{i}")
             (
-                docs.filter(F.col("doc_id") % 3 == i)
-                .select("doc_id", "text")
+                rows.filter(F.col(id_col) % 3 == i)
+                .select(*payload)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(stage)
@@ -565,6 +571,8 @@ def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             src,
             os.path.join(root, "state"),
             os.path.join(root, "ckpt"),
+            threshold=threshold,
+            mode=mode,
         ).start()
         s.process_all_available()
         s.stop()
@@ -574,10 +582,28 @@ def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " expected 3 — file-per-trigger pacing broke"
             )
         # detach the result from the temp state tree before cleanup
-        out = s.corpus().select("doc_id").localCheckpoint()
+        out = s.corpus().select(id_col).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return out.orderBy("doc_id")
+    return out.orderBy(id_col)
+
+
+def _q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-mode gate vs minhash.admission_rounds_oracle."""
+    return _run_admission_stream(
+        spark, sf_dir, "documents", "doc_id", ["doc_id", "text"],
+        "text", 0.7,
+    )
+
+
+def _q_stream_admission_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-mode gate vs vectors.vector_admission_rounds_oracle
+    (threshold 0.3 — see dedup_embedding_cosine's note on the
+    near-random synthetic embeddings)."""
+    return _run_admission_stream(
+        spark, sf_dir, "embeddings", "vec_id", ["vec_id", "embedding"],
+        "vector", 0.3,
+    )
 
 
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
@@ -873,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": _q_mm_frame_sample,
     "text_training_shuffle": _doc(sampling.training_shuffle),
     "s6_stream_admission": _q_stream_admission,
+    "s6_stream_admission_vec": _q_stream_admission_vec,
 }
 
 
@@ -1184,4 +1211,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "rel_range_join_tiers": advanced.RANGE_JOIN_ORACLE,
     "rel_skew_salted_join": advanced.SKEW_SALTED_ORACLE,
     "s6_stream_admission": minhash.admission_rounds_oracle(),
+    "s6_stream_admission_vec": vectors.vector_admission_rounds_oracle(
+        threshold=0.3
+    ),
 }

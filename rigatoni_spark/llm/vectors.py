@@ -688,6 +688,61 @@ ORDER BY inc.vec_id
 """
 
 
+def vector_admission_rounds_oracle(
+    threshold: float = 0.3, rounds: int = 3
+) -> str:
+    """Oracle for the VECTOR-mode streaming admission gate
+    (streaming/admission.py, mode="vector") drained over ``rounds``
+    deterministic batches (embeddings split by vec_id % rounds, fed in
+    remainder order): the final corpus is the chained fixpoint
+
+        c_0 = batch_0
+        c_i = c_{i-1} ∪ {v ∈ batch_i with no same-bucket corpus vector
+                          at cosine >= threshold}
+
+    — the embedding twin of minhash.admission_rounds_oracle, with the
+    operator's exact rounded-cosine compare."""
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "x -> (({a}[x])::DOUBLE * ({b}[x])::DOUBLE)))"
+    )
+    qq = dot.format(d=DIM, a="i.embedding", b="i.embedding")
+    cc = dot.format(d=DIM, a="c.embedding", b="c.embedding")
+    qc = dot.format(d=DIM, a="i.embedding", b="c.embedding")
+    parts = [
+        f"b{i} AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {rounds} = {i})"
+        for i in range(rounds)
+    ]
+    parts.append("c0 AS (SELECT vec_id, embedding FROM b0)")
+    for i in range(1, rounds):
+        s = str(i)
+        parts += [
+            f"""cb{s} AS (
+    SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM c{i - 1}
+  )""",
+            f"""ib{s} AS (
+    SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM b{i}
+  )""",
+            f"""dup{s} AS (
+    SELECT DISTINCT i.vec_id
+    FROM ib{s} i JOIN cb{s} c ON i.bucket = c.bucket
+    WHERE ROUND({qc} / (sqrt({qq}) * sqrt({cc})), 4) >= {threshold}
+  )""",
+            f"""c{s} AS (
+    SELECT vec_id, embedding FROM c{i - 1}
+    UNION ALL
+    SELECT vec_id, embedding FROM b{i}
+    WHERE vec_id NOT IN (SELECT vec_id FROM dup{s})
+  )""",
+        ]
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f"\nSELECT vec_id FROM c{rounds - 1} ORDER BY vec_id"
+    )
+
+
 def multiprobe_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
