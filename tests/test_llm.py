@@ -233,6 +233,58 @@ class TestDedup:
         assert capped[5]["n_candidates"] == 0    # mega bucket dropped
         assert capped[5]["is_new"] == 1
 
+    def test_incremental_agrees_with_batch_pair_operator(self, documents):
+        """Cross-operator invariant: a doc's signature is independent of
+        which set it sits in, so the admission gate's rejections over a
+        corpus/increment split must equal the inc-side docs of the
+        CROSS-set pairs that the batch near-dup operator finds on the
+        union — two independent implementations, one truth."""
+        corpus = documents.filter(F.col("doc_id") % 3 != 0)
+        inc = documents.filter(F.col("doc_id") % 3 == 0)
+        rejected = {
+            r["doc_id"]
+            for r in minhash.incremental_near_duplicates(
+                corpus, inc, threshold=0.7
+            ).collect()
+            if r["is_new"] == 0
+        }
+        pairs = minhash.near_duplicates(
+            documents.select("doc_id", "text"), threshold=0.7
+        ).collect()
+        expected = set()
+        for r in pairs:
+            a_inc, b_inc = r["doc_a"] % 3 == 0, r["doc_b"] % 3 == 0
+            if a_inc != b_inc:
+                expected.add(r["doc_a"] if a_inc else r["doc_b"])
+        assert rejected == expected
+        assert expected, "degenerate fixture: no cross-set near-dups"
+
+    def test_vector_incremental_agrees_with_batch_pairs(self, embeddings):
+        """The embedding twin of the invariant above (bucket ids are
+        set-independent; max_bucket=None both sides so no chunking
+        asymmetry)."""
+        from rigatoni_spark.llm import vectors
+
+        corpus = embeddings.filter(F.col("vec_id") % 3 != 0)
+        inc = embeddings.filter(F.col("vec_id") % 3 == 0)
+        rejected = {
+            r["vec_id"]
+            for r in vectors.incremental_embedding_neardup(
+                corpus, inc, threshold=0.3
+            ).collect()
+            if r["is_new"] == 0
+        }
+        pairs = vectors.embedding_neardup_pairs(
+            embeddings, threshold=0.3, max_bucket=None
+        ).collect()
+        expected = set()
+        for r in pairs:
+            a_inc, b_inc = r["vec_a"] % 3 == 0, r["vec_b"] % 3 == 0
+            if a_inc != b_inc:
+                expected.add(r["vec_a"] if a_inc else r["vec_b"])
+        assert rejected == expected
+        assert expected, "degenerate fixture: no cross-set near-dups"
+
     def test_incremental_neardup_precomputed_index(self, spark):
         """The 100 TB path: a precomputed corpus band sketch
         (``corpus_bands=lsh_bands(corpus)``) must produce row-identical
