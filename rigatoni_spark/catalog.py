@@ -783,6 +783,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_doubling": _doc(
         lambda d: ldedup.duplicate_clusters(d, doubling=True)
     ),
+    # the dedup ACTION: one survivor per cluster (transitive closure)
+    "dedup_keep_canonical": _doc(ldedup.cluster_dedup_keep_canonical),
     "dedup_simhash_signatures": _doc(simhash.simhash_signatures),
     "dedup_simhash_neardups": _doc(simhash.near_duplicates),
     "dedup_chunk_stats": _doc(ldedup.chunk_dedup_stats),
@@ -1111,6 +1113,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
     "dedup_clusters": ldedup.duplicate_clusters_oracle(),
     "dedup_clusters_doubling": ldedup.duplicate_clusters_oracle(),
+    "dedup_keep_canonical": ldedup.cluster_keep_canonical_oracle(),
     "dedup_simhash_signatures": simhash.SIGNATURES_ORACLE,
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),

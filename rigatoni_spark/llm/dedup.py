@@ -847,6 +847,46 @@ def duplicate_clusters(
     )
 
 
+def cluster_dedup_keep_canonical(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    block_col: str = "source",
+    **cluster_kwargs,
+) -> DataFrame:
+    """The dedup ACTION from :func:`duplicate_clusters`: keep exactly
+    one document per near-duplicate cluster — the canonical (min
+    doc_id, which IS the cluster label), plus every singleton. Pairs
+    alone cannot do this (A~B, B~C must drop two docs even when A~C
+    misses the threshold); the transitive closure decides survival.
+
+    Plan shape: the label-propagation fixpoint (edge-nodes-only rounds,
+    see duplicate_clusters) followed by one semi join of the corpus
+    against the |clusters|-sized survivor set — the corpus is touched
+    once more, nothing else shuffles."""
+    labels = duplicate_clusters(
+        documents, threshold=threshold, block_col=block_col, **cluster_kwargs
+    )
+    keep = labels.filter(F.col("doc_id") == F.col("label")).select("doc_id")
+    return (
+        documents.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def cluster_keep_canonical_oracle(
+    threshold: float = 0.8, block_col: str = "source"
+) -> str:
+    base = duplicate_clusters_oracle(threshold, block_col).strip()
+    body = base[: base.rindex("SELECT")]
+    return f"""{body}
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN final f ON d.doc_id = f.doc_id
+WHERE f.doc_id = f.label
+ORDER BY d.doc_id
+"""
+
+
 def duplicate_clusters_oracle(
     threshold: float = 0.8, block_col: str = "source"
 ) -> str:
