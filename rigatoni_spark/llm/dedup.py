@@ -868,7 +868,10 @@ def cluster_dedup_keep_canonical(
     )
     keep = labels.filter(F.col("doc_id") == F.col("label")).select("doc_id")
     return (
-        documents.join(keep, "doc_id", "left_semi")
+        # shuffled hash semi join: the survivor set degenerates to the
+        # WHOLE corpus id set when nothing is duplicated, so neither a
+        # forced broadcast nor a sort is the right default
+        documents.join(keep.hint("shuffle_hash"), "doc_id", "left_semi")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
