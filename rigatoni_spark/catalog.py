@@ -842,6 +842,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_images": _q_mm_resize,
     # --- LLM-pipeline: decontamination / repetition / curation mix ---
     "decon_contamination_hits": _doc(contamination.contamination_hits),
+    # fuzzy (near-dup) decon: catches paraphrased benchmark twins the
+    # exact n-gram pass misses
+    "decon_fuzzy_neardup": _doc(contamination.fuzzy_contamination_report),
     "decon_clean_corpus": _doc(contamination.decontaminated_corpus),
     "text_repetition_stats": _doc(contamination.repetition_stats),
     "text_boilerplate_stats": _doc(contamination.boilerplate_stats),
@@ -1189,6 +1192,7 @@ SELECT asset_id, width, height,
     AS resized_bytes
 FROM scaled ORDER BY asset_id""",
     "decon_contamination_hits": contamination.contamination_oracle(),
+    "decon_fuzzy_neardup": contamination.fuzzy_contamination_oracle(),
     "decon_clean_corpus": contamination.decontaminated_oracle(),
     "text_repetition_stats": contamination.REPETITION_ORACLE,
     "xjoin_docs_embeddings_mix": """

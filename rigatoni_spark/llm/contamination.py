@@ -138,6 +138,93 @@ ORDER BY doc_id
 """
 
 
+def fuzzy_contamination_report(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    benchmark_mod: int = 97,
+) -> DataFrame:
+    """NEAR-duplicate decontamination: exact n-gram decon
+    (:func:`contamination_hits`) misses paraphrased / reformatted
+    benchmark twins, so production hygiene also runs a fuzzy pass —
+    here the MinHash admission operator with the benchmark split as the
+    "corpus" and the training split as the "increment". Per training
+    doc: how many benchmark docs share an LSH bucket
+    (``n_benchmark_candidates``), the best verified Jaccard
+    (``best_jaccard_x10k``), and ``is_clean`` (1 = keep).
+
+    Scale: the benchmark set is a small fixed artifact, so its band
+    sketch is tiny and every per-batch cost bound of
+    ``incremental_near_duplicates`` applies with the cheap side as the
+    index — decontaminating 100 TB costs one probe join + verification
+    of the (rare) candidates."""
+    from rigatoni_spark.llm import minhash
+
+    bench = documents.filter(F.col("doc_id") % benchmark_mod == 0)
+    train = documents.filter(F.col("doc_id") % benchmark_mod != 0)
+    rep = minhash.incremental_near_duplicates(
+        bench, train, threshold=threshold
+    )
+    return rep.select(
+        "doc_id",
+        F.col("n_candidates").alias("n_benchmark_candidates"),
+        "best_jaccard_x10k",
+        F.col("is_new").alias("is_clean"),
+    ).orderBy("doc_id")
+
+
+def fuzzy_contamination_oracle(
+    threshold: float = 0.5, benchmark_mod: int = 97,
+    k: int | None = None, bands: int | None = None, shingle_n: int = 3,
+) -> str:
+    from rigatoni_spark.llm.minhash import (
+        DEFAULT_BANDS,
+        DEFAULT_K,
+        _bands_sql,
+        _shingle_list_sql,
+    )
+
+    k = k or DEFAULT_K
+    bands = bands or DEFAULT_BANDS
+    t = int(round(threshold * 10000))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {benchmark_mod} = 0
+), inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {benchmark_mod} <> 0
+),
+  cb AS ({_bands_sql('corpus', k, bands, shingle_n)}),
+  ib AS ({_bands_sql('inc', k, bands, shingle_n)}),
+  cands AS (
+    SELECT DISTINCT i.doc_id, c.doc_id AS corpus_id
+    FROM ib i JOIN cb c ON i.band = c.band AND i.band_hash = c.band_hash
+  ),
+  ish AS ({_shingle_list_sql('inc', shingle_n)}),
+  csh AS ({_shingle_list_sql('corpus', shingle_n)}),
+  v AS (
+    SELECT cands.doc_id,
+      len(list_intersect(si.shl, sc.shl)) AS i,
+      len(si.shl) + len(sc.shl) - len(list_intersect(si.shl, sc.shl)) AS u
+    FROM cands
+    JOIN ish si ON si.doc_id = cands.doc_id
+    JOIN csh sc ON sc.doc_id = cands.corpus_id
+  ),
+  agg AS (
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(MAX(FLOOR(i * 10000.0 / u)) AS BIGINT) AS best_jaccard_x10k,
+      MAX(CASE WHEN i * 10000 >= {t} * u THEN 1 ELSE 0 END) AS any_dup
+    FROM v GROUP BY doc_id
+  )
+SELECT inc.doc_id,
+  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_benchmark_candidates,
+  best_jaccard_x10k,
+  CAST(CASE WHEN COALESCE(any_dup, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_clean
+FROM inc LEFT JOIN agg ON inc.doc_id = agg.doc_id
+ORDER BY inc.doc_id
+"""
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document:
 

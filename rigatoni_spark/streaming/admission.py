@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rigatoni_spark.llm import minhash
+from rigatoni_spark.streaming import metrics as M
 
 
 @dataclass
@@ -122,6 +123,7 @@ class AdmissionStream:
             ["doc_id", "text"] if mode == "text" else ["vec_id", "embedding"]
         )
         self.stats = AdmissionStats()
+        self.metrics = M.MetricsRegistry()
         self._query = None
 
     # -- state trees ----------------------------------------------------
@@ -274,10 +276,22 @@ class AdmissionStream:
             F.count(F.lit(1)).alias("n"),
             F.sum("is_new").cast("bigint").alias("adm"),
         ).collect()[0]
+        adm = int(probe["adm"] or 0)
         self.stats.batches += 1
         self.stats.docs_seen += probe["n"]
-        self.stats.docs_admitted += int(probe["adm"] or 0)
-        self.stats.docs_rejected += probe["n"] - int(probe["adm"] or 0)
+        self.stats.docs_admitted += adm
+        self.stats.docs_rejected += probe["n"] - adm
+        self.metrics.inc(M.ADMISSION_BATCHES, mode=self.mode)
+        self.metrics.inc(M.ADMISSION_DOCS, probe["n"], mode=self.mode)
+        self.metrics.inc(M.ADMISSION_ADMITTED, adm, mode=self.mode)
+        self.metrics.inc(
+            M.ADMISSION_REJECTED, probe["n"] - adm, mode=self.mode
+        )
+        self.metrics.set_gauge(
+            M.ADMISSION_STATE_PARTITIONS,
+            len(self._committed_partitions("corpus")),
+            mode=self.mode,
+        )
 
     # -- maintenance -----------------------------------------------------
     def compact(self, up_to: int | None = None, n_files: int = 8) -> None:

@@ -61,6 +61,15 @@ ACTIVE_COLLECTIONS = "rigatoni_active_collections"
 PIPELINE_STATUS = "rigatoni_pipeline_status"
 STREAM_LAG = "rigatoni_change_stream_lag_seconds"
 
+# Beyond-reference: the corpus-admission gate (streaming/admission.py)
+# publishes under the same prefix/registry so one scrape covers both
+# pipelines.
+ADMISSION_DOCS = "rigatoni_admission_docs_total"
+ADMISSION_ADMITTED = "rigatoni_admission_admitted_total"
+ADMISSION_REJECTED = "rigatoni_admission_rejected_total"
+ADMISSION_BATCHES = "rigatoni_admission_batches_total"
+ADMISSION_STATE_PARTITIONS = "rigatoni_admission_state_partitions"
+
 
 class RigatoniQueryListener(StreamingQueryListener):
     """Publishes query progress as rigatoni_* metrics

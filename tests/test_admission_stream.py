@@ -65,6 +65,15 @@ class TestAdmissionStream:
         # audit trail: one report per micro-batch
         reports = glob.glob(os.path.join(state, "reports", "ingest_batch=*"))
         assert len(reports) == 2
+        # Prometheus surface mirrors the stats (same registry class /
+        # rigatoni_ prefix as the CDC pipeline's O5 metrics)
+        from rigatoni_spark.streaming import metrics as M
+
+        assert s.metrics.get(M.ADMISSION_DOCS, mode="text") == 4
+        assert s.metrics.get(M.ADMISSION_ADMITTED, mode="text") == 3
+        assert s.metrics.get(M.ADMISSION_REJECTED, mode="text") == 1
+        assert s.metrics.get(M.ADMISSION_BATCHES, mode="text") == 2
+        assert s.metrics.get(M.ADMISSION_STATE_PARTITIONS, mode="text") == 2
 
     def test_replay_is_idempotent_and_never_self_rejects(self, spark, dirs):
         """An at-least-once replay of micro-batch N re-runs against the
