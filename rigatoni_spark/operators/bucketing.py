@@ -53,6 +53,55 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_band_index(
+    documents: DataFrame,
+    table: str,
+    n_buckets: int = 4096,
+    k: int | None = None,
+    bands: int | None = None,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the corpus MinHash band sketch as a table bucketed
+    on the probe key (band, band_hash) — the persistent index
+    ``minhash.incremental_near_duplicates(corpus_bands=...)`` contracts
+    on: the admission probe join then shuffles ONLY the increment
+    (tests/test_bucketing.py pins the one-fewer-Exchange plan).
+    Build once per corpus; probe per crawl batch."""
+    from rigatoni_spark.llm import minhash
+
+    bands_df = minhash.lsh_bands(
+        documents,
+        k=k or minhash.DEFAULT_K,
+        bands=bands or minhash.DEFAULT_BANDS,
+        shingle_n=shingle_n,
+    )
+    write_bucketed(
+        bands_df, table, ["band", "band_hash"], n_buckets,
+        sort_col=["band", "band_hash"],
+    )
+
+
+def write_vector_index(
+    embeddings: DataFrame, table: str, n_buckets: int = 4096
+) -> None:
+    """Materialize the cosine-LSH posting list (corpus_id, c_emb,
+    bucket, c_nrm) bucketed on ``bucket`` — the persistent index
+    ``vectors.incremental_embedding_neardup(corpus_buckets=...)``
+    contracts on; the vectors ride the index rows so the probe needs
+    no second fetch."""
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.llm import vectors
+
+    idx = embeddings.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        vectors._bucket(F.col("embedding")).alias("bucket"),
+        vectors._norm(F.col("embedding")).alias("c_nrm"),
+    )
+    write_bucketed(idx, table, "bucket", n_buckets, sort_col="bucket")
+
+
 def cobucketed_join(
     spark: SparkSession, left: str, right: str, key_left: str, key_right: str
 ) -> DataFrame:

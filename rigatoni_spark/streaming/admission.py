@@ -294,6 +294,32 @@ class AdmissionStream:
         )
 
     # -- maintenance -----------------------------------------------------
+    def seed(self, corpus: DataFrame) -> "AdmissionStream":
+        """Prime the gate with an EXISTING corpus before the first
+        micro-batch: the rows land in the reserved ``ingest_batch=-1``
+        partition (micro-batch ids start at 0, and every read bound is
+        ``< batch_id`` with a ``>= floor`` default of -1, so the seed
+        is visible to every batch and participates in compaction like
+        any other partition). Must run before ``start()`` on a fresh
+        state dir — a gate that has already committed batches raises,
+        because admitting history against a retroactive seed is not a
+        well-defined operation."""
+        if self.is_running():
+            raise RuntimeError("seed() must run before start()")
+        if self._committed_partitions("corpus"):
+            raise RuntimeError(
+                "state dir already has committed batches; seed() only "
+                "initializes a fresh gate"
+            )
+        rows = corpus.select(*self._payload)
+        seed_path = os.path.join(self._tree("corpus"), "ingest_batch=-1")
+        rows.write.mode("overwrite").parquet(seed_path)
+        seed_back = self.spark.read.parquet(seed_path)
+        self._build_index(seed_back).write.mode("overwrite").parquet(
+            os.path.join(self._tree("index"), "ingest_batch=-1")
+        )
+        return self
+
     def compact(self, up_to: int | None = None, n_files: int = 8) -> None:
         """Merge every committed state partition with id <= ``up_to``
         (default: all of them) into ONE ``ingest_batch=<up_to>``

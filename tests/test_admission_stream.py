@@ -205,6 +205,27 @@ class TestAdmissionStream:
         assert s2._floor("corpus") == 1
         assert not os.path.exists(os.path.join(tree, "_compaction_pending"))
 
+    def test_seed_primes_the_gate(self, spark, dirs):
+        """seed() initializes a fresh gate with an existing corpus: the
+        first micro-batch is already gated against it, the seed rows
+        show in corpus(), and seeding a non-fresh gate raises."""
+        src, state, ckpt = dirs
+        seed_df = spark.createDataFrame(
+            [(100, A), (101, B)], "doc_id bigint, text string"
+        )
+        s = AdmissionStream(spark, src, state, ckpt).seed(seed_df)
+        _feed(src, "b0.parquet", [(1, A), (2, C)])  # 1 == seed doc 100
+        s.start()
+        s.process_all_available()
+        s.stop()
+        assert s.stats.docs_rejected == 1
+        assert {r["doc_id"] for r in s.corpus().collect()} == {100, 101, 2}
+        with pytest.raises(RuntimeError, match="fresh gate"):
+            AdmissionStream(spark, src, state, ckpt).seed(seed_df)
+        # compaction folds the seed partition in like any other
+        s.compact()
+        assert {r["doc_id"] for r in s.corpus().collect()} == {100, 101, 2}
+
     def test_vector_mode_gates_embeddings(self, spark, dirs):
         """mode='vector': the same state machine gates embedding
         batches — an exact twin of an earlier-batch vector is rejected

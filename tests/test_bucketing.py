@@ -118,6 +118,41 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP DATABASE IF EXISTS sketchdb CASCADE")
 
+    def test_index_builder_helpers_are_drop_in(self, spark):
+        """write_band_index / write_vector_index produce tables the
+        incremental admission operators accept as their precomputed
+        index with row-identical reports to the self-computed path."""
+        from rigatoni_spark.llm import minhash, vectors
+
+        docs = load_table(spark, SF_DIR, "documents")
+        emb = load_table(spark, SF_DIR, "embeddings")
+        d_corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        d_inc = docs.filter(F.col("doc_id") % 3 == 0)
+        v_corpus = emb.filter(F.col("vec_id") % 3 != 0)
+        v_inc = emb.filter(F.col("vec_id") % 3 == 0)
+        loc = "/tmp/idxdb_test"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS idxdb LOCATION '{loc}'")
+        try:
+            bucketing.write_band_index(d_corpus, "idxdb.bands", N_BUCKETS)
+            bucketing.write_vector_index(v_corpus, "idxdb.vecs", N_BUCKETS)
+            with_idx = minhash.incremental_near_duplicates(
+                d_corpus, d_inc, corpus_bands=spark.table("idxdb.bands")
+            ).collect()
+            plain = minhash.incremental_near_duplicates(
+                d_corpus, d_inc
+            ).collect()
+            assert with_idx == plain
+            v_with = vectors.incremental_embedding_neardup(
+                v_corpus, v_inc, threshold=0.3,
+                corpus_buckets=spark.table("idxdb.vecs"),
+            ).collect()
+            v_plain = vectors.incremental_embedding_neardup(
+                v_corpus, v_inc, threshold=0.3
+            ).collect()
+            assert v_with == v_plain
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS idxdb CASCADE")
+
     def test_bucketed_agg_skips_exchange(self, spark, bucketed_tables):
         _, lineitem_b = bucketed_tables
         agg = (
