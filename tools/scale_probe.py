@@ -242,6 +242,71 @@ def probe_incremental(spark, sf_dir: str) -> None:
     inc_big.unpersist()
 
 
+def probe_incremental_vec(spark, sf_dir: str) -> None:
+    """Vector-admission twin of probe_incremental: 16x-amplified
+    embedding corpus (sign-flip rotations — distinct vectors, same
+    distribution), fixed increment, precomputed bucket posting list ->
+    flat admission wall; the no-index walls grow with the corpus (the
+    once-per-corpus index build)."""
+    from pyspark.sql import functions as FF
+
+    from rigatoni_spark.llm import vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = spark.range(16).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_emb_inc_") + "/emb.parquet"
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") * 16 + F.col("copy")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) ->"
+                " CASE WHEN (i + 17 * copy) % 37 < 18 THEN -x ELSE x END)"
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    inc = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    ).cache()
+    n_inc = inc.count()
+    print(
+        f"RESULT incremental-vec corpora: {emb.count()} / {big.count()}; "
+        f"increment {n_inc}"
+    )
+    for label, corpus in (("1x", emb), ("16x", big)):
+        t0 = time.time()
+        idx = vectors._materialize_once(
+            corpus.select(
+                FF.col("vec_id").alias("corpus_id"),
+                FF.col("embedding").alias("c_emb"),
+                vectors._bucket(FF.col("embedding")).alias("bucket"),
+                vectors._norm(FF.col("embedding")).alias("c_nrm"),
+            )
+        )
+        idx.count()
+        print(
+            f"RESULT incremental-vec index build {label}: "
+            f"{time.time() - t0:.1f}s",
+            flush=True,
+        )
+        _timed(
+            f"incremental-vec admit corpus={label} inc={n_inc} indexed",
+            lambda c=corpus, s=idx: vectors.incremental_embedding_neardup(
+                c, inc, threshold=0.3, max_bucket=4096, corpus_buckets=s
+            ),
+        )
+        _timed(
+            f"incremental-vec admit corpus={label} inc={n_inc} no-index",
+            lambda c=corpus: vectors.incremental_embedding_neardup(
+                c, inc, threshold=0.3, max_bucket=4096
+            ),
+        )
+    inc.unpersist()
+
+
 def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
     """Plain vs pointer-doubling propagation on a maximally long-thin
     duplicate graph: docs are sliding windows (72 globally-unique
@@ -296,7 +361,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -312,6 +377,8 @@ def main() -> None:
         probe_chain(spark)
     if args.which in ("incremental", "all"):
         probe_incremental(spark, args.sf_dir)
+    if args.which in ("incremental_vec", "all"):
+        probe_incremental_vec(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
