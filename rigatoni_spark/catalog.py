@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from rigatoni_spark import tables
 from rigatoni_spark.llm import contamination, corpus, mixing, sampling
 from rigatoni_spark.llm import dedup as ldedup
-from rigatoni_spark.llm import minhash, multimodal, simhash, textstats, vectors
+from rigatoni_spark.llm import minhash, multimodal, pq, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
     MATERIALIZE_ORACLE_BODY,
     materialize as materialize_snapshot,
@@ -905,6 +905,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_training_shuffle": _doc(sampling.training_shuffle),
     "s6_stream_admission": _q_stream_admission,
     "s6_stream_admission_vec": _q_stream_admission_vec,
+    # product quantization: compressed-domain similarity (llm/pq.py)
+    "sim_pq_codes": _emb(pq.pq_codes),
+    "sim_pq_topk": _emb(pq.pq_topk),
+    "dedup_pq_buckets": _emb(pq.pq_bucket_dedup),
+    "sim_ivfpq_topk": _emb(pq.ivfpq_topk),
 }
 
 
@@ -1221,4 +1226,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "s6_stream_admission_vec": vectors.vector_admission_rounds_oracle(
         threshold=0.3
     ),
+    "sim_pq_codes": pq.pq_codes_oracle(),
+    "sim_pq_topk": pq.pq_topk_oracle(),
+    "dedup_pq_buckets": pq.pq_bucket_dedup_oracle(),
+    "sim_ivfpq_topk": pq.ivfpq_topk_oracle(),
 }

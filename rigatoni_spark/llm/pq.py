@@ -1,0 +1,587 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+Beyond-reference LLM-pipeline surface: the reference engine
+(rigatoni-core) streams documents and has no vector compression; at
+100 TB an `array<float>` embedding column is ~`DIM * 4` bytes/row while
+a PQ code is `M_SUBSPACES` bytes — a 32x shrink that turns a
+corpus-wide similarity scan from an I/O problem into a CPU problem.
+Public-knowledge design: Jegou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search" (IEEE TPAMI 2011) — split each vector
+into M subvectors, quantize each against a per-subspace codebook of K
+entries, and answer queries with an Asymmetric Distance Computation
+(ADC) scan: the query stays exact, every candidate is represented by
+its code, and per-candidate distance is M table lookups.
+
+Determinism contract (the DuckDB-oracle rule the whole vector family
+follows, see `_kmeans_dists`): all arithmetic is integer. Embeddings
+are quantized once via ``round(x * scale)`` to int64, codebooks are
+quantized subvectors of the first ``k_codes`` corpus rows (the seeded
+quantizer — same class as :func:`vectors._seed_centroids`), so
+per-subspace distances, argmin code assignment (ties -> lower code
+id), and ADC sums are exact in both engines regardless of
+accumulation order.
+
+Scale shape (100 TB): codebooks are driver-held literals
+(``m * k_codes * sub * 8`` bytes — ~8 KB at the defaults) riding the
+UDF closure; encoding and the ADC scan are single-pass Arrow kernel
+projections over the corpus with NO join and NO shuffle until the
+final top-k window over ``n_queries x k`` candidate rows. The
+inverted-file composition (route to cells first, ADC within probed
+cells) is :func:`ivfpq_topk`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rigatoni_spark.llm.vectors import (
+    DIM,
+    _quantize_expr,
+    _seed_centroids,
+)
+from rigatoni_spark.tables import spread
+
+M_SUBSPACES = 8
+K_CODES = 16
+SCALE = 10000
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _round_half_away(x: float) -> int:
+    """Round-half-away-from-zero on a double — the rule BOTH Spark's
+    ``F.round`` and DuckDB's ``round`` apply (Python's builtin
+    ``round`` is half-EVEN and would drift on exact .5 products, so
+    driver-side quantization must not use it)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _seed_codebooks(
+    embeddings: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> list[list[tuple[int, list[int]]]]:
+    """Per-subspace codebooks seeded from the first ``k_codes`` corpus
+    vectors: codebook ``s`` entry ``j`` is the quantized dims
+    ``[s*sub, (s+1)*sub)`` of ``vec_id == j``. A bounded driver probe
+    (``k_codes`` rows), the same class as the IVF seed-centroid
+    collect; production PQ trains per-subspace k-means on a sample but
+    the encode/ADC plan is identical either way."""
+    sub = DIM // m
+    cents = _seed_centroids(embeddings, k_codes)  # [(vec_id, floats)]
+    books: list[list[tuple[int, list[int]]]] = []
+    for s in range(m):
+        book = [
+            (
+                cid,
+                [
+                    _round_half_away(v * scale)
+                    for v in vec[s * sub : (s + 1) * sub]
+                ],
+            )
+            for cid, vec in cents
+        ]
+        books.append(book)
+    return books
+
+
+def _np_codebooks(books: list[list[tuple[int, list[int]]]]):
+    """(M, K, sub) int64 tensor view of the codebook list (code ids are
+    0..K-1 by construction — the seed rows are ``vec_id < k_codes``)."""
+    import numpy as np
+
+    return np.array(
+        [[c for _, c in book] for book in books], dtype=np.int64
+    )  # (m, k, sub)
+
+
+def _np_encode_fn(books: list[list[tuple[int, list[int]]]]):
+    """Returns f: (n, DIM) float64 batch -> (codes (n, m) int64,
+    distortion (n,) int64). Quantizes with numpy round (banker's? no —
+    np.round is half-even while Spark/DuckDB round half-away; so the
+    kernel consumes the ALREADY-quantized int column instead — see
+    :func:`pq_codes`, which quantizes with `_quantize_expr` first and
+    feeds this kernel int64 rows). Ties -> first (lowest) code id via
+    numpy argmin."""
+    import numpy as np
+
+    C = _np_codebooks(books)  # (m, k, sub)
+    m, k, sub = C.shape
+
+    def f(Q):  # (n, DIM) int64 quantized
+        n = Q.shape[0]
+        codes = np.empty((n, m), dtype=np.int64)
+        mins = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            Xs = Q[:, s * sub : (s + 1) * sub]  # (n, sub)
+            Cs = C[s]  # (k, sub)
+            d = (
+                (Xs * Xs).sum(axis=1)[:, None]
+                + (Cs * Cs).sum(axis=1)[None, :]
+                - 2 * (Xs @ Cs.T)
+            )  # (n, k) exact int64
+            codes[:, s] = d.argmin(axis=1)
+            mins[:, s] = d[np.arange(n), codes[:, s]]
+        return codes, mins.sum(axis=1)
+
+    return f
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Encode every vector to its PQ code: ``(vec_id, code_key,
+    distortion)`` where ``code_key`` is the dash-joined per-subspace
+    code ids (the ``m``-byte compressed representation, stringified for
+    exact cross-engine compare) and ``distortion`` the integer squared
+    quantization error — the monitoring metric a production pipeline
+    tracks to decide when codebooks need retraining.
+
+    Plan: one scan-stage Arrow kernel projection, zero joins, zero
+    shuffles (the orderBy is the oracle-compare canonicalizer)."""
+    import numpy as np
+    import pandas as pd
+
+    enc = _np_encode_fn(_seed_codebooks(embeddings, m, k_codes, scale))
+
+    @F.pandas_udf("struct<code_key: string, distortion: bigint>")
+    def kernel(s):
+        if not len(s):
+            return pd.DataFrame({"code_key": [], "distortion": []})
+        codes, dist = enc(np.stack(s.to_numpy()).astype(np.int64))
+        keys = ["-".join(str(c) for c in row) for row in codes]
+        return pd.DataFrame({"code_key": keys, "distortion": dist})
+
+    return (
+        spread(embeddings)
+        .select(
+            "vec_id",
+            kernel(_quantize_expr(F.col("embedding"), scale)).alias("pq"),
+        )
+        .select(
+            "vec_id",
+            F.col("pq.code_key").alias("code_key"),
+            F.col("pq.distortion").alias("distortion"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_prefix(
+    m: int, k_codes: int, scale: int, sub: int
+) -> str:
+    """Shared DuckDB CTE prefix: quantized vectors ``q``, per-subspace
+    codebooks ``cb`` (seeded from ``vec_id < k_codes``), and the full
+    vector-x-codebook distance table ``pqd`` (which doubles as the
+    query LUT — a query's ADC lookup table IS its row slice of it)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings
+), subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+cb AS (
+  SELECT subs.s, q.vec_id AS code,
+         list_transform(generate_series(1, {sub}),
+                        i -> q.qv[subs.s * {sub} + i]) AS cvec
+  FROM q CROSS JOIN subs WHERE q.vec_id < {k_codes}
+),
+pqd AS (
+  SELECT q.vec_id, cb.s, cb.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (q.qv[cb.s * {sub} + i] - cb.cvec[i])
+              * (q.qv[cb.s * {sub} + i] - cb.cvec[i]))) AS d
+  FROM q CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, s, code, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, code) AS rn
+    FROM pqd) WHERE rn = 1
+)"""
+
+
+def pq_codes_oracle(
+    m: int = M_SUBSPACES, k_codes: int = K_CODES, scale: int = SCALE
+) -> str:
+    sub = DIM // m
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)}
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS code_key,
+       CAST(SUM(d) AS BIGINT) AS distortion
+FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> DataFrame:
+    """ADC top-k: each query scans the corpus *codes* (not the raw
+    vectors) — per-candidate cost is ``m`` lookups into the query's
+    precomputed LUT. ``adist`` is the integer squared L2 between the
+    quantized query and the candidate's *reconstruction*, the PQ
+    estimate of the true distance.
+
+    Scale shape: queries are a bounded driver probe (``n_queries``
+    rows — the same class as the seed-centroid collect); their LUTs
+    (``n_queries x m x k_codes`` ints, ~8 KB at defaults) ride the
+    kernel closure. The corpus side is one scan-stage projection
+    emitting ``n_queries`` distances per row, exploded and windowed to
+    the per-query top-k — no join against the corpus, and at 100 TB
+    the scan reads the m-byte code column, not the DIM*4-byte raw
+    embedding (pair with :func:`pq_codes` materialized via
+    ``operators.bucketing.write_bucketed``)."""
+    import numpy as np
+    import pandas as pd
+
+    books = _seed_codebooks(embeddings, m, k_codes, scale)
+    enc = _np_encode_fn(books)
+    C = _np_codebooks(books)  # (m, k, sub)
+    sub = DIM // m
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = sorted(int(r["vec_id"]) for r in qrows)
+    qmat = np.array(
+        [
+            [_round_half_away(float(x) * scale) for x in r["embedding"]]
+            for r in sorted(qrows, key=lambda r: int(r["vec_id"]))
+        ],
+        dtype=np.int64,
+    )  # (Q, DIM)
+    nq = len(qids)
+    # LUT[q, s, j] = int squared L2 between query q's subvector s and
+    # codebook entry j — exact int64.
+    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
+    for s in range(len(books)):
+        Xs = qmat[:, s * sub : (s + 1) * sub] if nq else qmat.reshape(0, sub)
+        Cs = C[s]
+        lut[:, s, :] = (
+            (Xs * Xs).sum(axis=1)[:, None]
+            + (Cs * Cs).sum(axis=1)[None, :]
+            - 2 * (Xs @ Cs.T)
+        )
+    qid_arr = np.array(qids, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")
+    def adc(s):
+        if not len(s) or not nq:
+            return pd.Series([[] for _ in range(len(s))], dtype=object)
+        Q = np.stack(s.to_numpy()).astype(np.int64)
+        codes, _ = enc(Q)  # (n, m)
+        n = Q.shape[0]
+        ad = np.zeros((n, nq), dtype=np.int64)
+        for si in range(codes.shape[1]):
+            # lut[:, si, codes[:, si]] -> (nq, n); accumulate transposed
+            ad += lut[:, si, :][:, codes[:, si]].T
+        return pd.Series(
+            [
+                [
+                    {"query_id": int(qid_arr[qi]), "adist": int(ad[i, qi])}
+                    for qi in range(nq)
+                ]
+                for i in range(n)
+            ]
+        )
+
+    scored = (
+        spread(embeddings)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.explode(
+                adc(_quantize_expr(F.col("embedding"), scale))
+            ).alias("qa"),
+        )
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "cand_id",
+            F.col("qa.adist").alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_topk_oracle(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> str:
+    sub = DIM // m
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)},
+adist AS (
+  SELECT l.vec_id AS query_id, e.vec_id AS cand_id,
+         CAST(SUM(l.d) AS BIGINT) AS adist
+  FROM enc e JOIN pqd l ON l.s = e.s AND l.code = e.code
+  WHERE l.vec_id < {n_queries} AND e.vec_id <> l.vec_id
+  GROUP BY l.vec_id, e.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, cand_id) AS rank
+  FROM adist
+)
+SELECT query_id, cand_id, adist, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def pq_bucket_dedup(
+    embeddings: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    prefix: int = 4,
+) -> DataFrame:
+    """Code-collision near-duplicate buckets on the leading ``prefix``
+    subspace codes: vectors sharing a code prefix agree with the same
+    codebook entries across those subspaces — the compressed twin of
+    the LSH-bucket family (prefix length trades recall vs bucket size,
+    exactly like LSH band width), and a zero-join coarse dedup at
+    100 TB because the groupBy key is ``prefix`` bytes of the code.
+
+    Output: one row per colliding prefix with the bucket size, survivor
+    (min vec_id — the keep-rule the exact-dedup family uses), and the
+    worst member full-code distortion as the bucket's quality bound."""
+    codes = pq_codes(embeddings, m, k_codes, scale)
+    block = F.concat_ws(
+        "-", *[F.split("code_key", "-").getItem(i) for i in range(prefix)]
+    )
+    return (
+        codes.groupBy(block.alias("code_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("survivor_id"),
+            F.max("vec_id").alias("max_vec_id"),
+            F.max("distortion").alias("max_distortion"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("code_prefix")
+    )
+
+
+def pq_bucket_dedup_oracle(
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    prefix: int = 4,
+) -> str:
+    sub = DIM // m
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)},
+keys AS (
+  SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), '-' ORDER BY s)
+           FILTER (WHERE s < {prefix}) AS code_prefix,
+         CAST(SUM(d) AS BIGINT) AS distortion
+  FROM enc GROUP BY vec_id
+)
+SELECT code_prefix, COUNT(*) AS n_members,
+       MIN(vec_id) AS survivor_id, MAX(vec_id) AS max_vec_id,
+       MAX(distortion) AS max_distortion
+FROM keys GROUP BY code_prefix HAVING COUNT(*) > 1 ORDER BY code_prefix
+"""
+
+
+N_CELLS = 16
+N_PROBE = 2
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ: coarse inverted-file routing + ADC within probed cells —
+    the composition every billion-vector ANN serving stack runs (FAISS
+    ``IVFx,PQy``; public design: Jegou et al. 2011 §V). The coarse
+    quantizer routes each vector to its nearest seed centroid on exact
+    integer distances; each query probes its ``n_probe`` nearest cells
+    and ranks only those cells' members, by compressed-domain ADC.
+
+    Scale shape: ONE corpus scan, ZERO joins — centroids, codebooks,
+    query LUTs, and the per-query probe-cell mask are all driver-held
+    (< 100 KB) and ride the kernel closure; the kernel emits a
+    candidate's adist only for queries whose probe mask covers the
+    candidate's cell, so the explode fans out ``n_probe/n_cells`` of
+    the corpus per query instead of all of it. The final window runs
+    over probed candidates only. At 100 TB you would materialize
+    (cell, codes) with ``write_bucketed`` on cell and prune scans to
+    probed cells; the in-query shape is the same.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = _seed_codebooks(embeddings, m, k_codes, scale)
+    enc = _np_encode_fn(books)
+    C = _np_codebooks(books)
+    sub = DIM // m
+
+    cents = _seed_centroids(embeddings, n_cells)
+    Cq = np.array(
+        [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
+        dtype=np.int64,
+    )  # (n_cells, DIM) — ids are 0..n_cells-1 by construction
+    cq_sq = (Cq * Cq).sum(axis=1)
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows = sorted(qrows, key=lambda r: int(r["vec_id"]))
+    qids = [int(r["vec_id"]) for r in qrows]
+    nq = len(qids)
+    qmat = np.array(
+        [
+            [_round_half_away(float(x) * scale) for x in r["embedding"]]
+            for r in qrows
+        ],
+        dtype=np.int64,
+    ).reshape(nq, DIM)
+    # Driver-side probe: each query's n_probe nearest cells by
+    # (dist, cent_id) — exact int distances, lexsort tie-break.
+    qd = (
+        (qmat * qmat).sum(axis=1)[:, None]
+        + cq_sq[None, :]
+        - 2 * (qmat @ Cq.T)
+    )  # (nq, n_cells)
+    allow = np.zeros((nq, len(cents)), dtype=bool)
+    for qi in range(nq):
+        order = np.lexsort((np.arange(len(cents)), qd[qi]))
+        allow[qi, order[:n_probe]] = True
+    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
+    for s in range(len(books)):
+        Xs = qmat[:, s * sub : (s + 1) * sub]
+        Cs = C[s]
+        lut[:, s, :] = (
+            (Xs * Xs).sum(axis=1)[:, None]
+            + (Cs * Cs).sum(axis=1)[None, :]
+            - 2 * (Xs @ Cs.T)
+        )
+    qid_arr = np.array(qids, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")
+    def adc_cells(s):
+        if not len(s) or not nq:
+            return pd.Series([[] for _ in range(len(s))], dtype=object)
+        Q = np.stack(s.to_numpy()).astype(np.int64)
+        n = Q.shape[0]
+        # coarse routing: nearest centroid, first-index tie-break
+        d = (Q * Q).sum(axis=1)[:, None] + cq_sq[None, :] - 2 * (Q @ Cq.T)
+        cell = d.argmin(axis=1)  # (n,)
+        codes, _ = enc(Q)
+        ad = np.zeros((n, nq), dtype=np.int64)
+        for si in range(codes.shape[1]):
+            ad += lut[:, si, :][:, codes[:, si]].T
+        mask = allow[:, cell].T  # (n, nq)
+        out = []
+        for i in range(n):
+            out.append(
+                [
+                    {"query_id": int(qid_arr[qi]), "adist": int(ad[i, qi])}
+                    for qi in np.nonzero(mask[i])[0]
+                ]
+            )
+        return pd.Series(out)
+
+    scored = (
+        spread(embeddings)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.explode(
+                adc_cells(_quantize_expr(F.col("embedding"), scale))
+            ).alias("qa"),
+        )
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "cand_id",
+            F.col("qa.adist").alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_topk_oracle(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> str:
+    sub = DIM // m
+    route_l2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> (q.qv[i] - cent.cvec[i]) * (q.qv[i] - cent.cvec[i])))"
+    )
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)},
+cent AS (
+  SELECT vec_id AS cent_id, qv AS cvec FROM q WHERE vec_id < {n_cells}
+), route AS (
+  SELECT q.vec_id, cent.cent_id, {route_l2} AS rd
+  FROM q CROSS JOIN cent
+), rr AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY rd, cent_id) AS rn
+  FROM route
+), assign AS (
+  SELECT vec_id, cent_id FROM rr WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, cent_id FROM rr
+  WHERE vec_id < {n_queries} AND rn <= {n_probe}
+), adist AS (
+  SELECT l.vec_id AS query_id, e.vec_id AS cand_id,
+         CAST(SUM(l.d) AS BIGINT) AS adist
+  FROM enc e
+  JOIN pqd l ON l.s = e.s AND l.code = e.code
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe p ON p.cent_id = a.cent_id AND p.query_id = l.vec_id
+  WHERE e.vec_id <> l.vec_id
+  GROUP BY l.vec_id, e.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, cand_id) AS rank
+  FROM adist
+)
+SELECT query_id, cand_id, adist, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
