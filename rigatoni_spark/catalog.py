@@ -910,6 +910,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_topk": _emb(pq.pq_topk),
     "dedup_pq_buckets": _emb(pq.pq_bucket_dedup),
     "sim_ivfpq_topk": _emb(pq.ivfpq_topk),
+    # corpus-model text quality + audit surface
+    "text_rarity_scores": _doc(textstats.rarity_scores),
+    "text_source_signatures": _doc(textstats.source_signatures),
+    "text_pii_scan": _doc(corpus.pii_scan),
 }
 
 
@@ -1230,4 +1234,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "sim_pq_topk": pq.pq_topk_oracle(),
     "dedup_pq_buckets": pq.pq_bucket_dedup_oracle(),
     "sim_ivfpq_topk": pq.ivfpq_topk_oracle(),
+    "text_rarity_scores": textstats.RARITY_ORACLE,
+    "text_source_signatures": textstats.source_signatures_oracle(),
+    "text_pii_scan": corpus.pii_scan_oracle(),
 }

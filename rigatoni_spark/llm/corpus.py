@@ -243,3 +243,61 @@ SELECT split, lang, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM labeled GROUP BY split, lang ORDER BY split, lang
 """
+
+
+# Span-level PII patterns, written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \\d,
+# \\b — no backreferences or lookaround, which RE2 rejects. Order
+# matters for the scrub: emails first (their local part would otherwise
+# be half-eaten by the phone pattern's digit runs), then IPv4 before
+# the looser phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d \-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Span-level PII scan + scrub: per-document match counts for each
+    pattern class and the md5 of the fully scrubbed text — the
+    regex-class upgrade of :func:`denylist_scrub` (emails, IPv4
+    addresses, phone-like digit runs), the redaction pass every
+    public-crawl training pipeline runs before anything else.
+
+    A pure scan-fused projection: ``regexp_count`` + chained
+    ``regexp_replace`` column expressions, JVM-side, no UDF, no
+    shuffle — at 100 TB this rides any existing full read for free.
+    The patterns live in :data:`PII_PATTERNS`, constrained to the
+    Java-regex/RE2 common subset so the DuckDB oracle evaluates the
+    identical language. Every document reports (zero counts included:
+    the absence of PII is the audit result a compliance pass records).
+    """
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return documents.select(
+        "doc_id", *counts, F.md5(scrubbed).alias("scrubbed_hash")
+    ).orderBy("doc_id")
+
+
+def pii_scan_oracle() -> str:
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+  {count_cols},
+  md5({scrub}) AS scrubbed_hash
+FROM documents ORDER BY doc_id
+"""

@@ -356,3 +356,151 @@ SELECT doc_id,
     AS n_distinct_regex_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+def rarity_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-surprisal quality score per document — the log-free twin
+    of a unigram-LM perplexity filter (CCNet-style: docs whose tokens
+    are improbable under the corpus model are outliers worth gating).
+
+    Each token's weight is its linear inverse corpus frequency
+    ``(total_tokens * 10000) div cnt(token)`` and a document scores
+    the integer mean weight of its tokens — pure int64 arithmetic end
+    to end (``div``, never ``/``), the same cross-engine-exactness rule
+    as :func:`tfidf_top_terms`; a true ``-log p`` weighting would order
+    documents identically at the tails but its last ulp differs between
+    libm implementations.
+
+    Shape: one explode -> token groupBy (map-side combined) for the
+    vocabulary, broadcast 1-row total, token join back, doc groupBy.
+    At 100 TB the vocabulary join is the only real shuffle; its Zipf
+    head is tiny and AQE broadcast-joins it at test scale.
+    """
+    documents = spread(documents)
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    weights = vocab.join(F.broadcast(total)).select(
+        "token", F.expr("total * 10000 div cnt").alias("weight")
+    )
+    return (
+        toks.join(weights, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight").alias("sw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sw div n_tokens").alias("rarity_x10k"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+RARITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+), total AS (SELECT SUM(cnt) AS total FROM vocab),
+weights AS (
+  SELECT token, (total * 10000) // cnt AS weight
+  FROM vocab CROSS JOIN total
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(w.weight) // COUNT(*) AS BIGINT) AS rarity_x10k
+FROM toks t JOIN weights w USING (token)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def source_signatures(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-source signature terms: the k tokens most over-represented
+    in each source vs the whole corpus — the domain-shift audit a
+    training-mix pipeline runs when a new crawl/source lands (a
+    pointwise-mutual-information proxy without the log).
+
+    ``lift_x10k`` is the integer ratio of the source's per-10k token
+    rate to the corpus rate, computed as two chained integer divisions
+    (each bounded, overflow-free at any scale) — deterministic across
+    engines by construction; tokens whose corpus rate floors to zero
+    (< 1 per 10k) are excluded, which is the right semantics anyway:
+    lift against a vanishing base rate is noise, and the guard also
+    bounds the join to the vocabulary head.
+
+    Shape: two token groupBys (per-source and corpus-wide, both
+    map-side combined), a vocabulary-head join, top-k window per
+    source.
+    """
+    documents = spread(documents)
+    toks = documents.select("source", F.explode(_tokens()).alias("token"))
+    src = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt_src")
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("total_src"))
+    allc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_all"))
+    all_tot = toks.agg(F.count(F.lit(1)).alias("total_all"))
+    rates = (
+        allc.join(F.broadcast(all_tot))
+        .select(
+            "token",
+            F.expr("cnt_all * 10000 div total_all").alias("rate_all_x10k"),
+        )
+        .filter(F.col("rate_all_x10k") >= 1)
+    )
+    scored = (
+        src.join(F.broadcast(src_tot), "source")
+        .join(rates, "token")
+        .select(
+            "source",
+            "token",
+            F.expr(
+                "(cnt_src * 10000 div total_src) * 10000 div rate_all_x10k"
+            ).alias("lift_x10k"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift_x10k").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("source", "rank")
+    )
+
+
+def source_signatures_oracle(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), src AS (
+  SELECT source, token, COUNT(*) AS cnt_src FROM toks
+  GROUP BY source, token
+), src_tot AS (
+  SELECT source, COUNT(*) AS total_src FROM toks GROUP BY source
+), allc AS (
+  SELECT token, COUNT(*) AS cnt_all FROM toks GROUP BY token
+), all_tot AS (SELECT COUNT(*) AS total_all FROM toks),
+rates AS (
+  SELECT * FROM (
+    SELECT token, (cnt_all * 10000) // total_all AS rate_all_x10k
+    FROM allc CROSS JOIN all_tot)
+  WHERE rate_all_x10k >= 1
+), scored AS (
+  SELECT s.source, s.token,
+         ((s.cnt_src * 10000 // t.total_src) * 10000)
+           // r.rate_all_x10k AS lift_x10k
+  FROM src s JOIN src_tot t USING (source) JOIN rates r USING (token)
+), ranked AS (
+  SELECT source, token, CAST(lift_x10k AS BIGINT) AS lift_x10k,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY lift_x10k DESC, token) AS rank
+  FROM scored
+)
+SELECT source, token, lift_x10k, rank FROM ranked
+WHERE rank <= {k} ORDER BY source, rank
+"""

@@ -1,0 +1,106 @@
+"""Text-audit operators added with the PQ round: span-level PII scan
+(pinned on synthetic PII rows — the parquet corpus contains none),
+rarity scoring, and source signatures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rigatoni_spark.llm import corpus, textstats
+from rigatoni_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def _pii_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_pii_scan_counts_and_scrubs(spark):
+    df = _pii_df(
+        spark,
+        [
+            "reach me at alice.smith+spam@mail.example.org today",
+            "server 10.0.255.3 and backup 192.168.1.1 are up",
+            "call +1 555-867-5309 or 020 7946 0958 now",
+            "no pii here at all",
+            "bob@ex.co pinged 8.8.8.8 from +44 1632 960 961",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in corpus.pii_scan(df).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (1, 0, 0)
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 2, 0)
+    assert rows[2]["n_phone"] == 2
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (0, 0, 0)
+    assert rows[4]["n_email"] == 1 and rows[4]["n_ipv4"] == 1
+    assert rows[4]["n_phone"] >= 1
+
+
+def test_pii_scan_spark_matches_duckdb_on_pii_rows(spark):
+    # The parquet corpus has zero PII spans, so the catalog oracle only
+    # proves the no-match side; this replays the oracle SQL over rows
+    # that DO match, pinning Java-regex/RE2 agreement where it matters.
+    import duckdb
+
+    texts = [
+        "alice@example.com met bob.jones@sub.domain.io",
+        "ips 1.2.3.4 127.0.0.1 and phone +1 555 123 4567",
+        "edge a@b.co x@y.z 999.999.999.999 12-34",
+        "plain text",
+    ]
+    df = _pii_df(spark, texts)
+    got = [tuple(r) for r in corpus.pii_scan(df).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    want = [tuple(r) for r in con.execute(corpus.pii_scan_oracle()).fetchall()]
+    assert got == want
+
+
+def test_pii_scan_plan_is_scan_fused(docs):
+    plan = (
+        corpus.pii_scan(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    # the only exchange is the final orderBy's range partitioning
+    assert plan.count("Exchange") <= 1
+
+
+def test_rarity_scores_orders_rare_docs_up(spark):
+    # Doc of one rare token vs doc of common tokens: rarer doc scores
+    # strictly higher; weights are exact integer inverse frequencies.
+    df = _pii_df(spark, ["zzz", "aa aa aa", "aa aa aa"])
+    rows = {r["doc_id"]: r for r in textstats.rarity_scores(df).collect()}
+    total = 7  # 1 + 3 + 3 tokens
+    assert rows[0]["rarity_x10k"] == total * 10000
+    assert rows[1]["rarity_x10k"] == total * 10000 // 6
+    assert rows[0]["rarity_x10k"] > rows[1]["rarity_x10k"]
+
+
+def test_source_signatures_surface_exclusive_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "common unique_a common", "src_a"),
+            (1, "common common unique_a", "src_a"),
+            (2, "common unique_b common", "src_b"),
+            (3, "common common common", "src_b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = textstats.source_signatures(df, k=1).collect()
+    top = {r["source"]: r["token"] for r in out}
+    assert top["src_a"] == "unique_a"
+    assert top["src_b"] == "unique_b"
+    for r in out:
+        assert r["lift_x10k"] > 10000  # over-represented vs corpus
