@@ -914,6 +914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_rarity_scores": _doc(textstats.rarity_scores),
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
+    "sim_pq_recall": _emb(pq.pq_recall),
 }
 
 
@@ -1237,4 +1238,5 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_rarity_scores": textstats.RARITY_ORACLE,
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
+    "sim_pq_recall": pq.pq_recall_oracle(),
 }

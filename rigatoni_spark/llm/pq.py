@@ -42,8 +42,8 @@ from rigatoni_spark.llm.vectors import (
 )
 from rigatoni_spark.tables import spread
 
-M_SUBSPACES = 8
-K_CODES = 16
+M_SUBSPACES = 16
+K_CODES = 64
 SCALE = 10000
 N_QUERIES = 8
 TOP_K = 5
@@ -355,7 +355,7 @@ def pq_bucket_dedup(
     m: int = M_SUBSPACES,
     k_codes: int = K_CODES,
     scale: int = SCALE,
-    prefix: int = 4,
+    prefix: int = 2,
 ) -> DataFrame:
     """Code-collision near-duplicate buckets on the leading ``prefix``
     subspace codes: vectors sharing a code prefix agree with the same
@@ -388,7 +388,7 @@ def pq_bucket_dedup_oracle(
     m: int = M_SUBSPACES,
     k_codes: int = K_CODES,
     scale: int = SCALE,
-    prefix: int = 4,
+    prefix: int = 2,
 ) -> str:
     sub = DIM // m
     return f"""{_oracle_prefix(m, k_codes, scale, sub)},
@@ -584,4 +584,164 @@ cent AS (
 )
 SELECT query_id, cand_id, adist, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _exact_int_topk(
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Ground truth for PQ recall: exact integer squared L2 on the
+    quantized vectors, per-query top-k — the deterministic twin of
+    brute-force search (same kernel shape as the ADC scan, but
+    distances are computed on the full-precision quantized vectors
+    instead of code reconstructions)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows = sorted(qrows, key=lambda r: int(r["vec_id"]))
+    qids = [int(r["vec_id"]) for r in qrows]
+    nq = len(qids)
+    qmat = np.array(
+        [
+            [_round_half_away(float(x) * scale) for x in r["embedding"]]
+            for r in qrows
+        ],
+        dtype=np.int64,
+    ).reshape(nq, DIM)
+    q_sq = (qmat * qmat).sum(axis=1)
+    qid_arr = np.array(qids, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<query_id: bigint, dist: bigint>>")
+    def exact(s):
+        if not len(s) or not nq:
+            return pd.Series([[] for _ in range(len(s))], dtype=object)
+        Q = np.stack(s.to_numpy()).astype(np.int64)
+        d = (Q * Q).sum(axis=1)[:, None] + q_sq[None, :] - 2 * (Q @ qmat.T)
+        return pd.Series(
+            [
+                [
+                    {"query_id": int(qid_arr[qi]), "dist": int(d[i, qi])}
+                    for qi in range(nq)
+                ]
+                for i in range(Q.shape[0])
+            ]
+        )
+
+    scored = (
+        spread(embeddings)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.explode(
+                exact(_quantize_expr(F.col("embedding"), scale))
+            ).alias("qd"),
+        )
+        .select(
+            F.col("qd.query_id").alias("query_id"),
+            "cand_id",
+            F.col("qd.dist").alias("dist"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Recall@k audit of the ADC scan vs exact integer search — the
+    measurement loop every production ANN deployment runs before
+    trusting compressed-domain results (tune m/k_codes until recall
+    clears the bar, then ship the codes).
+
+    Output: per query, the overlap between PQ top-k and exact top-k
+    (``n_hits``) and ``recall_x100 = n_hits * 100 div k`` — integer
+    arithmetic throughout, so the audit itself is oracle-checkable.
+    Queries with zero overlap still report (left join from the exact
+    side's query list)."""
+    approx = pq_topk(embeddings, n_queries, k, m, k_codes, scale).select(
+        "query_id", "cand_id"
+    )
+    exact = _exact_int_topk(embeddings, n_queries, k, scale)
+    hits = (
+        exact.join(approx, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qlist = exact.select("query_id").distinct()
+    return (
+        qlist.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 100 div {k}").alias(
+                "recall_x100"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def pq_recall_oracle(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> str:
+    sub = DIM // m
+    exact_l2 = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> (c.qv[i] - qq.qv[i]) * (c.qv[i] - qq.qv[i])))"
+    )
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)},
+adist AS (
+  SELECT l.vec_id AS query_id, e.vec_id AS cand_id,
+         CAST(SUM(l.d) AS BIGINT) AS adist
+  FROM enc e JOIN pqd l ON l.s = e.s AND l.code = e.code
+  WHERE l.vec_id < {n_queries} AND e.vec_id <> l.vec_id
+  GROUP BY l.vec_id, e.vec_id
+), approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, cand_id) AS rank
+    FROM adist) WHERE rank <= {k}
+), exact_d AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, {exact_l2} AS dist
+  FROM q c CROSS JOIN (SELECT * FROM q WHERE vec_id < {n_queries}) qq
+  WHERE c.vec_id <> qq.vec_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, cand_id) AS rank
+    FROM exact_d) WHERE rank <= {k}
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a USING (query_id, cand_id)
+  GROUP BY e.query_id
+), qlist AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) * 100 // {k} AS BIGINT) AS recall_x100
+FROM qlist q LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
 """
