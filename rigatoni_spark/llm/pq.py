@@ -745,3 +745,178 @@ SELECT q.query_id,
 FROM qlist q LEFT JOIN hits h USING (query_id)
 ORDER BY q.query_id
 """
+
+
+def pq_index_frame(
+    embeddings: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """The rows a persistent PQ serving index holds: ``(vec_id, cell,
+    codes, code_key, distortion)`` — coarse IVF cell plus the PQ code,
+    one kernel pass over the corpus. ``operators.bucketing
+    .write_pq_index`` materializes this bucketed on ``cell`` so a
+    probe reads only the probed cells' buckets (see
+    :func:`ivfpq_probe_index`)."""
+    import numpy as np
+    import pandas as pd
+
+    books = _seed_codebooks(embeddings, m, k_codes, scale)
+    enc = _np_encode_fn(books)
+    cents = _seed_centroids(embeddings, n_cells)
+    Cq = np.array(
+        [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
+        dtype=np.int64,
+    )
+    cq_sq = (Cq * Cq).sum(axis=1)
+
+    @F.pandas_udf(
+        "struct<cell: bigint, codes: array<bigint>, code_key: string,"
+        " distortion: bigint>"
+    )
+    def kernel(s):
+        if not len(s):
+            return pd.DataFrame(
+                {"cell": [], "codes": [], "code_key": [], "distortion": []}
+            )
+        Q = np.stack(s.to_numpy()).astype(np.int64)
+        d = (Q * Q).sum(axis=1)[:, None] + cq_sq[None, :] - 2 * (Q @ Cq.T)
+        cell = d.argmin(axis=1)
+        codes, dist = enc(Q)
+        return pd.DataFrame(
+            {
+                "cell": cell,
+                "codes": list(codes),
+                "code_key": [
+                    "-".join(str(c) for c in row) for row in codes
+                ],
+                "distortion": dist,
+            }
+        )
+
+    return spread(embeddings).select(
+        "vec_id",
+        kernel(_quantize_expr(F.col("embedding"), scale)).alias("x"),
+    ).select(
+        "vec_id",
+        F.col("x.cell").alias("cell"),
+        F.col("x.codes").alias("codes"),
+        F.col("x.code_key").alias("code_key"),
+        F.col("x.distortion").alias("distortion"),
+    )
+
+
+def ivfpq_probe_index(
+    spark,
+    index_table: str,
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ served from a prebuilt index table instead of re-encoding
+    the corpus: row-identical to :func:`ivfpq_topk` (pinned in
+    tests/test_bucketing.py) but the scan side reads ``(cell, codes)``
+    from ``index_table`` with a ``cell IN (probed)`` predicate — with
+    the table bucketed on ``cell`` that prunes whole buckets, the
+    at-scale point of building the index: per query batch the read is
+    ``n_probe / n_cells`` of the corpus, and the m-byte codes column is
+    the only payload fetched."""
+    import numpy as np
+    import pandas as pd
+
+    books = _seed_codebooks(embeddings, m, k_codes, scale)
+    C = _np_codebooks(books)
+    sub = DIM // m
+    cents = _seed_centroids(embeddings, n_cells)
+    Cq = np.array(
+        [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
+        dtype=np.int64,
+    )
+    cq_sq = (Cq * Cq).sum(axis=1)
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows = sorted(qrows, key=lambda r: int(r["vec_id"]))
+    qids = [int(r["vec_id"]) for r in qrows]
+    nq = len(qids)
+    qmat = np.array(
+        [
+            [_round_half_away(float(x) * scale) for x in r["embedding"]]
+            for r in qrows
+        ],
+        dtype=np.int64,
+    ).reshape(nq, DIM)
+    qd = (
+        (qmat * qmat).sum(axis=1)[:, None]
+        + cq_sq[None, :]
+        - 2 * (qmat @ Cq.T)
+    )
+    allow = np.zeros((nq, len(cents)), dtype=bool)
+    for qi in range(nq):
+        order = np.lexsort((np.arange(len(cents)), qd[qi]))
+        allow[qi, order[:n_probe]] = True
+    probed_cells = sorted(int(c) for c in np.nonzero(allow.any(axis=0))[0])
+    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
+    for s in range(len(books)):
+        Xs = qmat[:, s * sub : (s + 1) * sub]
+        Cs = C[s]
+        lut[:, s, :] = (
+            (Xs * Xs).sum(axis=1)[:, None]
+            + (Cs * Cs).sum(axis=1)[None, :]
+            - 2 * (Xs @ Cs.T)
+        )
+    qid_arr = np.array(qids, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")
+    def adc_codes(cell_s, codes_s):
+        n = len(cell_s)
+        if not n or not nq:
+            return pd.Series([[] for _ in range(n)], dtype=object)
+        cell = cell_s.to_numpy(dtype="int64")
+        codes = np.stack(codes_s.to_numpy()).astype(np.int64)  # (n, m)
+        ad = np.zeros((n, nq), dtype=np.int64)
+        for si in range(codes.shape[1]):
+            ad += lut[:, si, :][:, codes[:, si]].T
+        mask = allow[:, cell].T
+        out = []
+        for i in range(n):
+            out.append(
+                [
+                    {"query_id": int(qid_arr[qi]), "adist": int(ad[i, qi])}
+                    for qi in np.nonzero(mask[i])[0]
+                ]
+            )
+        return pd.Series(out)
+
+    idx = spark.table(index_table).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    scored = (
+        idx.select(
+            F.col("vec_id").alias("cand_id"),
+            F.explode(adc_codes(F.col("cell"), F.col("codes"))).alias("qa"),
+        )
+        .select(
+            F.col("qa.query_id").alias("query_id"),
+            "cand_id",
+            F.col("qa.adist").alias("adist"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -114,3 +114,24 @@ def cobucketed_join(
     lt = spark.table(left)
     rt = spark.table(right)
     return lt.join(rt, lt[key_left] == rt[key_right])
+
+
+def write_pq_index(
+    embeddings: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Materialize the IVF-PQ serving index: ``(vec_id, cell, codes,
+    code_key, distortion)`` bucketed AND sorted on ``cell`` — the
+    persistent twin of :func:`write_vector_index` for the
+    compressed-domain path. A probe (``llm.pq.ivfpq_probe_index``)
+    filters ``cell IN (probed)`` and reads only those buckets; the
+    codes column (m bytes/vector) is the whole payload, so at 100 TB
+    the index read is ~n_probe/n_cells of a corpus already shrunk 16x.
+    Bucket count should divide evenly into cells (default 64 buckets
+    for 16 cells: 4 cells/bucket at worst; at scale use
+    n_buckets == n_cells so one probed cell == one bucket)."""
+    from rigatoni_spark.llm import pq
+
+    write_bucketed(
+        pq.pq_index_frame(embeddings), table, "cell", n_buckets,
+        sort_col="cell",
+    )

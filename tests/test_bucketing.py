@@ -162,3 +162,25 @@ class TestBucketedJoin:
         )
         plan = agg._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+    def test_pq_index_probe_is_drop_in_and_prunes(self, spark):
+        """write_pq_index -> ivfpq_probe_index is row-identical to the
+        self-encoding ivfpq_topk, reads no raw embedding column, and
+        pushes the cell predicate down to the index scan."""
+        from rigatoni_spark.llm import pq
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        loc = "/tmp/pqidxdb_test"
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS pqidxdb LOCATION '{loc}'")
+        try:
+            bucketing.write_pq_index(emb, "pqidxdb.pqidx", 16)
+            served = pq.ivfpq_probe_index(spark, "pqidxdb.pqidx", emb)
+            direct = pq.ivfpq_topk(emb)
+            assert served.collect() == direct.collect()
+            plan = (
+                served._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "embedding" not in plan.split("Scan parquet")[-1][:400]
+            assert "cell" in plan  # probe predicate reaches the scan
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS pqidxdb CASCADE")
