@@ -353,6 +353,38 @@ def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
         assert n_clusters == chains, "fixpoint mismatch on chain graph"
 
 
+def probe_pq(spark, sf_dir: str) -> None:
+    """PQ family under a 16x-amplified corpus: the ADC scan (pq_topk)
+    and IVF-PQ against brute-force exact cosine top-k on the same
+    corpus — the measurement behind SCALE.md's claim that the
+    compressed-domain scan tracks corpus size linearly with a small
+    constant while probing cuts it by n_probe/n_cells."""
+    from rigatoni_spark.llm import pq, vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = spark.range(16).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_pq_") + "/emb.parquet"
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") * 16 + F.col("copy")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) ->"
+                " CASE WHEN (i + 17 * copy) % 37 < 18 THEN -x ELSE x END)"
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    print(f"RESULT pq corpus: {emb.count()} -> {big.count()}")
+    for label, df in (("1x", emb), ("16x", big)):
+        _timed(f"cosine_exact {label}", lambda d=df: vectors.cosine_topk(d))
+        _timed(f"pq_adc {label}", lambda d=df: pq.pq_topk(d))
+        _timed(f"ivfpq {label}", lambda d=df: pq.ivfpq_topk(d))
+        _timed(f"pq_encode {label}", lambda d=df: pq.pq_codes(d))
+
+
 def main() -> None:
     from rigatoni_spark.session import get_spark
 
@@ -361,7 +393,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -379,6 +411,8 @@ def main() -> None:
         probe_incremental(spark, args.sf_dir)
     if args.which in ("incremental_vec", "all"):
         probe_incremental_vec(spark, args.sf_dir)
+    if args.which in ("pq", "all"):
+        probe_pq(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
