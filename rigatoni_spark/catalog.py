@@ -915,6 +915,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
+    # event analytics: funnel + cohort retention (operators/advanced.py)
+    "events_funnel": lambda spark, sf_dir: advanced.funnel(
+        tables.load_table(spark, sf_dir, "events")
+    ),
+    "events_retention_cohorts": lambda spark, sf_dir: advanced.retention_cohorts(
+        tables.load_table(spark, sf_dir, "events")
+    ),
 }
 
 
@@ -1239,4 +1246,6 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),
+    "events_funnel": advanced.funnel_oracle(),
+    "events_retention_cohorts": advanced.RETENTION_ORACLE,
 }

@@ -513,3 +513,190 @@ SELECT c.c_mktsegment, COUNT(*) AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 24,
+) -> DataFrame:
+    """Windowed ordered-funnel analysis: how many users progressed
+    through the stage sequence IN TIME ORDER, each stage within
+    ``window_hours`` of the user's previous-stage event — the classic
+    product-analytics conversion funnel (greedy first-match semantics:
+    the user's FIRST stage-1 event anchors the stage-2 window, etc.,
+    the rule analytics products document).
+
+    Per user the stage machine folds once over the user's events
+    sorted by (ts, event_id) (event_id breaks timestamp ties
+    deterministically): ONE shuffle to group each user's events, then
+    a JVM-side higher-order `aggregate` fold carrying (stage,
+    anchor_ts) — no UDF, no join chain. At 100 TB this is the shape
+    you want anyway: per-user state is one struct, the fold is linear
+    in the user's events, and the alternative (a conditional-min join
+    per stage) is len(stages) shuffles. Output: one row per stage with
+    users reached and the integer conversion pct from the previous
+    stage.
+    """
+    order = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    win = F.expr(f"INTERVAL {int(window_hours)} HOURS")
+    zero = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
+    )
+
+    def step(acc, e):
+        def adv(n):
+            return F.struct(
+                F.lit(n).alias("stage"), e["ts"].alias("ts")
+            )
+
+        in_win = e["ts"] <= acc["ts"] + win
+        return (
+            F.when(
+                (acc["stage"] == 0) & (e["event_type"] == stages[0]), adv(1)
+            )
+            .when(
+                (acc["stage"] == 1)
+                & (e["event_type"] == stages[1])
+                & in_win,
+                adv(2),
+            )
+            .when(
+                (acc["stage"] == 2)
+                & (e["event_type"] == stages[2])
+                & in_win,
+                adv(3),
+            )
+            .otherwise(acc)
+        )
+
+    stage_fold = F.aggregate(order, zero, step, lambda acc: acc["stage"])
+    per_user = events.groupBy("user_id").agg(stage_fold.alias("stage"))
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("stage") >= 1).cast("bigint")).alias("s1"),
+        F.sum((F.col("stage") >= 2).cast("bigint")).alias("s2"),
+        F.sum((F.col("stage") >= 3).cast("bigint")).alias("s3"),
+    )
+    rows = ", ".join(
+        f"{i + 1}, '{name}', s{i + 1}, "
+        + ("n_users" if i == 0 else f"s{i}")
+        for i, name in enumerate(stages)
+    )
+    return totals.selectExpr(
+        f"stack(3, {rows}) AS (stage, event_type, n_reached, n_prev)"
+    ).selectExpr(
+        "stage",
+        "event_type",
+        "n_reached",
+        "CASE WHEN n_prev = 0 THEN 0"
+        " ELSE n_reached * 100 div n_prev END AS pct_of_prev",
+    )
+
+
+def funnel_oracle(
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 24,
+) -> str:
+    """Conditional-min join chain twin of the fold: stage N's earliest
+    qualifying event is the (ts, event_id)-min strictly after the
+    user's stage N-1 anchor and within its window — identical
+    semantics to processing events in (ts, event_id) order with a
+    greedy (stage, anchor_ts) machine."""
+    s0, s1, s2 = stages
+    w = int(window_hours)
+    return f"""
+WITH v1 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = '{s0}') WHERE rn = 1
+), c2 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN v1 USING (user_id)
+    WHERE e.event_type = '{s1}'
+      AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))
+      AND e.ts <= v1.ts + INTERVAL {w} HOUR
+  ) WHERE rn = 1
+), p3 AS (
+  SELECT user_id FROM (
+    SELECT e.user_id,
+           ROW_NUMBER() OVER (PARTITION BY e.user_id
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN c2 USING (user_id)
+    WHERE e.event_type = '{s2}'
+      AND (e.ts > c2.ts OR (e.ts = c2.ts AND e.event_id > c2.event_id))
+      AND e.ts <= c2.ts + INTERVAL {w} HOUR
+  ) WHERE rn = 1
+), t AS (
+  SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+         (SELECT COUNT(*) FROM v1) AS s1,
+         (SELECT COUNT(*) FROM c2) AS s2,
+         (SELECT COUNT(*) FROM p3) AS s3
+)
+SELECT stage, event_type, n_reached,
+       CASE WHEN n_prev = 0 THEN 0
+            ELSE n_reached * 100 // n_prev END AS pct_of_prev
+FROM (
+  SELECT 1 AS stage, '{s0}' AS event_type, s1 AS n_reached,
+         n_users AS n_prev FROM t
+  UNION ALL
+  SELECT 2, '{s1}', s2, s1 FROM t
+  UNION ALL
+  SELECT 3, '{s2}', s3, s2 FROM t
+) ORDER BY stage
+"""
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event, counted active per subsequent week offset — the
+    standard growth-analytics triangle.
+
+    Shape: one groupBy(user) for cohort assignment, join back on
+    user_id (at 100 TB: both sides are keyed by user_id, so
+    pre-bucketing events on user_id makes this and the funnel
+    shuffle-free), one groupBy(cohort, offset) with a distinct-count.
+    Integer week arithmetic: datediff div 7 — exact cross-engine.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_date")
+    )
+    return (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            F.col("first_date"),
+            F.expr("datediff(to_date(ts), first_date) div 7").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("first_date", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("first_date", "yyyy-MM-dd").alias("cohort_date"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_date", "week_offset")
+    )
+
+
+RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.first_date, '%Y-%m-%d') AS cohort_date,
+       datediff('day', f.first_date, CAST(e.ts AS DATE)) // 7
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -104,3 +104,59 @@ def test_source_signatures_surface_exclusive_tokens(spark):
     assert top["src_b"] == "unique_b"
     for r in out:
         assert r["lift_x10k"] > 10000  # over-represented vs corpus
+
+
+def test_funnel_window_and_greedy_anchor(spark):
+    from datetime import datetime
+
+    from rigatoni_spark.operators import advanced
+
+    def ev(i, u, t, typ):
+        return (i, datetime(2024, 1, 1, t), u, typ)
+
+    rows = [
+        # user 1 converts fully within windows
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+        # user 2: click arrives 30h after first view -> window (24h) missed,
+        # even though a later view (t=20) would have allowed it (greedy
+        # first-match anchors at t=0)
+        ev(4, 2, 0, "view"), ev(5, 2, 20, "view"),
+    ] + [
+        # user 2's click at +30h, purchase right after
+        (6, datetime(2024, 1, 2, 6), 2, "click"),
+        (7, datetime(2024, 1, 2, 7), 2, "purchase"),
+        # user 3 never views
+        (8, datetime(2024, 1, 1, 0), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r["stage"]: r for r in advanced.funnel(df).collect()}
+    assert out[1]["n_reached"] == 2  # users 1 and 2 viewed
+    assert out[2]["n_reached"] == 1  # only user 1 clicked in-window
+    assert out[3]["n_reached"] == 1
+    assert out[1]["pct_of_prev"] == 66  # 2 of 3 users, integer div
+    assert out[2]["pct_of_prev"] == 50
+
+
+def test_retention_cohorts_week_offsets(spark):
+    from datetime import datetime
+
+    from rigatoni_spark.operators import advanced
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view"),   # cohort 2024-01-01
+        (2, datetime(2024, 1, 10), 1, "view"),  # week offset 1
+        (3, datetime(2024, 1, 1), 2, "view"),   # same cohort, week 0 only
+        (4, datetime(2024, 1, 16), 3, "view"),  # own cohort
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        (r["cohort_date"], r["week_offset"]): r["n_active"]
+        for r in advanced.retention_cohorts(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == 2
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-16", 0)] == 1
