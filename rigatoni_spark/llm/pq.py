@@ -680,14 +680,18 @@ def pq_recall(
         "query_id", "cand_id"
     )
     exact = _exact_int_topk(embeddings, n_queries, k, scale)
+    # Both join sides are bounded by n_queries * k rows regardless of
+    # corpus size — broadcast them outright (statistics over the
+    # window-on-exploded-scan inputs otherwise overestimate and AQE
+    # falls back to a sort-merge join).
     hits = (
-        exact.join(approx, ["query_id", "cand_id"])
+        exact.join(F.broadcast(approx), ["query_id", "cand_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     qlist = exact.select("query_id").distinct()
     return (
-        qlist.join(hits, "query_id", "left")
+        qlist.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
