@@ -220,6 +220,26 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_sessionize's streaming twin through the engine's NATIVE
+    session-window state (session_window grouping, state store holds
+    one open session per live user). Complete-mode drain over a
+    bounded source equals the batch session fixpoint regardless of
+    micro-batch boundaries, so the stateful streaming path itself is
+    hash-verified against a microsecond-exact SQL oracle
+    (advanced.stream_sessions_oracle — the >= boundary-split rule
+    session_window defines)."""
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    return _drain_to_memory_table(
+        advanced.stream_sessionize(sdf),
+        "stream_sessions",
+        ["user_id", "session_start"],
+        output_mode="complete",
+    )
+
+
 def _drain_to_memory_table(
     df, what: str, order_cols: list[str], output_mode: str = "append"
 ) -> DataFrame:
@@ -922,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention_cohorts": lambda spark, sf_dir: advanced.retention_cohorts(
         tables.load_table(spark, sf_dir, "events")
     ),
+    "s7_stream_sessions": _q_stream_sessions,
 }
 
 
@@ -1248,4 +1269,5 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "sim_pq_recall": pq.pq_recall_oracle(),
     "events_funnel": advanced.funnel_oracle(),
     "events_retention_cohorts": advanced.RETENTION_ORACLE,
+    "s7_stream_sessions": advanced.stream_sessions_oracle(),
 }

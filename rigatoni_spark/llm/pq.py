@@ -110,6 +110,20 @@ def _np_encode_fn(books: list[list[tuple[int, list[int]]]]):
     import numpy as np
 
     C = _np_codebooks(books)  # (m, k, sub)
+    if C.size == 0:
+        # empty corpus -> empty codebooks (shape (m, 0), not (m, k,
+        # sub)). The Arrow kernels guard `len(batch) == 0` before
+        # calling the encoder, and an empty input can only ever produce
+        # empty batches — so return a shape-correct no-op encoder
+        # instead of crashing the plan build.
+        def f_empty(Q):
+            n = Q.shape[0]
+            return (
+                np.empty((n, len(books)), dtype=np.int64),
+                np.zeros(n, dtype=np.int64),
+            )
+
+        return f_empty
     m, k, sub = C.shape
 
     def f(Q):  # (n, DIM) int64 quantized
@@ -129,6 +143,29 @@ def _np_encode_fn(books: list[list[tuple[int, list[int]]]]):
         return codes, mins.sum(axis=1)
 
     return f
+
+
+def _np_query_luts(qmat, books, C, k_codes: int, sub: int):
+    """(nq, m, k_codes) int64 ADC lookup tables: LUT[q, s, j] = exact
+    squared L2 between query q's subvector s and codebook entry j.
+    Shape-correct when there are zero queries or empty codebooks (an
+    empty corpus): the kernels guard ``not nq`` before reading the LUT,
+    so an empty table just needs the plan build not to crash."""
+    import numpy as np
+
+    nq = qmat.shape[0]
+    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
+    if nq == 0 or C.size == 0:
+        return lut
+    for s in range(len(books)):
+        Xs = qmat[:, s * sub : (s + 1) * sub]
+        Cs = C[s]
+        lut[:, s, :] = (
+            (Xs * Xs).sum(axis=1)[:, None]
+            + (Cs * Cs).sum(axis=1)[None, :]
+            - 2 * (Xs @ Cs.T)
+        )
+    return lut
 
 
 def pq_codes(
@@ -266,17 +303,7 @@ def pq_topk(
         dtype=np.int64,
     )  # (Q, DIM)
     nq = len(qids)
-    # LUT[q, s, j] = int squared L2 between query q's subvector s and
-    # codebook entry j — exact int64.
-    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
-    for s in range(len(books)):
-        Xs = qmat[:, s * sub : (s + 1) * sub] if nq else qmat.reshape(0, sub)
-        Cs = C[s]
-        lut[:, s, :] = (
-            (Xs * Xs).sum(axis=1)[:, None]
-            + (Cs * Cs).sum(axis=1)[None, :]
-            - 2 * (Xs @ Cs.T)
-        )
+    lut = _np_query_luts(qmat.reshape(nq, DIM), books, C, k_codes, sub)
     qid_arr = np.array(qids, dtype=np.int64)
 
     @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")
@@ -449,7 +476,9 @@ def ivfpq_topk(
     Cq = np.array(
         [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
         dtype=np.int64,
-    )  # (n_cells, DIM) — ids are 0..n_cells-1 by construction
+    ).reshape(len(cents), DIM)
+    # (n_cells, DIM) — ids are 0..n_cells-1 by construction; the
+    # explicit reshape keeps the empty-corpus case 2-D
     cq_sq = (Cq * Cq).sum(axis=1)
 
     qrows = (
@@ -478,15 +507,7 @@ def ivfpq_topk(
     for qi in range(nq):
         order = np.lexsort((np.arange(len(cents)), qd[qi]))
         allow[qi, order[:n_probe]] = True
-    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
-    for s in range(len(books)):
-        Xs = qmat[:, s * sub : (s + 1) * sub]
-        Cs = C[s]
-        lut[:, s, :] = (
-            (Xs * Xs).sum(axis=1)[:, None]
-            + (Cs * Cs).sum(axis=1)[None, :]
-            - 2 * (Xs @ Cs.T)
-        )
+    lut = _np_query_luts(qmat.reshape(nq, DIM), books, C, k_codes, sub)
     qid_arr = np.array(qids, dtype=np.int64)
 
     @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")
@@ -773,7 +794,7 @@ def pq_index_frame(
     Cq = np.array(
         [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
         dtype=np.int64,
-    )
+    ).reshape(len(cents), DIM)
     cq_sq = (Cq * Cq).sum(axis=1)
 
     @F.pandas_udf(
@@ -842,7 +863,7 @@ def ivfpq_probe_index(
     Cq = np.array(
         [[_round_half_away(v * scale) for v in vec] for _, vec in cents],
         dtype=np.int64,
-    )
+    ).reshape(len(cents), DIM)
     cq_sq = (Cq * Cq).sum(axis=1)
 
     qrows = (
@@ -870,15 +891,7 @@ def ivfpq_probe_index(
         order = np.lexsort((np.arange(len(cents)), qd[qi]))
         allow[qi, order[:n_probe]] = True
     probed_cells = sorted(int(c) for c in np.nonzero(allow.any(axis=0))[0])
-    lut = np.empty((nq, len(books), k_codes), dtype=np.int64)
-    for s in range(len(books)):
-        Xs = qmat[:, s * sub : (s + 1) * sub]
-        Cs = C[s]
-        lut[:, s, :] = (
-            (Xs * Xs).sum(axis=1)[:, None]
-            + (Cs * Cs).sum(axis=1)[None, :]
-            - 2 * (Xs @ Cs.T)
-        )
+    lut = _np_query_luts(qmat.reshape(nq, DIM), books, C, k_codes, sub)
     qid_arr = np.array(qids, dtype=np.int64)
 
     @F.pandas_udf("array<struct<query_id: bigint, adist: bigint>>")

@@ -54,6 +54,76 @@ def sessionize(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization through the engine's NATIVE session-window state:
+    ``F.session_window`` instead of the lag+cumsum formulation above.
+
+    Boundary semantics, pinned by TestStreamSessionize: a session
+    window spans ``[first, last + gap]`` inclusive — an event landing
+    EXACTLY ``gap`` after the previous one still merges; the split rule
+    is ``diff > gap`` evaluated at full microsecond precision. The
+    batch lag formulation above shares the ``>`` rule but compares
+    SECOND-truncated epochs (``cast ts to long``), so the two can
+    disagree on sub-second boundary collisions.
+    :func:`stream_sessions_oracle` encodes the ``>`` rule at
+    microsecond precision so the streaming path is hash-verified, not
+    approximately checked.
+
+    Works identically on batch and streaming input (session_window is
+    an ordinary grouping expression). Under streaming the state store
+    holds at most one open session struct per live key — state is
+    O(|active users|), never O(events) — and merges/expires sessions
+    as watermark or drain progresses. One shuffle on the grouping key.
+    """
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("session_value"),
+        )
+        .select(
+            key_col, "session_start", "session_end", "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_sessions_oracle(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > {gap_us}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS session_value
+FROM numbered GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
+"""
+
+
 def sessionize_oracle(gap_minutes: int = 30) -> str:
     return f"""
 WITH flagged AS (

@@ -660,6 +660,42 @@ def read_change_events_stream(
     return as_change_events(raw, update_lookup=update_lookup)
 
 
+def read_raw_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Raw (non-envelope) streaming reader over the events table.
+
+    For event-analytics streams (sessionization, funnels) that want the
+    source columns as-is rather than the CDC envelope
+    :func:`read_change_events_stream` produces. Shares the same
+    footer-probed ts handling: TIMESTAMP(NANOS) files surface as
+    LongType under nanosAsLong, TIMESTAMP(MICROS) as TIMESTAMP_NTZ;
+    ``normalize_ts`` lands both on TimestampType, which event-time
+    state operators (session_window, withWatermark) require.
+    """
+    from rigatoni_spark.sources.events_schema import (
+        RAW_EVENTS_SCHEMA_NANOS,
+        raw_events_schema_for,
+    )
+    from rigatoni_spark.tables import ensure_session_confs, normalize_ts
+
+    ensure_session_confs(spark)
+    ts_type = _probe_ts_type(spark, events_dir, path_glob)
+    if isinstance(ts_type, T.LongType):
+        schema = RAW_EVENTS_SCHEMA_NANOS
+    else:
+        schema = raw_events_schema_for(ts_type)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return normalize_ts(reader.load(events_dir), "ts")
+
+
 def _probe_ts_type(
     spark: SparkSession, events_dir: str, path_glob: str | None
 ) -> T.DataType:

@@ -181,3 +181,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 0
+
+
+class TestStreamSessionize:
+    """Boundary semantics of operators.advanced.stream_sessionize: a
+    session window spans [first, last + gap] INCLUSIVE — a gap of
+    exactly the configured duration still merges, and one microsecond
+    over splits (diff > gap, full microsecond precision). The
+    s7_stream_sessions oracle encodes the same > rule at microsecond
+    precision — this pins the Spark side of that contract on a
+    hand-built frame where the collision is certain rather than
+    data-dependent."""
+
+    def _frame(self, spark, second_ts):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        return spark.createDataFrame(
+            [(1, t0, 1.0), (1, second_ts, 2.0)],
+            "user_id long, ts timestamp, value double",
+        )
+
+    def test_one_microsecond_over_splits(self, spark):
+        import datetime as dt
+
+        from rigatoni_spark.operators.advanced import stream_sessionize
+
+        t1 = dt.datetime(2024, 1, 1, 12, 30, 0, 1)  # gap + 1 us
+        out = stream_sessionize(self._frame(spark, t1), gap_minutes=30)
+        rows = out.orderBy("session_start").collect()
+        assert [r["n_events"] for r in rows] == [1, 1]
+
+    def test_exact_gap_merges(self, spark):
+        import datetime as dt
+
+        from rigatoni_spark.operators.advanced import stream_sessionize
+
+        t1 = dt.datetime(2024, 1, 1, 12, 30, 0)  # gap == 30 min exactly
+        out = stream_sessionize(self._frame(spark, t1), gap_minutes=30)
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["n_events"] == 2
+        assert rows[0]["session_value"] == 3.0
+        assert rows[0]["session_end"] == t1
