@@ -19,7 +19,9 @@ from rigatoni_spark.llm import dedup as ldedup
 from rigatoni_spark.llm import minhash, multimodal, pq, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
     MATERIALIZE_ORACLE_BODY,
+    SCD2_ORACLE_BODY,
     materialize as materialize_snapshot,
+    scd2_history,
 )
 from rigatoni_spark.operators import (
     advanced,
@@ -183,6 +185,10 @@ def _q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_snapshot(read_change_events(spark, sf_dir))
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_history(read_change_events(spark, sf_dir))
 
 
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events")
     ),
     "s7_stream_sessions": _q_stream_sessions,
+    "cdc_scd2_history": _q_scd2_history,
 }
 
 
@@ -1270,4 +1277,6 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_funnel": advanced.funnel_oracle(),
     "events_retention_cohorts": advanced.RETENTION_ORACLE,
     "s7_stream_sessions": advanced.stream_sessions_oracle(),
+    "cdc_scd2_history": f"""{_CE_CTE},
+{SCD2_ORACLE_BODY.strip()}""",
 }

@@ -30,7 +30,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -73,6 +73,66 @@ def materialize(ce: DataFrame) -> DataFrame:
         )
         .orderBy("collection", "document_key")
     )
+
+
+def scd2_history(ce: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the change log —
+    the full-audit complement of :func:`materialize`'s latest-snapshot
+    compaction (a consumer of the reference's S3 change-log output
+    building a warehouse dimension table; event semantics per
+    event.rs:88-144).
+
+    One row per surviving document VERSION: ``valid_from`` is the
+    event's resume token (monotone stream position,
+    event.rs:306-310), ``valid_to`` the next event on the same key
+    (NULL while current), ``is_current`` = 1 on the open row. Delete
+    events emit no row of their own but close their predecessor's
+    interval — a deleted key has no current row, matching the
+    snapshot's absence semantics.
+
+    Scale design: a single ``lead`` window over
+    ``(collection, document_key)`` ordered by version — one
+    hash-partition exchange plus an in-partition sort, no join
+    anywhere. Keys are high-cardinality and uniform, and per-key
+    history is short (the live version chain), so partitions stay
+    balanced at 100 TB of log.
+    """
+    version = F.col("resume_token").cast("bigint")
+    w = (
+        Window.partitionBy("collection", "document_key")
+        .orderBy(F.col("valid_from").asc())
+    )
+    return (
+        ce.select(
+            "collection",
+            "document_key",
+            "operation",
+            "full_document",
+            version.alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .filter(F.col("operation") != "delete")
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("int")
+        )
+        .orderBy("collection", "document_key", "valid_from")
+    )
+
+
+SCD2_ORACLE_BODY = """
+ordered AS (
+  SELECT collection, document_key, operation, full_document,
+         CAST(resume_token AS BIGINT) AS valid_from,
+         LEAD(CAST(resume_token AS BIGINT)) OVER (
+           PARTITION BY collection, document_key
+           ORDER BY CAST(resume_token AS BIGINT)) AS valid_to
+  FROM change_events)
+SELECT collection, document_key, operation, full_document,
+       valid_from, valid_to,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM ordered WHERE operation <> 'delete'
+ORDER BY collection, document_key, valid_from
+"""
 
 
 MATERIALIZE_ORACLE_BODY = """

@@ -194,3 +194,44 @@ class TestMaterializedView:
             str(tmp_path / "nockpt"),
         )
         assert view.snapshot().count() == 0
+
+
+class TestScd2History:
+    """operators.materialize.scd2_history semantics on a hand-built
+    log: versions chain via lead(), deletes close their predecessor
+    and emit no row, a deleted key has no current row."""
+
+    def _log(self, spark):
+        rows = [
+            # key A: insert v1 -> update v3 -> delete v7
+            ("c0", "A", "insert", '{"k":1}', "1"),
+            ("c0", "A", "update", '{"k":2}', "3"),
+            ("c0", "A", "delete", None, "7"),
+            # key B: insert v2 only (current)
+            ("c0", "B", "insert", '{"k":9}', "2"),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "collection string, document_key string, operation string,"
+            " full_document string, resume_token string",
+        )
+
+    def test_intervals_and_tombstone(self, spark):
+        from rigatoni_spark.operators.materialize import scd2_history
+
+        got = [
+            (r.document_key, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(self._log(spark)).collect()
+        ]
+        assert got == [
+            ("A", 1, 3, 0),   # closed by the update
+            ("A", 3, 7, 0),   # closed by the delete; no delete row
+            ("B", 2, None, 1),
+        ]
+
+    def test_single_exchange_no_join(self, spark):
+        from rigatoni_spark.operators.materialize import scd2_history
+
+        plan = scd2_history(self._log(spark))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Join" not in plan
