@@ -950,6 +950,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "s7_stream_sessions": _q_stream_sessions,
     "cdc_scd2_history": _q_scd2_history,
+    "events_gapfill_locf": lambda spark, sf_dir: advanced.time_bucket_gapfill(
+        tables.load_table(spark, sf_dir, "events")
+    ),
 }
 
 
@@ -1279,4 +1282,5 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "s7_stream_sessions": advanced.stream_sessions_oracle(),
     "cdc_scd2_history": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
+    "events_gapfill_locf": advanced.GAPFILL_ORACLE,
 }

@@ -770,3 +770,96 @@ SELECT strftime(f.first_date, '%Y-%m-%d') AS cohort_date,
 FROM events e JOIN first f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly time-bucket rollup with gap filling and last-observation
+    -carried-forward — the hypertable `time_bucket_gapfill` + `locf`
+    shape, per series (``key_col``), spanning each series' own observed
+    bucket range.
+
+    Scale design: ONE scan of the input produces the per-(key, bucket)
+    aggregate (partial map-side combine, |keys × observed buckets|
+    rows); the dense bucket spine is generated FROM that aggregate
+    (groupBy key → min/max bucket → ``sequence`` explode) so nothing
+    driver-side ever sees the data and no cross join exists. The
+    aggregate is lazily localCheckpoint()ed because both the spine and
+    the fill join consume it — without the checkpoint the full scan
+    would execute twice. Spine ⟕ aggregate is an equi-join on
+    (key, bucket) planned as a shuffled hash join (never SMJ); LOCF is
+    one additional window pass that reuses the join's hash
+    partitioning on the key.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    agg = (
+        events.groupBy(F.col(key_col), bucket.alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        agg.groupBy(key_col)
+        .agg(
+            F.min("bucket_start").alias("_mn"),
+            F.max("bucket_start").alias("_mx"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.expr("sequence(_mn, _mx, interval 1 hour)")
+            ).alias("bucket_start"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(
+            agg.hint("shuffle_hash"), [key_col, "bucket_start"], "left"
+        )
+        .select(
+            key_col,
+            "bucket_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.col("_sv").cast("double"), 2).alias("sum_value"),
+            F.round(
+                F.last("_sv", ignorenulls=True).over(w).cast("double"), 2
+            ).alias("value_locf"),
+        )
+        .orderBy(key_col, "bucket_start")
+    )
+
+
+GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,4))) AS sv
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, MIN(bucket_start) AS mn, MAX(bucket_start) AS mx
+  FROM agg GROUP BY 1),
+spine AS (
+  SELECT event_type,
+         UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+  FROM bounds)
+SELECT s.event_type, s.bucket_start,
+       COALESCE(a.n_events, 0) AS n_events,
+       ROUND(CAST(a.sv AS DOUBLE), 2) AS sum_value,
+       ROUND(CAST(LAST_VALUE(a.sv IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket_start
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS value_locf
+FROM spine s
+LEFT JOIN agg a
+  ON a.event_type = s.event_type AND a.bucket_start = s.bucket_start
+ORDER BY s.event_type, s.bucket_start
+"""

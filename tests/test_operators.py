@@ -398,3 +398,39 @@ def test_register_views_enables_sql_over_envelope(spark):
         "WHERE operation = 'insert' GROUP BY operation"
     ).collect()[0]
     assert row["n"] > 0
+
+
+class TestGapfillLocf:
+    """operators.advanced.time_bucket_gapfill: missing buckets appear
+    with n_events=0 and NULL sum_value, value_locf carries the last
+    observed sum forward, and the spine spans each series' own
+    min..max bucket (no cross-series padding)."""
+
+    def test_gap_filled_and_carried(self, spark):
+        import datetime as dt
+
+        from rigatoni_spark.operators.advanced import time_bucket_gapfill
+
+        h = lambda k: dt.datetime(2024, 3, 1, k, 15, 0)
+        df = spark.createDataFrame(
+            [
+                ("a", h(0), 1.0),
+                ("a", h(0), 2.0),
+                # hours 1-2 missing for series a
+                ("a", h(3), 10.0),
+                ("b", h(2), 5.0),
+            ],
+            "event_type string, ts timestamp, value double",
+        )
+        rows = [
+            (r.event_type, r.bucket_start.hour, r.n_events, r.sum_value,
+             r.value_locf)
+            for r in time_bucket_gapfill(df).collect()
+        ]
+        assert rows == [
+            ("a", 0, 2, 3.0, 3.0),
+            ("a", 1, 0, None, 3.0),
+            ("a", 2, 0, None, 3.0),
+            ("a", 3, 1, 10.0, 10.0),
+            ("b", 2, 1, 5.0, 5.0),  # series b: single bucket, no padding
+        ]
