@@ -246,6 +246,41 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join through the engine's
+    symmetric-hash join state: correlate each key's inserts with its
+    deletes within 1 hour. Both sides carry watermarks so state stays
+    bounded (rows age out once the watermark passes the interval);
+    an INNER time-bounded join over a drained bounded source emits
+    exactly the batch join's pairs regardless of micro-batch
+    boundaries, so the stream-stream join path itself is
+    hash-verified against a plain SQL self-join oracle."""
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    ce = read_change_events_stream(spark, sf_dir, path_glob="events.parquet")
+    ins = ce.filter(F.col("operation") == "insert").select(
+        F.col("document_key").alias("key"),
+        F.col("cluster_time").alias("t_ins"),
+    )
+    dels = ce.filter(F.col("operation") == "delete").select(
+        F.col("document_key").alias("d_key"),
+        F.col("cluster_time").alias("t_del"),
+    )
+    joined = (
+        ins.withWatermark("t_ins", "2 hours")
+        .join(
+            dels.withWatermark("t_del", "2 hours"),
+            (F.col("key") == F.col("d_key"))
+            & (F.col("t_del") >= F.col("t_ins"))
+            & (F.col("t_del") <= F.col("t_ins") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("key", "t_ins", "t_del")
+    )
+    return _drain_to_memory_table(
+        joined, "stream_ij", ["key", "t_ins", "t_del"]
+    )
+
+
 def _drain_to_memory_table(
     df, what: str, order_cols: list[str], output_mode: str = "append"
 ) -> DataFrame:
@@ -953,6 +988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill_locf": lambda spark, sf_dir: advanced.time_bucket_gapfill(
         tables.load_table(spark, sf_dir, "events")
     ),
+    "s7_stream_interval_join": _q_stream_interval_join,
 }
 
 
@@ -1283,4 +1319,15 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "cdc_scd2_history": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
+    "s7_stream_interval_join": f"""{_CE_CTE},
+ins AS (SELECT document_key AS key, cluster_time AS t_ins
+        FROM change_events WHERE operation = 'insert'),
+dels AS (SELECT document_key AS d_key, cluster_time AS t_del
+         FROM change_events WHERE operation = 'delete')
+SELECT i.key, i.t_ins, d.t_del
+FROM ins i JOIN dels d
+  ON d.d_key = i.key
+ AND d.t_del >= i.t_ins
+ AND d.t_del <= i.t_ins + INTERVAL 1 HOUR
+ORDER BY i.key, i.t_ins, d.t_del""",
 }
