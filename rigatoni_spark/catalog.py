@@ -989,6 +989,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events")
     ),
     "s7_stream_interval_join": _q_stream_interval_join,
+    "sim_binary_hamming_topk": lambda spark, sf_dir: vectors.binary_quantize_topk(
+        tables.load_table(spark, sf_dir, "embeddings")
+    ),
 }
 
 
@@ -1319,6 +1322,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "cdc_scd2_history": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
+    "sim_binary_hamming_topk": vectors.binary_topk_oracle(),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

@@ -2184,3 +2184,157 @@ SELECT vec_id,
   CAST(list_max(codes) AS INT) AS q_max
 FROM q ORDER BY vec_id
 """
+
+
+def _sign_words(emb: Column) -> tuple[Column, Column]:
+    """Pack the 64 per-dimension sign bits (>= 0 -> 1) into two
+    32-bit words held in BIGINTs. Two words keep every shift < 32 so
+    the packed value never touches the BIGINT sign bit — Spark and
+    DuckDB then agree on the integer without two's-complement
+    reinterpretation games."""
+    def word(offset: int) -> Column:
+        weights = F.array(
+            *[F.lit(1 << i).cast("bigint") for i in range(32)]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice(emb, offset + 1, 32),
+                weights,
+                lambda x, w: F.when(x >= 0, w).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return word(0), word(32)
+
+
+def binary_quantize_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """Binary (sign) quantization ANN: 1 bit per dimension, Hamming
+    prefilter, exact cosine re-rank.
+
+    The 100 TB shape this family is used for: the packed code is 16
+    bytes per vector (vs 256 for the float embedding), and the
+    prefilter pass per pair is two XOR+popcount word ops instead of a
+    64-term float fold — so the all-candidates sweep streams the
+    CODES, not the embeddings. Only the ``rerank`` survivors per query
+    (hamming asc, cand_id tiebreak) are joined back to the float
+    corpus for the exact cosine, and only skinny (query_id, cand_id,
+    hamming) rows ever cross the top-R shuffle. Same
+    broadcast-queries/window-top-k skeleton as :func:`cosine_topk`.
+
+    Determinism: sign(0) packs as 1 in both engines; Hamming ties cut
+    by cand_id; final ties by cand_id — bit-exact vs the SQL oracle.
+    """
+    lo, hi = _sign_words(F.col("embedding"))
+    codes = embeddings.select(
+        "vec_id", lo.alias("lo"), hi.alias("hi")
+    )
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    hamming = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("bigint")
+    pref_w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("cand_id").asc()
+    )
+    cands = (
+        F.broadcast(qc)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            hamming.alias("hamming"),
+        )
+        .withColumn("hr", F.row_number().over(pref_w))
+        .filter(F.col("hr") <= rerank)
+        .drop("hr")
+    )
+    q_emb = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c_emb = spread(embeddings).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_nrm"),
+    )
+    sim = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("_raw").desc(), F.col("cand_id").asc()
+    )
+    return (
+        F.broadcast(cands)
+        .join(c_emb, "cand_id")
+        .join(F.broadcast(q_emb), "query_id")
+        .select(
+            "query_id", "cand_id", "hamming",
+            F.round(sim, 4).alias("cosine"), sim.alias("_raw"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "hamming", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def binary_topk_oracle(
+    n_queries: int = 8, k: int = 5, rerank: int = 50
+) -> str:
+    word = (
+        "CAST(list_sum(list_transform(generate_series(1, 32), i -> "
+        "CASE WHEN embedding[{off} + i] >= 0 THEN (1::BIGINT << (i - 1)) "
+        "ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (({a}[i])::DOUBLE * ({b}[i])::DOUBLE)))"
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, embedding,
+         {word.format(off=0)} AS lo,
+         {word.format(off=32)} AS hi
+  FROM embeddings),
+pref AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+              AS BIGINT) AS hamming
+  FROM codes q JOIN codes c
+    ON q.vec_id < {n_queries} AND q.vec_id <> c.vec_id),
+kept AS (
+  SELECT query_id, cand_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, cand_id) AS hr
+  FROM pref),
+scored AS (
+  SELECT k0.query_id, k0.cand_id, k0.hamming,
+         {dot.format(d=DIM, a="q.embedding", b="c.embedding")} /
+         (sqrt({dot.format(d=DIM, a="q.embedding", b="q.embedding")}) *
+          sqrt({dot.format(d=DIM, a="c.embedding", b="c.embedding")})) AS raw
+  FROM kept k0
+  JOIN embeddings q ON q.vec_id = k0.query_id
+  JOIN embeddings c ON c.vec_id = k0.cand_id
+  WHERE k0.hr <= {rerank}),
+ranked AS (
+  SELECT query_id, cand_id, hamming, ROUND(raw, 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, hamming, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

@@ -1049,3 +1049,48 @@ class TestTokenBudget:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestBinaryQuantize:
+    """binary_quantize_topk: sign packing matches a numpy popcount
+    reference, identical vectors sit at hamming 0, and the exact
+    rerank keeps cosines sorted within each query."""
+
+    def test_sign_words_match_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm.vectors import _sign_words
+
+        rng = [
+            [(-1.0) ** ((i * 7 + j) % 3) * ((i + j) % 5) for j in range(64)]
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(rng)],
+            "vec_id long, embedding array<float>",
+        )
+        lo, hi = _sign_words(F.col("embedding"))
+        got = {
+            r["vec_id"]: (r["lo"], r["hi"])
+            for r in df.select("vec_id", lo.alias("lo"), hi.alias("hi")).collect()
+        }
+        for i, row in enumerate(rng):
+            bits = [1 if np.float32(x) >= 0 else 0 for x in row]
+            lo_w = sum(b << j for j, b in enumerate(bits[:32]))
+            hi_w = sum(b << j for j, b in enumerate(bits[32:]))
+            assert got[i] == (lo_w, hi_w)
+
+    def test_hamming_zero_for_duplicate_vector(self, spark):
+        from rigatoni_spark.llm.vectors import binary_quantize_topk
+
+        base = [float((i % 7) - 3) for i in range(64)]
+        other = [float(((i + 3) % 9) - 4) for i in range(64)]
+        df = spark.createDataFrame(
+            [(0, base), (1, other), (2, base)],
+            "vec_id long, embedding array<float>",
+        )
+        out = binary_quantize_topk(df, n_queries=1, k=2, rerank=2).collect()
+        assert out[0]["cand_id"] == 2 and out[0]["hamming"] == 0
+        assert out[0]["cosine"] == 1.0
+
