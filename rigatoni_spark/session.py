@@ -65,3 +65,47 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+class rocksdb_state:
+    """Scope RocksDB as the streaming state-store provider.
+
+    The default HDFS-backed provider keeps every stateful operator's
+    state on the executor HEAP — fine for bench-scale key sets, an OOM
+    at 100 TB where materialize/dedup/session state tracks the live
+    key universe. RocksDB spills state off-heap to local disk with
+    changelog checkpointing to the checkpoint location; it is the
+    provider a cluster deployment of the stateful operators here
+    (materialize_stream, dedup_stream_within_watermark,
+    stream_sessionize, AdmissionStream) should run under.
+
+    The provider conf is read per QUERY at start, so scoping it via
+    ``with rocksdb_state(spark): query.start()`` flips only the
+    queries started inside the scope; running ones are untouched.
+    """
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._prev: str | None = None
+
+    def __enter__(self) -> "rocksdb_state":
+        try:
+            self._prev = self.spark.conf.get(self._KEY)
+        except Exception:
+            self._prev = None
+        self.spark.conf.set(self._KEY, ROCKSDB_PROVIDER)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self._prev)
