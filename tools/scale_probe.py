@@ -385,6 +385,77 @@ def probe_pq(spark, sf_dir: str) -> None:
         _timed(f"pq_encode {label}", lambda d=df: pq.pq_codes(d))
 
 
+def probe_binary(spark, sf_dir: str) -> None:
+    """Binary sign-quantization ANN under a 16x corpus (same sign-flip
+    amplification as the embeddings/pq probes): the prefilter streams
+    2 popcount words per pair, so wall should grow ~linearly in corpus
+    size with a small constant, and the exact-cosine stage stays fixed
+    at n_queries x rerank pairs regardless of corpus."""
+    from rigatoni_spark.llm import vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = spark.range(16).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_bin_") + "/emb.parquet"
+    (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") * 16 + F.col("copy")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) ->"
+                " CASE WHEN (i + 17 * copy) % 37 < 18 THEN -x ELSE x END)"
+            ).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    _timed(
+        "binary_topk base corpus",
+        lambda: vectors.binary_quantize_topk(emb),
+    )
+    _timed(
+        "binary_topk 16x corpus",
+        lambda: vectors.binary_quantize_topk(big),
+    )
+
+
+def probe_events(spark, sf_dir: str) -> None:
+    """SCD2 history and gapfill under a 10x event log (copies shift
+    event_id/user_id so the key universe scales too). Both are
+    single-exchange shapes — wall should track the log linearly."""
+    from rigatoni_spark.operators.advanced import time_bucket_gapfill
+    from rigatoni_spark.operators.materialize import scd2_history
+    from rigatoni_spark.sources.change_events import as_change_events
+    from rigatoni_spark.tables import load_table, normalize_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_ev_") + "/events.parquet"
+    (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") * 10 + F.col("copy")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * 10 + F.col("copy")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = normalize_ts(spark.read.parquet(amp_path), "ts")
+    for label, df in (("base", ev), ("10x", big)):
+        _timed(
+            f"scd2_history {label} log",
+            lambda d=df: scd2_history(as_change_events(d)),
+        )
+        _timed(
+            f"gapfill_locf {label} log",
+            lambda d=df: time_bucket_gapfill(d),
+        )
+
+
 def main() -> None:
     from rigatoni_spark.session import get_spark
 
@@ -393,7 +464,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "binary", "events", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -413,6 +484,10 @@ def main() -> None:
         probe_incremental_vec(spark, args.sf_dir)
     if args.which in ("pq", "all"):
         probe_pq(spark, args.sf_dir)
+    if args.which in ("binary", "all"):
+        probe_binary(spark, args.sf_dir)
+    if args.which in ("events", "all"):
+        probe_events(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
