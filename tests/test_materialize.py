@@ -235,3 +235,49 @@ class TestScd2History:
         plan = scd2_history(self._log(spark))._jdf.queryExecution(
         ).executedPlan().toString()
         assert "Join" not in plan
+
+
+class TestScd2SnapshotConsistency:
+    """Cross-operator invariant on the real feed: the OPEN rows of the
+    SCD2 history are exactly the materialized snapshot — same keys,
+    same winning operation/payload/version — and closed intervals
+    chain without holes (each valid_to is the next valid_from or the
+    key's closing delete)."""
+
+    def test_current_rows_equal_snapshot(self, change_events):
+        from rigatoni_spark.operators.materialize import (
+            materialize,
+            scd2_history,
+        )
+
+        hist = scd2_history(change_events)
+        current = {
+            (r.collection, r.document_key, r.operation, r.full_document,
+             r.valid_from)
+            for r in hist.filter("is_current = 1").collect()
+        }
+        snap = {
+            (r.collection, r.document_key, r.operation, r.full_document,
+             r.version)
+            for r in materialize(change_events).collect()
+        }
+        assert current == snap
+        assert len(snap) > 0
+
+    def test_intervals_chain_per_key(self, change_events):
+        from collections import defaultdict
+
+        from rigatoni_spark.operators.materialize import scd2_history
+
+        by_key = defaultdict(list)
+        for r in scd2_history(change_events).collect():
+            by_key[(r.collection, r.document_key)].append(
+                (r.valid_from, r.valid_to)
+            )
+        assert by_key
+        for spans in by_key.values():
+            # already ordered by valid_from within each key
+            for (_, to_a), (frm_b, _) in zip(spans, spans[1:]):
+                # a closed row either hands off directly to the next
+                # version or was closed by a delete that precedes it
+                assert to_a is not None and to_a <= frm_b
