@@ -30,6 +30,7 @@ from rigatoni_spark.operators import (
     filters,
     grouping,
     relational,
+    sketches,
     tpch,
 )
 from rigatoni_spark.sources.change_events import (
@@ -992,6 +993,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_binary_hamming_topk": lambda spark, sf_dir: vectors.binary_quantize_topk(
         tables.load_table(spark, sf_dir, "embeddings")
     ),
+    "events_hll_distinct_users": lambda spark, sf_dir: sketches.hll_distinct(
+        tables.load_table(spark, sf_dir, "events"), "user_id"
+    ),
 }
 
 
@@ -1323,6 +1327,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
     "sim_binary_hamming_topk": vectors.binary_topk_oracle(),
+    "events_hll_distinct_users": sketches.hll_distinct_oracle(
+        "events", "user_id"
+    ),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

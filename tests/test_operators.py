@@ -434,3 +434,56 @@ class TestGapfillLocf:
             ("a", 3, 1, 10.0, 10.0),
             ("b", 2, 1, 5.0, 5.0),  # series b: single bucket, no padding
         ]
+
+
+class TestHllSketch:
+    """operators.sketches: estimate accuracy against the exact
+    distinct count, sketch mergeability (union-then-max == max of
+    halves), and the single-aggregation plan shape."""
+
+    def test_estimate_within_hll_error(self, spark):
+        from rigatoni_spark.operators.sketches import hll_distinct
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        est = hll_distinct(ev, "user_id").collect()[0]["estimate_x1e6"] / 1e6
+        exact = ev.select("user_id").distinct().count()
+        # p=10 -> stderr ~3.3%; allow 4 sigma
+        assert abs(est - exact) / exact < 0.13, (est, exact)
+
+    def test_registers_merge_by_max(self, spark):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.operators.sketches import hll_registers
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        lo = ev.filter("user_id % 2 = 0")
+        hi = ev.filter("user_id % 2 = 1")
+        merged = {
+            (r["bucket"], r["r"])
+            for r in hll_registers(lo, "user_id")
+            .unionAll(hll_registers(hi, "user_id"))
+            .groupBy("bucket")
+            .agg(F.max("r").alias("r"))
+            .collect()
+        }
+        whole = {
+            (r["bucket"], r["r"])
+            for r in hll_registers(ev, "user_id").collect()
+        }
+        assert merged == whole
+
+    def test_single_aggregation_no_join(self, spark):
+        from rigatoni_spark.operators.sketches import hll_distinct
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        df = hll_distinct(ev, "user_id")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        # register table is map-side combined (partial + final for the
+        # bucket grouping), then the 1024-row rollup collapses to one
+        # partition — nothing scales with the input but the first scan
+        assert plan.count("Exchange") <= 4
