@@ -996,6 +996,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_distinct_users": lambda spark, sf_dir: sketches.hll_distinct(
         tables.load_table(spark, sf_dir, "events"), "user_id"
     ),
+    "events_cms_type_counts": lambda spark, sf_dir: sketches.cms_point_estimates(
+        tables.load_table(spark, sf_dir, "events"), "event_type"
+    ),
 }
 
 
@@ -1329,6 +1332,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "sim_binary_hamming_topk": vectors.binary_topk_oracle(),
     "events_hll_distinct_users": sketches.hll_distinct_oracle(
         "events", "user_id"
+    ),
+    "events_cms_type_counts": sketches.cms_estimates_oracle(
+        "events", "event_type"
     ),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins

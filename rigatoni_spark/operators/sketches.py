@@ -147,3 +147,103 @@ SELECT CAST({M_REGISTERS} AS BIGINT) AS m,
             ELSE raw_x1e6 END AS estimate_x1e6
 FROM raw
 """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_cell(col, row: int):
+    """(row, col) cell for value ``col`` in hash row ``row``: the same
+    md5('row:value') 60-bit derivation as the HLL hash, mod width."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row}:"), col.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % CMS_WIDTH
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Count-Min sketch of ``col``: a (row, col) -> counter table of at
+    most CMS_DEPTH x CMS_WIDTH rows, built by one map-side-combined
+    aggregation per hash row (unioned before the shuffle — still a
+    single exchange of <= 2048 live cells). Sketches merge by summing
+    counters cell-wise; a point estimate is the MIN over the
+    CMS_DEPTH cells a key hashes to, an overestimate by at most
+    2N/CMS_WIDTH with probability 1 - 2^-CMS_DEPTH (Cormode &
+    Muthukrishnan 2005). At 100 TB the sketch replaces a full
+    per-key count shuffle with a constant-size table."""
+    src = df.select(F.col(col).alias("v"))
+    exploded = src.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_cell(F.col("v"), r).alias("cell"),
+                )
+                for r in range(CMS_DEPTH)
+            ])
+        ).alias("rc")
+    )
+    return (
+        exploded.select("rc.row", "rc.cell")
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame, col: str, probes: DataFrame | None = None
+) -> DataFrame:
+    """CMS point estimate for every distinct value of ``col`` (or the
+    1-column ``probes`` frame): min over the key's CMS_DEPTH cells.
+    The sketch side is <= 2048 rows -> broadcast to the probe join."""
+    sketch = cms_sketch(df, col)
+    keys = (probes or df.select(F.col(col))).select(
+        F.col(col).alias("key")
+    ).distinct()
+    probe_cells = keys.select(
+        "key",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_cell(F.col("key"), r).alias("cell"),
+                )
+                for r in range(CMS_DEPTH)
+            ])
+        ).alias("rc"),
+    ).select("key", "rc.row", "rc.cell")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+        .orderBy("key")
+    )
+
+
+def cms_estimates_oracle(table: str, col: str) -> str:
+    cell = (
+        "('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
+        "CAST({v} AS VARCHAR)), 1, 15))::BIGINT % {w}"
+    )
+    return f"""
+WITH src AS (SELECT {col} AS v FROM {table}),
+cells AS (
+  SELECT r, {cell.format(v='v', w=CMS_WIDTH)} AS cell
+  FROM src, UNNEST(generate_series(0, {CMS_DEPTH - 1})) t(r)),
+sketch AS (
+  SELECT r, cell, COUNT(*) AS n FROM cells GROUP BY r, cell),
+keys AS (SELECT DISTINCT {col} AS key FROM {table}),
+probe AS (
+  SELECT key, r, {cell.format(v='key', w=CMS_WIDTH)} AS cell
+  FROM keys, UNNEST(generate_series(0, {CMS_DEPTH - 1})) t(r))
+SELECT p.key, MIN(COALESCE(s.n, 0)) AS est_count
+FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.cell = p.cell
+GROUP BY p.key ORDER BY p.key
+"""

@@ -487,3 +487,51 @@ class TestHllSketch:
         # bucket grouping), then the 1024-row rollup collapses to one
         # partition — nothing scales with the input but the first scan
         assert plan.count("Exchange") <= 4
+
+
+class TestCmsSketch:
+    """Count-Min invariants: estimates never undercount, the epsilon
+    bound holds, and sketches merge by cell-wise addition."""
+
+    def test_no_undercount_and_bounded_over(self, spark):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.operators.sketches import (
+            CMS_WIDTH,
+            cms_point_estimates,
+        )
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        n_total = sum(exact.values())
+        for r in cms_point_estimates(ev, "event_type").collect():
+            assert r["est_count"] >= exact[r["key"]]
+            assert r["est_count"] <= exact[r["key"]] + 2 * n_total // CMS_WIDTH
+
+    def test_sketches_merge_by_addition(self, spark):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.operators.sketches import cms_sketch
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        lo, hi = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+        merged = {
+            (r["row"], r["cell"]): r["n"]
+            for r in cms_sketch(lo, "event_type")
+            .unionAll(cms_sketch(hi, "event_type"))
+            .groupBy("row", "cell")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        whole = {
+            (r["row"], r["cell"]): r["n"]
+            for r in cms_sketch(ev, "event_type").collect()
+        }
+        assert merged == whole
