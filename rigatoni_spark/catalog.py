@@ -999,6 +999,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cms_type_counts": lambda spark, sf_dir: sketches.cms_point_estimates(
         tables.load_table(spark, sf_dir, "events"), "event_type"
     ),
+    "rel_bloom_semijoin": lambda spark, sf_dir: sketches.bloom_semijoin_report(
+        tables.load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        tables.load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    ),
 }
 
 
@@ -1335,6 +1341,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     ),
     "events_cms_type_counts": sketches.cms_estimates_oracle(
         "events", "event_type"
+    ),
+    "rel_bloom_semijoin": sketches.bloom_report_oracle(
+        "orders", "o_custkey", "customer", "c_custkey"
     ),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins

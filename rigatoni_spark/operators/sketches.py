@@ -247,3 +247,135 @@ SELECT p.key, MIN(COALESCE(s.n, 0)) AS est_count
 FROM probe p LEFT JOIN sketch s ON s.r = p.r AND s.cell = p.cell
 GROUP BY p.key ORDER BY p.key
 """
+
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 4
+
+
+def bloom_bits(df: DataFrame, col: str) -> DataFrame:
+    """Bloom filter of ``col`` as a table of set bit positions (at most
+    BLOOM_BITS rows, typically far fewer) — the runtime-filter shape:
+    build on the join key of the SMALL side, broadcast the bit table,
+    and discard probe rows whose key is definitely absent before the
+    real join's shuffle. Filters merge by union/distinct. Positions
+    come from BLOOM_HASHES md5-derived integer hashes (same derivation
+    as the HLL/CMS cells), so build and probe agree across engines."""
+    src = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    return (
+        src.select(
+            F.explode(
+                F.array(*[
+                    _bloom_pos(F.col("v"), r) for r in range(BLOOM_HASHES)
+                ])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def _bloom_pos(col, row: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row}:"), col.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % BLOOM_BITS
+
+
+def bloom_semijoin_report(
+    build: DataFrame, build_col: str, probe: DataFrame, probe_col: str
+) -> DataFrame:
+    """One-row audit of a Bloom runtime filter: probe keys against the
+    filter built on ``build_col`` and count definite misses (safe to
+    drop before the join), possible members, true members, and false
+    positives. The no-false-negative contract (every true member tests
+    possible) is what makes dropping definite misses sound."""
+    bits = bloom_bits(build, build_col)
+    keys = probe.select(F.col(probe_col).alias("key")).where(
+        F.col("key").isNotNull()
+    ).distinct()
+    probed = (
+        keys.select(
+            "key",
+            F.explode(
+                F.array(*[
+                    _bloom_pos(F.col("key"), r) for r in range(BLOOM_HASHES)
+                ])
+            ).alias("pos"),
+        )
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), ["pos"], "left"
+        )
+        .groupBy("key")
+        .agg(
+            (F.min(F.coalesce("hit", F.lit(0))) == 1).cast("int").alias(
+                "possible"
+            )
+        )
+    )
+    actual = (
+        build.select(F.col(build_col).alias("key"))
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    return (
+        probed.join(actual.hint("shuffle_hash"), ["key"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("possible").alias("n_possible"),
+            F.sum(1 - F.col("possible")).alias("n_definite_miss"),
+            F.sum(F.coalesce("present", F.lit(0))).alias("n_true_member"),
+            F.sum(
+                F.col("possible") * (1 - F.coalesce("present", F.lit(0)))
+            ).alias("n_false_positive"),
+            F.sum(
+                (1 - F.col("possible")) * F.coalesce("present", F.lit(0))
+            ).alias("n_false_negative"),
+        )
+    )
+
+
+def bloom_report_oracle(
+    build_table: str, build_col: str, probe_table: str, probe_col: str
+) -> str:
+    pos = (
+        "('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
+        "CAST({v} AS VARCHAR)), 1, 15))::BIGINT % {m}"
+    )
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT {pos.format(v=build_col, m=BLOOM_BITS)} AS pos
+  FROM {build_table}, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) t(r)
+  WHERE {build_col} IS NOT NULL),
+keys AS (
+  SELECT DISTINCT {probe_col} AS key FROM {probe_table}
+  WHERE {probe_col} IS NOT NULL),
+probe_pos AS (
+  SELECT k.key, {pos.format(v='k.key', m=BLOOM_BITS)} AS pos
+  FROM keys k, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) t(r)),
+probed AS (
+  SELECT pp.key,
+         CAST(MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 1 AS INT)
+           AS possible
+  FROM probe_pos pp
+  LEFT JOIN bits b ON b.pos = pp.pos
+  GROUP BY pp.key),
+actual AS (
+  SELECT DISTINCT {build_col} AS key, 1 AS present FROM {build_table}
+  WHERE {build_col} IS NOT NULL)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(possible) AS BIGINT) AS n_possible,
+       CAST(SUM(1 - possible) AS BIGINT) AS n_definite_miss,
+       CAST(SUM(COALESCE(present, 0)) AS BIGINT) AS n_true_member,
+       CAST(SUM(possible * (1 - COALESCE(present, 0))) AS BIGINT)
+         AS n_false_positive,
+       CAST(SUM((1 - possible) * COALESCE(present, 0)) AS BIGINT)
+         AS n_false_negative
+FROM probed p LEFT JOIN actual a USING (key)
+"""

@@ -535,3 +535,24 @@ class TestCmsSketch:
             for r in cms_sketch(ev, "event_type").collect()
         }
         assert merged == whole
+
+
+class TestBloomFilter:
+    """Bloom runtime-filter invariants: zero false negatives always,
+    and a mostly-absent probe set is mostly definite-missed (the whole
+    point of dropping rows before the shuffle)."""
+
+    def test_no_false_negatives_and_misses_fire(self, spark):
+        from rigatoni_spark.operators.sketches import bloom_semijoin_report
+
+        build = spark.range(0, 2000).selectExpr("id AS k")
+        # 100 true members + 1900 keys far outside the build set
+        probe = spark.range(0, 100).selectExpr("id AS k").unionAll(
+            spark.range(1_000_000, 1_001_900).selectExpr("id AS k")
+        )
+        r = bloom_semijoin_report(build, "k", probe, "k").collect()[0]
+        assert r["n_false_negative"] == 0
+        assert r["n_true_member"] == 100
+        # 8192 bits / 4 hashes on 2000 keys -> fp rate well under 50%
+        assert r["n_definite_miss"] > 1000
+        assert r["n_possible"] == r["n_true_member"] + r["n_false_positive"]
