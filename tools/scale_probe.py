@@ -456,6 +456,52 @@ def probe_events(spark, sf_dir: str) -> None:
         )
 
 
+def probe_sketches(spark, sf_dir: str) -> None:
+    """HLL / CMS / Bloom under a 10x event log: output size is fixed
+    by construction (1024 registers / 2048 cells / 8192 bits), so wall
+    should track the single input scan and nothing else."""
+    from rigatoni_spark.operators.sketches import (
+        bloom_semijoin_report,
+        cms_point_estimates,
+        hll_distinct,
+    )
+    from rigatoni_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    copies = spark.range(10).select(F.col("id").alias("copy"))
+    amp_path = tempfile.mkdtemp(prefix="scale_sk_") + "/events.parquet"
+    (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") * 10 + F.col("copy")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * 10 + F.col("copy")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    big = spark.read.parquet(amp_path)
+    cust = load_table(spark, sf_dir, "customer")
+    for label, df in (("base", ev), ("10x", big)):
+        _timed(
+            f"hll_distinct {label} log",
+            lambda d=df: hll_distinct(d, "user_id"),
+        )
+        _timed(
+            f"cms_estimates {label} log",
+            lambda d=df: cms_point_estimates(d, "event_type"),
+        )
+        _timed(
+            f"bloom_report {label} log",
+            lambda d=df: bloom_semijoin_report(
+                d, "user_id", cust, "c_custkey"
+            ),
+        )
+
+
 def main() -> None:
     from rigatoni_spark.session import get_spark
 
@@ -464,7 +510,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "binary", "events", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -488,6 +534,8 @@ def main() -> None:
         probe_binary(spark, args.sf_dir)
     if args.which in ("events", "all"):
         probe_events(spark, args.sf_dir)
+    if args.which in ("sketches", "all"):
+        probe_sketches(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
