@@ -1005,6 +1005,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "customer"),
         "c_custkey",
     ),
+    "events_hdr_quantiles": lambda spark, sf_dir: sketches.hdr_quantiles(
+        tables.load_table(spark, sf_dir, "events"), "value"
+    ),
 }
 
 
@@ -1345,6 +1348,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "rel_bloom_semijoin": sketches.bloom_report_oracle(
         "orders", "o_custkey", "customer", "c_custkey"
     ),
+    "events_hdr_quantiles": sketches.hdr_quantiles_oracle("events", "value"),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 P_BITS = 10
@@ -378,4 +378,118 @@ SELECT COUNT(*) AS n_keys,
        CAST(SUM((1 - possible) * COALESCE(present, 0)) AS BIGINT)
          AS n_false_negative
 FROM probed p LEFT JOIN actual a USING (key)
+"""
+
+
+HDR_SIG_BITS = 5  # 5 significant bits -> <= 2^-4 ~ 6.25% relative error
+
+
+def hdr_histogram(df: DataFrame, col: str) -> DataFrame:
+    """HDR-style log histogram of a positive numeric column in
+    milli-units: each value keeps its top HDR_SIG_BITS significant
+    bits, so bucket width is always <= value / 16. The histogram is
+    the mergeable object (bins add); its size is bounded by
+    16 x bitlength(max value) regardless of input rows.
+
+    Integer-deterministic: v = floor(value * 1000) clamped to >= 1
+    (floor of the same IEEE double product in both engines), bitlength
+    via base-2 string length, shifts via exact power-of-two division.
+    Columns: shift, top5 (the kept bits), lower_milli/upper_milli
+    bucket bounds, n."""
+    v = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.col(col).cast("double") * 1000).cast("bigint"),
+    )
+    src = df.select(v.alias("v"))
+    e = F.length(F.conv(F.col("v").cast("string"), 10, 2))
+    shift = F.greatest(e - HDR_SIG_BITS, F.lit(0))
+    pow_shift = F.expr("CAST(power(2, shift) AS BIGINT)")
+    binned = src.select("v", shift.alias("shift")).select(
+        "shift",
+        F.expr(f"v div CAST(power(2, shift) AS BIGINT)").alias("top5"),
+    )
+    return (
+        binned.groupBy("shift", "top5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "shift",
+            "top5",
+            (F.col("top5") * pow_shift).alias("lower_milli"),
+            ((F.col("top5") + 1) * pow_shift - 1).alias("upper_milli"),
+            "n",
+        )
+    )
+
+
+def hdr_quantiles(df: DataFrame, col: str) -> DataFrame:
+    """One-row p50/p90/p99 estimates (bucket midpoints, milli-units)
+    from the mergeable histogram: cumulative counts over the <= ~1000
+    ordered bins, first bin whose cumulative count reaches ceil(q*N).
+    The rank arithmetic is pure integers, so estimates hash-match the
+    SQL oracle; accuracy (<= 2^-4 relative) is pinned separately
+    against exact percentiles in pytest."""
+    hist = hdr_histogram(df, col)
+    w = (
+        Window.orderBy("lower_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lower_milli",
+        "upper_milli",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy("lower_milli").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    mid = (F.col("lower_milli") + F.col("upper_milli")) / 2
+
+    def pick(q_pct: int):
+        rank = F.expr(f"CAST(({q_pct} * total + 99) div 100 AS BIGINT)")
+        return F.min(
+            F.when(F.col("cum") >= rank, F.floor(mid).cast("bigint"))
+        ).alias(f"p{q_pct}_milli")
+
+    return cum.agg(
+        F.max("total").alias("n_events"), pick(50), pick(90), pick(99)
+    )
+
+
+def hdr_quantiles_oracle(table: str, col: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT GREATEST(1, CAST(FLOOR(CAST({col} AS DOUBLE) * 1000) AS BIGINT))
+           AS v
+  FROM {table}),
+binned AS (
+  SELECT GREATEST(length(bin(v)) - {HDR_SIG_BITS}, 0) AS shift, v
+  FROM src),
+hist AS (
+  SELECT shift, v // CAST(power(2, shift) AS BIGINT) AS top5,
+         COUNT(*) AS n
+  FROM binned GROUP BY 1, 2),
+bounds AS (
+  SELECT shift, top5,
+         top5 * CAST(power(2, shift) AS BIGINT) AS lower_milli,
+         (top5 + 1) * CAST(power(2, shift) AS BIGINT) - 1 AS upper_milli,
+         n
+  FROM hist),
+cum AS (
+  SELECT lower_milli, upper_milli,
+         SUM(n) OVER (ORDER BY lower_milli
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER () AS total
+  FROM bounds)
+SELECT CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum >= (50 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p50_milli,
+       CAST(MIN(CASE WHEN cum >= (90 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p90_milli,
+       CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p99_milli
+FROM cum
 """

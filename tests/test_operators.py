@@ -556,3 +556,49 @@ class TestBloomFilter:
         # 8192 bits / 4 hashes on 2000 keys -> fp rate well under 50%
         assert r["n_definite_miss"] > 1000
         assert r["n_possible"] == r["n_true_member"] + r["n_false_positive"]
+
+
+class TestHdrQuantiles:
+    """HDR histogram quantiles: estimates stay within the 2^-4
+    relative bound of exact percentiles, and histograms merge by bin
+    addition."""
+
+    def test_within_relative_bound_of_exact(self, spark):
+        from rigatoni_spark.operators.sketches import hdr_quantiles
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        got = hdr_quantiles(ev, "value").collect()[0]
+        exact = ev.selectExpr(
+            "percentile(value, 0.50) AS p50",
+            "percentile(value, 0.90) AS p90",
+            "percentile(value, 0.99) AS p99",
+        ).collect()[0]
+        for q in (50, 90, 99):
+            est = got[f"p{q}_milli"] / 1000.0
+            # midpoint of a 1/16-wide bucket: allow 10% either side
+            assert abs(est - exact[f"p{q}"]) / exact[f"p{q}"] < 0.10, (
+                q, est, exact[f"p{q}"],
+            )
+
+    def test_histograms_merge_by_addition(self, spark):
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.operators.sketches import hdr_histogram
+        from rigatoni_spark.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        lo, hi = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+        merged = {
+            (r["shift"], r["top5"]): r["n"]
+            for r in hdr_histogram(lo, "value")
+            .unionAll(hdr_histogram(hi, "value"))
+            .groupBy("shift", "top5")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        whole = {
+            (r["shift"], r["top5"]): r["n"]
+            for r in hdr_histogram(ev, "value").collect()
+        }
+        assert merged == whole
