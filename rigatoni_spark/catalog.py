@@ -247,6 +247,30 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online sketch maintenance — the production monitoring pattern:
+    the STREAM keeps the HLL register table (a single complete-mode
+    groupBy-max; chained aggregations are not streamable), and the
+    estimate folds off the drained table batch-side. Hash-verified
+    against the identical oracle as the batch twin
+    (events_hll_distinct_users) — register MAX over a drained bounded
+    source is micro-batch-order independent."""
+    from rigatoni_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    regs = _drain_to_memory_table(
+        hll_registers(sdf, "user_id"),
+        "stream_hll",
+        ["bucket"],
+        output_mode="complete",
+    )
+    return hll_estimate_from_registers(regs)
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join through the engine's
     symmetric-hash join state: correlate each key's inserts with its
@@ -1008,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hdr_quantiles": lambda spark, sf_dir: sketches.hdr_quantiles(
         tables.load_table(spark, sf_dir, "events"), "value"
     ),
+    "s7_stream_hll": _q_stream_hll,
 }
 
 
@@ -1349,6 +1374,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
         "orders", "o_custkey", "customer", "c_custkey"
     ),
     "events_hdr_quantiles": sketches.hdr_quantiles_oracle("events", "value"),
+    "s7_stream_hll": sketches.hll_distinct_oracle("events", "user_id"),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

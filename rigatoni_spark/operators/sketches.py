@@ -79,7 +79,15 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
 def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     """One-row cardinality estimate of ``col``: (m, n_registers_set,
     s_scaled, estimate_x1e6) — all BIGINT, all exact."""
-    regs = hll_registers(df, col)
+    return hll_estimate_from_registers(hll_registers(df, col))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """Fold a (bucket, r) register table — batch-built, streamed, or
+    merged from several sketches — into the one-row estimate. Split
+    out so a STREAMING query can maintain just the single-aggregation
+    register table online (chained aggregations are not streamable)
+    and read the estimate off the drained/stored table on demand."""
     term = F.expr("CAST(power(2, 51 - r) AS BIGINT)")
     return regs.agg(
         F.lit(M_REGISTERS).alias("m"),
