@@ -1033,6 +1033,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events"), "value"
     ),
     "s7_stream_hll": _q_stream_hll,
+    "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
+        tables.load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click"
+        ),
+        "user_id",
+        tables.load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        ),
+        "user_id",
+    ),
 }
 
 
@@ -1375,6 +1385,10 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     ),
     "events_hdr_quantiles": sketches.hdr_quantiles_oracle("events", "value"),
     "s7_stream_hll": sketches.hll_distinct_oracle("events", "user_id"),
+    "events_kmv_set_report": sketches.kmv_report_oracle(
+        "events", "user_id", "event_type = 'click'",
+        "events", "user_id", "event_type = 'purchase'",
+    ),
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

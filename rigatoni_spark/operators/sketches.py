@@ -501,3 +501,131 @@ SELECT CAST(MAX(total) AS BIGINT) AS n_events,
          AS p99_milli
 FROM cum
 """
+
+
+KMV_K = 256
+
+
+def _kmv_hash(col) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, col: str) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch: the KMV_K smallest
+    DISTINCT 60-bit hashes of ``col``. The piece HLL lacks: two KMV
+    sketches support SET ALGEBRA — union is the k smallest of the
+    merged sketches, intersection estimates from minhash overlap —
+    while staying k rows regardless of input. The k-smallest-distinct
+    plan is a map-side partial top-k (TakeOrderedAndProject), not a
+    global sort."""
+    return (
+        df.select(_kmv_hash(F.col(col)).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+
+
+def _kmv_estimate(sk: DataFrame) -> Column:
+    """(k-1) * 2^60 / h_k when the sketch is full, else the exact row
+    count (fewer distinct values than k) — integer division only."""
+    return F.when(
+        F.count(F.lit(1)) >= KMV_K,
+        F.expr(f"CAST({(KMV_K - 1) * (1 << 60)} AS DECIMAL(38,0)) div MAX(h)"),
+    ).otherwise(F.count(F.lit(1)))
+
+
+def kmv_set_report(
+    a: DataFrame, a_col: str, b: DataFrame, b_col: str
+) -> DataFrame:
+    """One-row set-algebra report from two KMV sketches: estimated
+    distinct of each side, of the union, of the intersection, and
+    Jaccard x1e4 — the theta-sketch workflow (Dasgupta et al.,
+    "Theta sketch framework", 2016) in exact integer arithmetic.
+
+    Intersection = (overlap among the union sketch's k minhashes / k)
+    * union estimate; every operand is a BIGINT and every division is
+    an integral div, so the report hash-matches the SQL oracle."""
+    sk_a = kmv_sketch(a, a_col).withColumn("in_a", F.lit(1))
+    sk_b = kmv_sketch(b, b_col).withColumn("in_b", F.lit(1))
+    merged = (
+        sk_a.join(sk_b, ["h"], "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    est_a = sk_a.agg(_kmv_estimate(sk_a).alias("e")).select(
+        F.col("e").cast("bigint").alias("est_a")
+    )
+    est_b = sk_b.agg(_kmv_estimate(sk_b).alias("e")).select(
+        F.col("e").cast("bigint").alias("est_b")
+    )
+    union_fold = merged.agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_overlap"),
+        _kmv_estimate(merged).cast("bigint").alias("est_union"),
+    )
+    return (
+        union_fold.join(F.broadcast(est_a)).join(F.broadcast(est_b))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr(
+                "CAST((n_overlap * est_union) div n_union_sketch AS BIGINT)"
+            ).alias("est_intersection"),
+            F.expr(
+                "CAST((n_overlap * 10000) div n_union_sketch AS BIGINT)"
+            ).alias("jaccard_x1e4"),
+        )
+    )
+
+
+def kmv_report_oracle(
+    a_table: str, a_col: str, a_where: str, b_table: str, b_col: str,
+    b_where: str,
+) -> str:
+    h = (
+        "('0x' || substring(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    est = (
+        "CASE WHEN COUNT(*) >= {k} THEN "
+        "CAST({num}::HUGEINT // MAX(h)::HUGEINT AS BIGINT) "
+        "ELSE COUNT(*) END"
+    ).format(k=KMV_K, num=(KMV_K - 1) * (1 << 60))
+    return f"""
+WITH sk_a AS (
+  SELECT DISTINCT {h.format(v=a_col)} AS h FROM {a_table}
+  WHERE {a_where} ORDER BY h LIMIT {KMV_K}),
+sk_b AS (
+  SELECT DISTINCT {h.format(v=b_col)} AS h FROM {b_table}
+  WHERE {b_where} ORDER BY h LIMIT {KMV_K}),
+merged AS (
+  SELECT COALESCE(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM sk_a a FULL JOIN sk_b b USING (h)
+  ORDER BY 1 LIMIT {KMV_K}),
+folds AS (
+  SELECT COUNT(*) AS n_union_sketch,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_overlap,
+         {est} AS est_union
+  FROM merged),
+ea AS (SELECT {est} AS est_a FROM sk_a),
+eb AS (SELECT {est} AS est_b FROM sk_b)
+SELECT est_a, est_b, est_union,
+       CAST((n_overlap * est_union) // n_union_sketch AS BIGINT)
+         AS est_intersection,
+       CAST((n_overlap * 10000) // n_union_sketch AS BIGINT)
+         AS jaccard_x1e4
+FROM folds, ea, eb
+"""

@@ -602,3 +602,34 @@ class TestHdrQuantiles:
             for r in hdr_histogram(ev, "value").collect()
         }
         assert merged == whole
+
+
+class TestKmvSketch:
+    """KMV/theta set algebra: estimator accuracy on a synthetic pair
+    with known overlap, and the exact path when distinct < k."""
+
+    def test_set_estimates_on_known_overlap(self, spark):
+        from rigatoni_spark.operators.sketches import kmv_set_report
+
+        # |A| = 30K (0..30K), |B| = 30K (20K..50K), overlap 10K,
+        # union 50K, jaccard 0.2
+        a = spark.range(0, 30_000).selectExpr("id AS k")
+        b = spark.range(20_000, 50_000).selectExpr("id AS k")
+        r = kmv_set_report(a, "k", b, "k").collect()[0]
+        # k=256 -> stderr ~6.3%; allow ~4 sigma
+        assert abs(r["est_a"] - 30_000) / 30_000 < 0.25
+        assert abs(r["est_b"] - 30_000) / 30_000 < 0.25
+        assert abs(r["est_union"] - 50_000) / 50_000 < 0.25
+        assert abs(r["est_intersection"] - 10_000) / 10_000 < 0.45
+        assert abs(r["jaccard_x1e4"] - 2000) / 2000 < 0.45
+
+    def test_exact_path_below_k(self, spark):
+        from rigatoni_spark.operators.sketches import kmv_set_report
+
+        a = spark.range(0, 100).selectExpr("id AS k")
+        b = spark.range(50, 150).selectExpr("id AS k")
+        r = kmv_set_report(a, "k", b, "k").collect()[0]
+        # both sketches and the union (150 < 256) are exact
+        assert r["est_a"] == 100 and r["est_b"] == 100
+        assert r["est_union"] == 150
+        assert r["est_intersection"] == 50
