@@ -271,6 +271,46 @@ def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_from_registers(regs)
 
 
+def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Count-Min maintenance: the stream keeps the counter
+    table (single complete-mode groupBy-sum — counters are additive,
+    so micro-batch order cannot matter), point estimates read off the
+    drained table batch-side against the full key set. Hash-verified
+    against the identical oracle as the batch twin
+    (events_cms_type_counts)."""
+    from rigatoni_spark.operators.sketches import (
+        CMS_DEPTH,
+        _cms_cell,
+        cms_point_estimates,
+    )
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    # the streamable half of cms_sketch: explode cells, one additive agg
+    cells = sdf.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_cell(F.col("event_type"), r).alias("cell"),
+                )
+                for r in range(CMS_DEPTH)
+            ])
+        ).alias("rc")
+    ).select("rc.row", "rc.cell")
+    sketch = _drain_to_memory_table(
+        cells.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("n")),
+        "stream_cms",
+        ["row", "cell"],
+        output_mode="complete",
+    )
+    return cms_point_estimates(
+        tables.load_table(spark, sf_dir, "events"),
+        "event_type",
+        sketch=sketch,
+    )
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join through the engine's
     symmetric-hash join state: correlate each key's inserts with its
@@ -1033,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events"), "value"
     ),
     "s7_stream_hll": _q_stream_hll,
+    "s7_stream_cms": _q_stream_cms,
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1385,6 +1426,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     ),
     "events_hdr_quantiles": sketches.hdr_quantiles_oracle("events", "value"),
     "s7_stream_hll": sketches.hll_distinct_oracle("events", "user_id"),
+    "s7_stream_cms": sketches.cms_estimates_oracle("events", "event_type"),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

@@ -206,12 +206,19 @@ def cms_sketch(df: DataFrame, col: str) -> DataFrame:
 
 
 def cms_point_estimates(
-    df: DataFrame, col: str, probes: DataFrame | None = None
+    df: DataFrame,
+    col: str,
+    probes: DataFrame | None = None,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """CMS point estimate for every distinct value of ``col`` (or the
     1-column ``probes`` frame): min over the key's CMS_DEPTH cells.
-    The sketch side is <= 2048 rows -> broadcast to the probe join."""
-    sketch = cms_sketch(df, col)
+    The sketch side is <= 2048 rows -> broadcast to the probe join.
+    Pass ``sketch`` to probe a prebuilt/streamed/merged counter table
+    instead of building one from ``df`` (mirrors
+    hll_estimate_from_registers)."""
+    if sketch is None:
+        sketch = cms_sketch(df, col)
     keys = (probes or df.select(F.col(col))).select(
         F.col(col).alias("key")
     ).distinct()
