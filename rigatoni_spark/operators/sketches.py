@@ -560,8 +560,10 @@ def kmv_set_report(
     an integral div, so the report hash-matches the SQL oracle."""
     sk_a = kmv_sketch(a, a_col).withColumn("in_a", F.lit(1))
     sk_b = kmv_sketch(b, b_col).withColumn("in_b", F.lit(1))
+    # full outer can't broadcast; without the hint Spark picks SMJ for
+    # it even at 256 rows a side (the repo-wide zero-SMJ invariant)
     merged = (
-        sk_a.join(sk_b, ["h"], "full")
+        sk_a.join(sk_b.hint("shuffle_hash"), ["h"], "full")
         .select(
             "h",
             F.coalesce("in_a", F.lit(0)).alias("in_a"),
