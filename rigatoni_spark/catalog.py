@@ -1074,6 +1074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "s7_stream_hll": _q_stream_hll,
     "s7_stream_cms": _q_stream_cms,
+    "text_chunk_overlap": _doc(corpus.chunk_with_overlap),
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1427,6 +1428,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_hdr_quantiles": sketches.hdr_quantiles_oracle("events", "value"),
     "s7_stream_hll": sketches.hll_distinct_oracle("events", "user_id"),
     "s7_stream_cms": sketches.cms_estimates_oracle("events", "event_type"),
+    "text_chunk_overlap": corpus.chunk_overlap_oracle(),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

@@ -301,3 +301,75 @@ SELECT doc_id,
   md5({scrub}) AS scrubbed_hash
 FROM documents ORDER BY doc_id
 """
+
+
+def chunk_with_overlap(
+    documents: DataFrame, window: int = 50, stride: int = 40
+) -> DataFrame:
+    """RAG/pretraining chunk prep: sliding ``window``-token chunks
+    every ``stride`` tokens (overlap = window - stride), whitespace
+    tokens like every chunk operator here. Window starts at 0, stride,
+    2*stride, ...; the last window begins before ``n - window`` is
+    passed, so every token is covered and short documents yield one
+    chunk.
+
+    Scale: per-row transform + posexplode — no shuffle at all until
+    the caller aggregates; output rows ~ n_tokens/stride per doc.
+    All index arithmetic is integral (ceil division via
+    (x + s - 1) div s), so chunk boundaries hash-match the SQL
+    oracle."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_wins = F.when(n <= window, F.lit(1).cast("bigint")).otherwise(
+        F.expr(
+            f"CAST((size(split(text, ' ')) - {window} + {stride - 1})"
+            f" div {stride} AS BIGINT) + 1"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), n_wins - 1),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice(toks, (i * stride + 1).cast("int"), window)
+            ).alias("chunk_text"),
+            F.least(F.lit(window).cast("bigint"), n - i * stride).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        spread(documents)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def chunk_overlap_oracle(window: int = 50, stride: int = 40) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+counted AS (SELECT doc_id, t, len(t) AS n FROM toks),
+wins AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= {window} THEN 1
+              ELSE (n - {window} + {stride - 1}) // {stride} + 1
+         END AS nw
+  FROM counted),
+idx AS (
+  SELECT doc_id, t, n,
+         UNNEST(generate_series(0, nw - 1)) AS chunk_idx
+  FROM wins)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(
+         t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}],
+         ' ') AS chunk_text,
+       CAST(LEAST({window}, n - chunk_idx * {stride}) AS BIGINT)
+         AS n_tokens
+FROM idx ORDER BY doc_id, chunk_idx
+"""

@@ -1094,3 +1094,33 @@ class TestBinaryQuantize:
         assert out[0]["cand_id"] == 2 and out[0]["hamming"] == 0
         assert out[0]["cosine"] == 1.0
 
+
+
+class TestChunkOverlap:
+    """chunk_with_overlap boundary semantics on a hand-built doc:
+    stride spacing, window-sized overlap, full tail coverage, and the
+    single-chunk short-document case."""
+
+    def test_windows_cover_and_overlap(self, spark):
+        from rigatoni_spark.llm.corpus import chunk_with_overlap
+
+        text = " ".join(f"t{i}" for i in range(13))  # 13 tokens
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = chunk_with_overlap(df, window=5, stride=4).collect()
+        got = [(r.chunk_idx, r.chunk_text.split(" ")[0], r.n_tokens)
+               for r in rows]
+        # starts at 0,4,8; ceil((13-5)/4)+1 = 3 windows; last covers
+        # t8..t12 (5 tokens) — token t12 is covered, nothing invents a
+        # 4th window
+        assert got == [(0, "t0", 5), (1, "t4", 5), (2, "t8", 5)]
+        # consecutive windows share window-stride = 1 token
+        assert rows[0].chunk_text.split(" ")[-1] == \
+            rows[1].chunk_text.split(" ")[0]
+
+    def test_short_doc_single_chunk(self, spark):
+        from rigatoni_spark.llm.corpus import chunk_with_overlap
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        rows = chunk_with_overlap(df, window=5, stride=4).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_text == "a b c" and rows[0].n_tokens == 3
