@@ -1075,6 +1075,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s7_stream_hll": _q_stream_hll,
     "s7_stream_cms": _q_stream_cms,
     "text_chunk_overlap": _doc(corpus.chunk_with_overlap),
+    "sim_binary_recall": lambda spark, sf_dir: vectors.binary_recall(
+        tables.load_table(spark, sf_dir, "embeddings")
+    ),
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1429,6 +1432,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "s7_stream_hll": sketches.hll_distinct_oracle("events", "user_id"),
     "s7_stream_cms": sketches.cms_estimates_oracle("events", "event_type"),
     "text_chunk_overlap": corpus.chunk_overlap_oracle(),
+    "sim_binary_recall": vectors.binary_recall_oracle(),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

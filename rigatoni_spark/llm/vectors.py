@@ -2338,3 +2338,57 @@ ranked AS (
 SELECT query_id, cand_id, hamming, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+def binary_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """Recall@k audit of the binary sign-quantization path vs exact
+    cosine search — same measurement discipline as sim_pq_recall:
+    never ship a compressed-domain index without the overlap number.
+    Both join sides are bounded by n_queries x k rows, broadcast
+    outright. Integer output, oracle-checkable."""
+    approx = binary_quantize_topk(embeddings, n_queries, k, rerank).select(
+        "query_id", "cand_id"
+    )
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "cand_id"
+    )
+    hits = (
+        exact.join(F.broadcast(approx), ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qlist = exact.select("query_id").distinct()
+    return (
+        qlist.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 100 div {k}").alias(
+                "recall_x100"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def binary_recall_oracle(
+    n_queries: int = 8, k: int = 5, rerank: int = 50
+) -> str:
+    return f"""
+WITH exact AS ({cosine_topk_oracle(n_queries, k)}),
+approx AS ({binary_topk_oracle(n_queries, k, rerank)}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id)
+SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(n_hits, 0) * 100 // {k} AS recall_x100
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits USING (query_id) ORDER BY query_id
+"""
