@@ -311,6 +311,28 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online HDR histogram maintenance: the stream keeps the
+    (shift, top5) bin table — one additive complete-mode aggregation,
+    so micro-batch order cannot matter — and the quantile fold reads
+    the drained table batch-side. Same oracle as the batch twin
+    (events_hdr_quantiles)."""
+    from rigatoni_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    hist = _drain_to_memory_table(
+        hdr_histogram(sdf, "value"),
+        "stream_hdr",
+        ["shift", "top5"],
+        output_mode="complete",
+    )
+    return hdr_quantiles(None, "value", hist=hist)
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join through the engine's
     symmetric-hash join state: correlate each key's inserts with its
@@ -1078,6 +1100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_binary_recall": lambda spark, sf_dir: vectors.binary_recall(
         tables.load_table(spark, sf_dir, "embeddings")
     ),
+    "s7_stream_hdr": _q_stream_hdr,
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1433,6 +1456,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "s7_stream_cms": sketches.cms_estimates_oracle("events", "event_type"),
     "text_chunk_overlap": corpus.chunk_overlap_oracle(),
     "sim_binary_recall": vectors.binary_recall_oracle(),
+    "s7_stream_hdr": sketches.hdr_quantiles_oracle("events", "value"),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

@@ -436,14 +436,19 @@ def hdr_histogram(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def hdr_quantiles(df: DataFrame, col: str) -> DataFrame:
+def hdr_quantiles(
+    df: DataFrame, col: str, hist: DataFrame | None = None
+) -> DataFrame:
     """One-row p50/p90/p99 estimates (bucket midpoints, milli-units)
     from the mergeable histogram: cumulative counts over the <= ~1000
     ordered bins, first bin whose cumulative count reaches ceil(q*N).
     The rank arithmetic is pure integers, so estimates hash-match the
     SQL oracle; accuracy (<= 2^-4 relative) is pinned separately
-    against exact percentiles in pytest."""
-    hist = hdr_histogram(df, col)
+    against exact percentiles in pytest. Pass ``hist`` to fold a
+    prebuilt/streamed/merged histogram instead (mirrors the HLL/CMS
+    splits)."""
+    if hist is None:
+        hist = hdr_histogram(df, col)
     w = (
         Window.orderBy("lower_milli")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
