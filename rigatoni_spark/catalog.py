@@ -1101,6 +1101,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "embeddings")
     ),
     "s7_stream_hdr": _q_stream_hdr,
+    "events_hdr_quantiles_by_type": lambda spark, sf_dir: sketches.hdr_quantiles_by(
+        tables.load_table(spark, sf_dir, "events"), "event_type", "value"
+    ),
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1457,6 +1460,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_chunk_overlap": corpus.chunk_overlap_oracle(),
     "sim_binary_recall": vectors.binary_recall_oracle(),
     "s7_stream_hdr": sketches.hdr_quantiles_oracle("events", "value"),
+    "events_hdr_quantiles_by_type": sketches.hdr_quantiles_by_oracle(
+        "events", "event_type", "value"
+    ),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

@@ -643,3 +643,111 @@ SELECT est_a, est_b, est_union,
          AS jaccard_x1e4
 FROM folds, ea, eb
 """
+
+
+def hdr_histogram_by(df: DataFrame, key_col: str, col: str) -> DataFrame:
+    """Per-key HDR histogram: the grouped form of :func:`hdr_histogram`
+    — one map-side-combined aggregation keyed on (key, shift, top5),
+    |keys| x ~1000 bins regardless of rows. Merge by bin addition
+    within each key."""
+    v = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.col(col).cast("double") * 1000).cast("bigint"),
+    )
+    src = df.select(F.col(key_col).alias("key"), v.alias("v"))
+    e = F.length(F.conv(F.col("v").cast("string"), 10, 2))
+    shift = F.greatest(e - HDR_SIG_BITS, F.lit(0))
+    pow_shift = F.expr("CAST(power(2, shift) AS BIGINT)")
+    binned = src.select("key", "v", shift.alias("shift")).select(
+        "key",
+        "shift",
+        F.expr("v div CAST(power(2, shift) AS BIGINT)").alias("top5"),
+    )
+    return (
+        binned.groupBy("key", "shift", "top5")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "key",
+            "shift",
+            "top5",
+            (F.col("top5") * pow_shift).alias("lower_milli"),
+            ((F.col("top5") + 1) * pow_shift - 1).alias("upper_milli"),
+            "n",
+        )
+    )
+
+
+def hdr_quantiles_by(df: DataFrame, key_col: str, col: str) -> DataFrame:
+    """Per-key p50/p90/p99 from the grouped histogram: the cumulative
+    window partitions by key, so every series' quantiles come out of
+    ONE pass over the constant-size bin table — the grouped-percentile
+    shape that replaces a per-key full sort at 100 TB."""
+    hist = hdr_histogram_by(df, key_col, col)
+    cum_w = (
+        Window.partitionBy("key")
+        .orderBy("lower_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "key",
+        "lower_milli",
+        "upper_milli",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("total"),
+    )
+    mid = (F.col("lower_milli") + F.col("upper_milli")) / 2
+
+    def pick(q_pct: int):
+        rank = F.expr(f"CAST(({q_pct} * total + 99) div 100 AS BIGINT)")
+        return F.min(
+            F.when(F.col("cum") >= rank, F.floor(mid).cast("bigint"))
+        ).alias(f"p{q_pct}_milli")
+
+    return (
+        cum.groupBy("key")
+        .agg(F.max("total").alias("n_events"), pick(50), pick(90), pick(99))
+        .orderBy("key")
+    )
+
+
+def hdr_quantiles_by_oracle(table: str, key_col: str, col: str) -> str:
+    return f"""
+WITH src AS (
+  SELECT {key_col} AS key,
+         GREATEST(1, CAST(FLOOR(CAST({col} AS DOUBLE) * 1000) AS BIGINT))
+           AS v
+  FROM {table}),
+binned AS (
+  SELECT key, GREATEST(length(bin(v)) - {HDR_SIG_BITS}, 0) AS shift, v
+  FROM src),
+hist AS (
+  SELECT key, shift, v // CAST(power(2, shift) AS BIGINT) AS top5,
+         COUNT(*) AS n
+  FROM binned GROUP BY 1, 2, 3),
+bounds AS (
+  SELECT key, shift, top5,
+         top5 * CAST(power(2, shift) AS BIGINT) AS lower_milli,
+         (top5 + 1) * CAST(power(2, shift) AS BIGINT) - 1 AS upper_milli,
+         n
+  FROM hist),
+cum AS (
+  SELECT key, lower_milli, upper_milli,
+         SUM(n) OVER (PARTITION BY key ORDER BY lower_milli
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY key) AS total
+  FROM bounds)
+SELECT key, CAST(MAX(total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum >= (50 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p50_milli,
+       CAST(MIN(CASE WHEN cum >= (90 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p90_milli,
+       CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100
+                THEN (lower_milli + upper_milli) // 2 END) AS BIGINT)
+         AS p99_milli
+FROM cum GROUP BY key ORDER BY key
+"""

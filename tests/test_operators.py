@@ -633,3 +633,36 @@ class TestKmvSketch:
         assert r["est_a"] == 100 and r["est_b"] == 100
         assert r["est_union"] == 150
         assert r["est_intersection"] == 50
+
+
+def test_hdr_grouped_matches_per_key_exact(spark):
+    """Grouped HDR quantiles stay within the 2^-4 relative bound of
+    each key's exact percentiles — same contract as the global fold."""
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.operators.sketches import hdr_quantiles_by
+    from rigatoni_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {r["key"]: r for r in hdr_quantiles_by(ev, "event_type", "value").collect()}
+    # rank-based exact values (the sketch's own quantile definition —
+    # interpolated percentile() can sit far from rank ceil(q*n) in a
+    # 200-row key's sparse tail)
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type").agg(
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[CAST(ceil(0.50 * count(value)) AS INT) - 1]"
+            ).alias("p50"),
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[CAST(ceil(0.99 * count(value)) AS INT) - 1]"
+            ).alias("p99"),
+        ).collect()
+    }
+    assert set(got) == set(exact) and len(got) == 5
+    for k in got:
+        for q in (50, 99):
+            est = got[k][f"p{q}_milli"] / 1000.0
+            assert abs(est - exact[k][f"p{q}"]) / exact[k][f"p{q}"] < 0.10
