@@ -1104,6 +1104,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hdr_quantiles_by_type": lambda spark, sf_dir: sketches.hdr_quantiles_by(
         tables.load_table(spark, sf_dir, "events"), "event_type", "value"
     ),
+    "events_zscore_outliers": lambda spark, sf_dir: advanced.zscore_outliers(
+        tables.load_table(spark, sf_dir, "events")
+    ),
     "events_kmv_set_report": lambda spark, sf_dir: sketches.kmv_set_report(
         tables.load_table(spark, sf_dir, "events").filter(
             F.col("event_type") == "click"
@@ -1463,6 +1466,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_hdr_quantiles_by_type": sketches.hdr_quantiles_by_oracle(
         "events", "event_type", "value"
     ),
+    "events_zscore_outliers": advanced.zscore_oracle(),
     "events_kmv_set_report": sketches.kmv_report_oracle(
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",

@@ -863,3 +863,89 @@ LEFT JOIN agg a
   ON a.event_type = s.event_type AND a.bucket_start = s.bucket_start
 ORDER BY s.event_type, s.bucket_start
 """
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    min_z_x100: int = 300,
+) -> DataFrame:
+    """Per-group z-score anomaly detection in exact integer
+    arithmetic: values scale to milli-units (floor of the same IEEE
+    double product both engines compute), per-group mean/variance fold
+    as DECIMAL(38,0) sums (order-independent), and since
+    z = (v - mean)/std = (v*n - sum)/sqrt(n*sumsq - sum^2), the score
+    is ``|v*n - sum| * 100 div floor(sqrt(n*sumsq - sum^2))`` — the
+    only float ops are the int->double conversion (round-to-nearest of
+    the identical exact integer) and sqrt, which IEEE 754 requires
+    correctly rounded, so both engines floor the same double. Emits rows
+    with |z| >= min_z_x100/100 (population std), deterministic order.
+
+    Scale: one partial-agg shuffle for the group moments (|keys|
+    rows), then a broadcast join back over the scan — no window over
+    the raw events, no per-group sort."""
+    v = F.floor(F.col(value_col).cast("double") * 1000).cast("bigint")
+    src = events.select(
+        "event_id", F.col(key_col).alias("key"), v.alias("v")
+    )
+    dec = "decimal(38,0)"
+    moments = src.groupBy("key").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("sq"),
+    )
+    # population variance * n^2 = n*sumsq - sum^2 (exact DECIMAL);
+    # std in milli-units = floor(sqrt(varn2)) div n
+    with_std = moments.select(
+        "key",
+        "n",
+        "s",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n * sq - s * s AS DOUBLE))) AS"
+            " DECIMAL(38,0))"
+        ).alias("std_n"),
+    ).filter(F.col("std_n") > 0)
+    scored = src.join(F.broadcast(with_std), "key").select(
+        "key",
+        "event_id",
+        "v",
+        F.expr(
+            "CAST(abs(CAST(v AS DECIMAL(38,0)) * n - s) * 100"
+            " div std_n AS BIGINT)"
+        ).alias("z_x100"),
+    )
+    return (
+        scored.filter(F.col("z_x100") >= min_z_x100)
+        .select("key", "event_id", F.col("v").alias("value_milli"), "z_x100")
+        .orderBy("key", F.col("z_x100").desc(), "event_id")
+    )
+
+
+def zscore_oracle(
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    min_z_x100: int = 300,
+) -> str:
+    return f"""
+WITH src AS (
+  SELECT event_id, {key_col} AS key,
+         CAST(FLOOR(CAST({value_col} AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM {table}),
+moments AS (
+  SELECT key, COUNT(*)::HUGEINT AS n,
+         SUM(v::HUGEINT) AS s,
+         SUM((v * v)::HUGEINT) AS sq
+  FROM src GROUP BY key),
+with_std AS (
+  SELECT key, n, s,
+         CAST(FLOOR(SQRT(CAST(n * sq - s * s AS DOUBLE))) AS HUGEINT)
+           AS std_n
+  FROM moments WHERE n * sq - s * s > 0)
+SELECT key, event_id, v AS value_milli,
+       CAST(abs(v::HUGEINT * n - s) * 100 // std_n AS BIGINT) AS z_x100
+FROM src JOIN with_std USING (key)
+WHERE abs(v::HUGEINT * n - s) * 100 // std_n >= {min_z_x100}
+ORDER BY key, z_x100 DESC, event_id
+"""

@@ -666,3 +666,18 @@ def test_hdr_grouped_matches_per_key_exact(spark):
         for q in (50, 99):
             est = got[k][f"p{q}_milli"] / 1000.0
             assert abs(est - exact[k][f"p{q}"]) / exact[k][f"p{q}"] < 0.10
+
+
+def test_zscore_flags_planted_outlier(spark):
+    """A planted far-out value is flagged with the right z, and an
+    all-constant group (zero variance) emits nothing instead of
+    dividing by zero."""
+    from rigatoni_spark.operators.advanced import zscore_outliers
+
+    rows = [(i, "a", 10.0) for i in range(99)] + [(99, "a", 1000.0)]
+    rows += [(200 + i, "b", 5.0) for i in range(10)]  # zero variance
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(df).collect()
+    assert [r.event_id for r in out] == [99]
+    # z of the planted point: (v - mean)/std with n=100 -> ~9.95
+    assert 900 < out[0].z_x100 < 1005
