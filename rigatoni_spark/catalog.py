@@ -333,6 +333,49 @@ def _q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hdr_quantiles(None, "value", hist=hist)
 
 
+def _q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Bloom maintenance, completing the online-sketch set: the
+    stream keeps the set-bit-position table (explode k positions ->
+    complete-mode dedup aggregation — set union is order-independent),
+    and the semi-join audit reads the drained table batch-side. Same
+    oracle as the batch twin (rel_bloom_semijoin) with orders as the
+    build stream."""
+    from rigatoni_spark.operators.sketches import (
+        BLOOM_HASHES,
+        _bloom_pos,
+        bloom_semijoin_report,
+    )
+
+    orders_batch = tables.load_table(spark, sf_dir, "orders")
+    sdf = (
+        spark.readStream.schema(orders_batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    positions = sdf.where(F.col("o_custkey").isNotNull()).select(
+        F.explode(
+            F.array(*[
+                _bloom_pos(F.col("o_custkey"), r)
+                for r in range(BLOOM_HASHES)
+            ])
+        ).alias("pos")
+    )
+    bits = _drain_to_memory_table(
+        positions.groupBy("pos").agg(F.count(F.lit(1)).alias("_n")),
+        "stream_bloom",
+        ["pos"],
+        output_mode="complete",
+    ).select("pos")
+    return bloom_semijoin_report(
+        orders_batch,
+        "o_custkey",
+        tables.load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        bits=bits,
+    )
+
+
 def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join through the engine's
     symmetric-hash join state: correlate each key's inserts with its
@@ -1117,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         ),
         "user_id",
     ),
+    "s7_stream_bloom": _q_stream_bloom,
 }
 
 
@@ -1482,4 +1526,7 @@ FROM ins i JOIN dels d
  AND d.t_del >= i.t_ins
  AND d.t_del <= i.t_ins + INTERVAL 1 HOUR
 ORDER BY i.key, i.t_ins, d.t_del""",
+    "s7_stream_bloom": sketches.bloom_report_oracle(
+        "orders", "o_custkey", "customer", "c_custkey"
+    ),
 }

@@ -303,14 +303,21 @@ def _bloom_pos(col, row: int):
 
 
 def bloom_semijoin_report(
-    build: DataFrame, build_col: str, probe: DataFrame, probe_col: str
+    build: DataFrame,
+    build_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """One-row audit of a Bloom runtime filter: probe keys against the
     filter built on ``build_col`` and count definite misses (safe to
     drop before the join), possible members, true members, and false
     positives. The no-false-negative contract (every true member tests
-    possible) is what makes dropping definite misses sound."""
-    bits = bloom_bits(build, build_col)
+    possible) is what makes dropping definite misses sound. Pass
+    ``bits`` to audit a prebuilt/streamed/merged filter (mirrors the
+    other sketch splits)."""
+    if bits is None:
+        bits = bloom_bits(build, build_col)
     keys = probe.select(F.col(probe_col).alias("key")).where(
         F.col("key").isNotNull()
     ).distinct()
