@@ -272,29 +272,35 @@ def pii_scan(documents: DataFrame) -> DataFrame:
     Java-regex/RE2 common subset so the DuckDB oracle evaluates the
     identical language. Every document reports (zero counts included:
     the absence of PII is the audit result a compliance pass records).
+
+    Each class is counted against the text ALREADY SCRUBBED by the
+    preceding patterns — exactly what the replace chain redacts as that
+    class — so the counts and ``scrubbed_hash`` agree about which spans
+    were PII (a long numeric email local-part is n_email, never
+    double-reported as n_phone).
     """
-    counts = [
-        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(
-            f"n_{name}"
+    counts = []
+    stage = F.col("text")
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(stage, F.lit(pat)).cast("bigint").alias(f"n_{name}")
         )
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = F.col("text")
-    for _, pat, repl in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+        stage = F.regexp_replace(stage, pat, repl)
     return documents.select(
-        "doc_id", *counts, F.md5(scrubbed).alias("scrubbed_hash")
+        "doc_id", *counts, F.md5(stage).alias("scrubbed_hash")
     ).orderBy("doc_id")
 
 
 def pii_scan_oracle() -> str:
-    count_cols = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    count_cols = []
     scrub = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({scrub}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
         scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    count_cols = ",\n  ".join(count_cols)
     return f"""
 SELECT doc_id,
   {count_cols},

@@ -90,10 +90,11 @@ def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
     duplicate-chunk fraction as a scaled integer — the signal a cleaning
     pass thresholds on to drop boilerplate-heavy documents.
 
-    Order-key trick: first occurrence = MIN(doc_id * 1000 + chunk_idx)
+    Order-key trick: first occurrence = MIN(doc_id * 2^32 + chunk_idx)
     per chunk text — pure integer arithmetic, hash-stable across
-    engines (chunk_idx < 1000 holds for any document under 10,000
-    tokens at the default window; assert-guarded).
+    engines. The 2^32 multiplier is collision-free for any chunk count
+    a single row could physically hold (4.3e9 chunks = a >8 GB text
+    cell) and keeps the key inside BIGINT for doc_id < 2^31.
 
     Plan shape: explode to one row per chunk -> hash-agg MIN(order_key)
     keyed on md5(chunk) (narrow shuffle rows; partial agg crushes
@@ -116,7 +117,9 @@ def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
         "doc_id",
         "chunk_idx",
         F.md5(F.col("chunk")).alias("h"),
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("order_key"),
+        (F.col("doc_id") * F.lit(1 << 32) + F.col("chunk_idx")).alias(
+            "order_key"
+        ),
     )
     firsts = chunks.groupBy("h").agg(F.min("order_key").alias("first_key"))
     marked = chunks.join(firsts, "h").select(
@@ -147,7 +150,7 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 chunks AS (
   SELECT doc_id, i - 1 AS chunk_idx,
     md5(array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ')) AS h,
-    doc_id * 1000 + (i - 1) AS order_key
+    doc_id * 4294967296 + (i - 1) AS order_key
   FROM toks, LATERAL unnest(generate_series(
     1, CAST(ceil(len(w) * 1.0 / {chunk_tokens}) AS BIGINT))) AS g(i)
 ),
@@ -196,7 +199,9 @@ def chunk_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
         "chunk_idx",
         "chunk",
         F.md5(F.col("chunk")).alias("h"),
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("order_key"),
+        (F.col("doc_id") * F.lit(1 << 32) + F.col("chunk_idx")).alias(
+            "order_key"
+        ),
     )
     firsts = chunks.groupBy("h").agg(F.min("order_key").alias("first_key"))
     kept = chunks.join(firsts, "h").filter(
@@ -235,7 +240,7 @@ chunks AS (
   SELECT doc_id, i - 1 AS chunk_idx,
     array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ') AS chunk,
     md5(array_to_string(w[((i-1)*{chunk_tokens}+1):((i-1)*{chunk_tokens}+{chunk_tokens})], ' ')) AS h,
-    doc_id * 1000 + (i - 1) AS order_key
+    doc_id * 4294967296 + (i - 1) AS order_key
   FROM toks, LATERAL unnest(generate_series(
     1, CAST(ceil(len(w) * 1.0 / {chunk_tokens}) AS BIGINT))) AS g(i)
 ),

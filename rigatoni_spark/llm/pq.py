@@ -73,6 +73,17 @@ def _seed_codebooks(
     the encode/ADC plan is identical either way."""
     sub = DIM // m
     cents = _seed_centroids(embeddings, k_codes)  # [(vec_id, floats)]
+    # the encode kernel labels codes by numpy argmin POSITION and the
+    # ADC LUTs index by position too — sound only when position == seed
+    # vec_id. A corpus with vec_id gaps below k_codes (e.g. a filtered
+    # frame) would silently mislabel, so refuse it instead.
+    if [cid for cid, _ in cents] != list(range(k_codes)):
+        raise ValueError(
+            "PQ codebook seeding needs contiguous vec_id 0.."
+            f"{k_codes - 1} in the corpus (got "
+            f"{[cid for cid, _ in cents]!r}); re-key the frame (e.g. "
+            "row_number() - 1) before PQ, or lower k_codes"
+        )
     books: list[list[tuple[int, list[int]]]] = []
     for s in range(m):
         book = [
@@ -91,7 +102,8 @@ def _seed_codebooks(
 
 def _np_codebooks(books: list[list[tuple[int, list[int]]]]):
     """(M, K, sub) int64 tensor view of the codebook list (code ids are
-    0..K-1 by construction — the seed rows are ``vec_id < k_codes``)."""
+    0..K-1 — ``_seed_codebooks`` validates the seed rows are exactly
+    ``vec_id 0..k_codes-1``, so argmin position == vec_id)."""
     import numpy as np
 
     return np.array(

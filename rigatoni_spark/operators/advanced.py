@@ -616,6 +616,9 @@ def funnel(
         F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
     )
 
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+
     def step(acc, e):
         def adv(n):
             return F.struct(
@@ -623,32 +626,29 @@ def funnel(
             )
 
         in_win = e["ts"] <= acc["ts"] + win
-        return (
-            F.when(
-                (acc["stage"] == 0) & (e["event_type"] == stages[0]), adv(1)
+        # one when-branch per stage (stage 0 has no window: nothing
+        # anchors it) — the fold arity follows len(stages), so 2- and
+        # 4-stage funnels run the same machine
+        expr = None
+        for i, name in enumerate(stages):
+            cond = (acc["stage"] == i) & (e["event_type"] == name)
+            if i > 0:
+                cond = cond & in_win
+            expr = (
+                F.when(cond, adv(i + 1))
+                if expr is None
+                else expr.when(cond, adv(i + 1))
             )
-            .when(
-                (acc["stage"] == 1)
-                & (e["event_type"] == stages[1])
-                & in_win,
-                adv(2),
-            )
-            .when(
-                (acc["stage"] == 2)
-                & (e["event_type"] == stages[2])
-                & in_win,
-                adv(3),
-            )
-            .otherwise(acc)
-        )
+        return expr.otherwise(acc)
 
     stage_fold = F.aggregate(order, zero, step, lambda acc: acc["stage"])
     per_user = events.groupBy("user_id").agg(stage_fold.alias("stage"))
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum((F.col("stage") >= 1).cast("bigint")).alias("s1"),
-        F.sum((F.col("stage") >= 2).cast("bigint")).alias("s2"),
-        F.sum((F.col("stage") >= 3).cast("bigint")).alias("s3"),
+        *(
+            F.sum((F.col("stage") >= i + 1).cast("bigint")).alias(f"s{i + 1}")
+            for i in range(len(stages))
+        ),
     )
     rows = ", ".join(
         f"{i + 1}, '{name}', s{i + 1}, "
@@ -656,7 +656,7 @@ def funnel(
         for i, name in enumerate(stages)
     )
     return totals.selectExpr(
-        f"stack(3, {rows}) AS (stage, event_type, n_reached, n_prev)"
+        f"stack({len(stages)}, {rows}) AS (stage, event_type, n_reached, n_prev)"
     ).selectExpr(
         "stage",
         "event_type",
@@ -674,7 +674,17 @@ def funnel_oracle(
     qualifying event is the (ts, event_id)-min strictly after the
     user's stage N-1 anchor and within its window — identical
     semantics to processing events in (ts, event_id) order with a
-    greedy (stage, anchor_ts) machine."""
+    greedy (stage, anchor_ts) machine.
+
+    The join chain is written out for the catalog's 3-stage funnel;
+    ``funnel()`` itself is arity-generic, so other stage counts need a
+    matching oracle — fail loudly rather than silently check the wrong
+    shape."""
+    if len(stages) != 3:
+        raise ValueError(
+            "funnel_oracle is written for exactly 3 stages; "
+            f"got {len(stages)}"
+        )
     s0, s1, s2 = stages
     w = int(window_hours)
     return f"""

@@ -144,6 +144,27 @@ class AdmissionStream:
             and int(p.rsplit("=", 1)[1]) >= floor
         ]
 
+    def _max_committed_batch(self) -> int:
+        """Highest micro-batch id the checkpoint WAL has COMMITTED
+        (``<checkpoint>/commits/<id>`` exists). State partitions above
+        this id belong to batches that may still replay after a crash:
+        Spark writes ``offsets/<id>`` before the batch body runs and
+        ``commits/<id>`` only after ``foreachBatch`` returns, so a crash
+        mid-``_admit`` leaves partitions with no commit record. -1 on a
+        fresh gate (no commits yet); the seed partition (-1) is always
+        within the bound by construction."""
+        commits = glob.glob(
+            os.path.join(
+                self.checkpoint_dir.replace("file:", ""), "commits", "*"
+            )
+        )
+        ids = [
+            int(os.path.basename(p))
+            for p in commits
+            if os.path.basename(p).lstrip("-").isdigit()
+        ]
+        return max(ids) if ids else -1
+
     def _floor(self, name: str) -> int:
         """Compaction floor: batches <= floor live merged inside the
         ``ingest_batch=<floor>`` partition; anything below is garbage."""
@@ -342,20 +363,31 @@ class AdmissionStream:
         Every step is idempotent; a crash anywhere re-enters at the
         right phase. Reads never see a partial state: partitions below
         the floor are ignored, and the swap itself only runs while the
-        stream is stopped (enforced). Replay stays correct: compaction
-        is only meaningful for batches the checkpoint WAL has committed,
-        and a replayed batch N always has N > floor, so its
-        ``ingest_batch < N`` read still sees the merged partition.
+        stream is stopped (enforced). Replay stays correct because the
+        merge set is BOUNDED BY THE CHECKPOINT WAL: only partitions
+        whose batch id has a ``commits/<id>`` record participate. A
+        partition written by a batch that crashed between the state
+        writes and the WAL commit is uncommitted — merging it would
+        advance the floor to an id that is about to replay, and the
+        replayed batch's ``floor <= ingest_batch < N`` read (empty) plus
+        its ``ingest_batch=N`` overwrite would destroy the merged
+        history. Committed batches never replay, so a replayed batch N
+        always has N > floor and its read sees the merged partition.
         """
         if self.is_running():
             raise RuntimeError("stop the stream before compacting")
+        committed_hi = self._max_committed_batch()
         for name in ("corpus", "index"):
             self._finish_compaction(name)  # recover any pending swap
             ids = sorted(
                 int(p.rsplit("=", 1)[1])
                 for p in self._committed_partitions(name)
             )
-            merge = [i for i in ids if up_to is None or i <= up_to]
+            merge = [
+                i
+                for i in ids
+                if (up_to is None or i <= up_to) and i <= committed_hi
+            ]
             if len(merge) < 2:
                 continue
             target = merge[-1]

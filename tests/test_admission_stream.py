@@ -205,6 +205,50 @@ class TestAdmissionStream:
         assert s2._floor("corpus") == 1
         assert not os.path.exists(os.path.join(tree, "_compaction_pending"))
 
+    def test_compact_excludes_uncommitted_batch_state(self, spark, dirs):
+        """A batch that crashed BETWEEN its state writes and the WAL
+        commit leaves ingest_batch partitions with no commits/<id>
+        record. compact() must NOT merge them: if the floor advanced to
+        the crashed id, the replayed batch would read an empty corpus
+        (floor <= ingest_batch < N is vacuous at N == floor) and its
+        partition overwrite would destroy the merged history."""
+        src, state, ckpt = dirs
+        _feed(src, "b0.parquet", [(1, A)])
+        _feed(src, "b1.parquet", [(2, B)])
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        assert s.stats.batches == 2
+
+        class Crashing(AdmissionStream):
+            def _admit(self, batch, batch_id):
+                super()._admit(batch, batch_id)
+                if batch_id == 2:
+                    raise RuntimeError("simulated crash before WAL commit")
+
+        _feed(src, "b2.parquet", [(3, A), (4, D)])
+        c = Crashing(spark, src, state, ckpt).start()
+        with pytest.raises(Exception, match="simulated crash"):
+            c.process_all_available()
+        try:
+            c.stop()
+        except Exception:  # noqa: BLE001 — failed query may re-raise
+            pass
+        # state partition 2 exists but commits/2 does not
+        assert os.path.isdir(os.path.join(state, "corpus", "ingest_batch=2"))
+        assert not os.path.exists(os.path.join(ckpt, "commits", "2"))
+        g = AdmissionStream(spark, src, state, ckpt)
+        g.compact()
+        # the merge stops at the last COMMITTED batch
+        assert g._floor("corpus") == 1 and g._floor("index") == 1
+        assert os.path.isdir(os.path.join(state, "corpus", "ingest_batch=2"))
+        # restart: batch 2 replays against the merged history — the dup
+        # is still rejected and nothing admitted before the crash leaks
+        s2 = AdmissionStream(spark, src, state, ckpt).start()
+        s2.process_all_available()
+        s2.stop()
+        assert {r["doc_id"] for r in s2.corpus().collect()} == {1, 2, 4}
+
     def test_seed_primes_the_gate(self, spark, dirs):
         """seed() initializes a fresh gate with an existing corpus: the
         first micro-batch is already gated against it, the seed rows

@@ -139,6 +139,39 @@ def test_funnel_window_and_greedy_anchor(spark):
     assert out[2]["pct_of_prev"] == 50
 
 
+def test_funnel_arbitrary_stage_count(spark):
+    """The stage machine follows len(stages): 2-stage and 4-stage
+    funnels run the same fold (regression: the fold used to hardcode
+    three branches — IndexError at 2 stages, silent stage drop at 4)."""
+    from datetime import datetime
+
+    from rigatoni_spark.operators import advanced
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0), 1, "view"),
+        (2, datetime(2024, 1, 1, 1), 1, "click"),
+        (3, datetime(2024, 1, 1, 2), 1, "cart"),
+        (4, datetime(2024, 1, 1, 3), 1, "purchase"),
+        (5, datetime(2024, 1, 1, 0), 2, "view"),
+        (6, datetime(2024, 1, 1, 1), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    two = {r["stage"]: r for r in advanced.funnel(df, ("view", "click")).collect()}
+    assert len(two) == 2
+    assert two[1]["n_reached"] == 2 and two[2]["n_reached"] == 2
+    four = {
+        r["stage"]: r
+        for r in advanced.funnel(
+            df, ("view", "click", "cart", "purchase")
+        ).collect()
+    }
+    assert len(four) == 4
+    assert four[4]["n_reached"] == 1 and four[4]["event_type"] == "purchase"
+    assert four[2]["n_reached"] == 2
+
+
 def test_retention_cohorts_week_offsets(spark):
     from datetime import datetime
 
