@@ -208,6 +208,93 @@ def _q_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_sink_roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str, codec: str, strategy: str
+) -> DataFrame:
+    """K3-K9 inside the correctness gate: a fixed slice of the
+    change-event feed (event_id % 7 == 0) goes through the REAL sink
+    path (``sinks.writers.write_batch``: serialize -> compress -> keyed
+    objects under the chosen partition strategy) into a temp
+    destination, is read back via ``sinks.reader.read_sink_output``
+    (layout-independent recursive read), and returned as typed envelope
+    rows. The oracle is the same change-events CTE — so the serializer,
+    the compressor, the key layout, AND the consumer-side reader all
+    sit inside one hash check, mirroring the reference's strongest sink
+    evidence (write-then-read-back,
+    rigatoni-destinations/tests/s3_integration_test.rs:74-333)."""
+    import shutil
+    import tempfile
+
+    from rigatoni_spark.config import (
+        CompressionCodec,
+        PartitionStrategy,
+        S3SinkConfig,
+        SerializationFormat,
+    )
+    from rigatoni_spark.sinks.reader import read_sink_output
+    from rigatoni_spark.sinks.writers import write_batch
+
+    ce = read_change_events(spark, sf_dir).filter(
+        F.col("resume_token").cast("bigint") % 7 == 0
+    )
+    root = tempfile.mkdtemp(prefix="sink_rt_")
+    try:
+        cfg = S3SinkConfig(
+            bucket=root,
+            format=SerializationFormat[fmt],
+            compression=CompressionCodec[codec],
+            partition_strategy=PartitionStrategy[strategy],
+        )
+        keys = write_batch(ce, cfg, batch_id=0)
+        if not keys:
+            raise RuntimeError("sink round-trip wrote no keys")
+        back = read_sink_output(spark, cfg)
+        # canonical typed projection: text formats surface strings,
+        # parquet/avro surface native types — one cast spine makes all
+        # four serializers answer to the identical oracle
+        out = back.select(
+            F.col("operation").cast("string").alias("operation"),
+            F.col("database").cast("string").alias("database"),
+            F.col("collection").cast("string").alias("collection"),
+            F.col("cluster_time").cast("timestamp").alias("cluster_time"),
+            F.col("document_key").cast("string").alias("document_key"),
+            F.col("full_document").cast("string").alias("full_document"),
+            F.col("resume_token").cast("string").alias("resume_token"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy(F.col("resume_token").cast("bigint"))
+
+
+def _q_sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+K7: JSONL, gzip-compressed, date-hour key layout."""
+    return _run_sink_roundtrip(
+        spark, sf_dir, "JSON", "GZIP", "DATE_HOUR_PARTITIONED"
+    )
+
+
+def _q_sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5+K8: Parquet, zstd-compressed, Hive key layout."""
+    return _run_sink_roundtrip(
+        spark, sf_dir, "PARQUET", "ZSTD", "HIVE_PARTITIONED"
+    )
+
+
+def _q_sink_csv_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: CSV with header, uncompressed, flat key layout."""
+    return _run_sink_roundtrip(spark, sf_dir, "CSV", "NONE", "FLAT")
+
+
+def _q_sink_avro_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6+K7: Avro container files, outer-gzip wrapped,
+    collection-based key layout (two-tier writer: spark-avro jar if
+    present, distributed pure-Python transcode otherwise — identical
+    read-back either way)."""
+    return _run_sink_roundtrip(
+        spark, sf_dir, "AVRO", "GZIP", "COLLECTION_BASED"
+    )
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/B1 through the REAL streaming engine: the change-event stream
     (availableNow trigger) folded into a complete-mode windowed
@@ -906,6 +993,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
+    "k3_sink_jsonl_gzip": _q_sink_jsonl_gzip,
+    "k5_sink_parquet_zstd": _q_sink_parquet_zstd,
+    "k4_sink_csv_flat": _q_sink_csv_flat,
+    "k6_sink_avro_gzip": _q_sink_avro_gzip,
     "s4_watch_collections": _q_watch_collections,
     "s5_pre_images": _q_pre_images,
     "f4_update_description": _q_update_description,
@@ -1197,6 +1288,21 @@ FROM change_events WHERE operation = 'update' ORDER BY event_id""",
 SELECT operation, "database", collection, cluster_time, document_key,
        full_document, resume_token
 FROM change_events WHERE {_NESTED_WHERE}""",
+    # sink round-trips: all four serializer/compressor/key-layout stacks
+    # answer to the same envelope slice — write path + read path both
+    # inside the hash
+    **{
+        k: f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE event_id % 7 = 0 ORDER BY event_id"""
+        for k in (
+            "k3_sink_jsonl_gzip",
+            "k5_sink_parquet_zstd",
+            "k4_sink_csv_flat",
+            "k6_sink_avro_gzip",
+        )
+    },
     "s2_ddl_lifecycle": f"""
 WITH ddl AS ({ddl_events_oracle_cte()})
 SELECT operation, collection, cluster_time, resume_token

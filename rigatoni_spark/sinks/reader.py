@@ -27,8 +27,12 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
     layout) back as envelope rows."""
     ext = file_extension(cfg.format, cfg.compression)
     base = cfg.base_uri.rstrip("/")
-    reader = spark.read.option("recursiveFileLookup", "true").option(
-        "pathGlobFilter", f"*{ext}"
+    reader = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", f"*{ext}")
+        # match the writer's full-precision text timestamp layout
+        # (sinks/writers.py::_TEXT_TS_FMT) for schema-driven reads
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     )
     if cfg.format is SerializationFormat.JSON:
         return reader.json(base)

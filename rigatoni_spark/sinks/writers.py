@@ -57,6 +57,13 @@ _PARQUET_CODECS = {
     CompressionCodec.ZSTD: "zstd",
 }
 
+# Text serializers write timestamps at FULL Spark precision (micros).
+# Spark's default JSON/CSV timestampFormat truncates to millis — a
+# lossy round-trip the read-back correctness gate would catch (the
+# reference serializes RFC3339 via chrono at full precision,
+# s3/destination.rs:220-230).
+_TEXT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 class FormatNotAvailable(RuntimeError):
     """Raised when a format needs a jar absent from this Spark build
@@ -84,13 +91,16 @@ def _staged_writer(
     fmt = cfg.format
     writer = df.write.mode("overwrite").partitionBy(*part_cols)
     if fmt is SerializationFormat.JSON:
-        writer.option("compression", _TEXT_CODECS[cfg.compression] or "none").json(
-            staging
+        (
+            writer.option("timestampFormat", _TEXT_TS_FMT)
+            .option("compression", _TEXT_CODECS[cfg.compression] or "none")
+            .json(staging)
         )
         return None
     if fmt is SerializationFormat.CSV:
         (
             writer.option("header", "true")
+            .option("timestampFormat", _TEXT_TS_FMT)
             .option("compression", _TEXT_CODECS[cfg.compression] or "none")
             .csv(staging)
         )
