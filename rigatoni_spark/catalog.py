@@ -1039,6 +1039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
+    "text_quality_logit": _doc(textstats.quality_logit),
     "text_lang_profile": _doc(textstats.lang_profile),
     "text_langid_heuristic": _doc(textstats.langid_heuristic),
     "text_fingerprints": _doc(textstats.fingerprints),
@@ -1458,6 +1459,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_token_counts": textstats.TOKEN_COUNTS_ORACLE,
     "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,
+    "text_quality_logit": textstats.quality_logit_oracle(),
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
     "text_langid_heuristic": textstats.LANGID_ORACLE,
     "text_fingerprints": textstats.FINGERPRINTS_ORACLE,

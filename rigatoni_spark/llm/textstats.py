@@ -416,6 +416,121 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+QLF_DIM = 128
+QLF_BIAS = 0
+
+
+def qlf_weights(dim: int = QLF_DIM) -> list[int]:
+    """Deterministic stand-in weight vector for the fastText-style
+    quality gate: a Knuth multiplicative scramble of the bucket id
+    into [-500, 500]. A trained classifier ships its real weights the
+    same way — a driver-held integer vector riding the plan as a
+    literal; only the VALUES change."""
+    return [((j * 2654435761) % 1001) - 500 for j in range(dim)]
+
+
+def quality_logit(
+    documents: DataFrame,
+    threshold_x10k: int = 0,
+    dim: int = QLF_DIM,
+    bias: int = QLF_BIAS,
+) -> DataFrame:
+    """Model-based quality filtering — the fastText-classifier gate
+    shape every public pretraining pipeline runs (CCNet / GPT-3's
+    WebText-vs-CommonCrawl filter; fastText: Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification"): hashed
+    unigram+bigram features x a weight vector -> mean feature weight
+    as the document logit, keep/drop at a threshold.
+
+    Exactness: features hash through the engine-portable md5 idiom
+    (operators/sketches.py) into ``dim`` buckets; weights are integers
+    riding the plan as an array literal, so the feature sum is exact
+    int64 and the mean is the one shared-IEEE ``floor(x10k)`` division
+    every near-dup operator already uses.
+
+    Plan shape: a pure scan-fused projection — tokenize, build the
+    feature array, fold it with ``aggregate`` against the literal
+    weight array. Zero joins, zero shuffles, no UDF: at 100 TB the
+    gate rides any existing full read for free (the weight vector is
+    ~1 KB of plan literal, never a table)."""
+    ws = qlf_weights(dim)
+    warr = F.array(*[F.lit(w) for w in ws])
+    toks = _tokens()
+    unis = toks
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    feats = F.concat(unis, bis)
+
+    def bucket(f):
+        h = F.conv(
+            F.substring(F.md5(f.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+        return (h % dim).cast("int")
+
+    logit_sum = F.aggregate(
+        feats,
+        F.lit(bias).cast("bigint"),
+        lambda acc, f: acc + F.element_at(warr, bucket(f) + 1),
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.size(feats).cast("bigint").alias("n_features"),
+            logit_sum.alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            F.floor(F.col("s") * 10000 / F.col("n_features")).alias(
+                "logit_x10k"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "logit_x10k",
+            (F.col("logit_x10k") >= threshold_x10k)
+            .cast("bigint")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_logit_oracle(
+    threshold_x10k: int = 0, dim: int = QLF_DIM, bias: int = QLF_BIAS
+) -> str:
+    rows = ", ".join(f"({j}, {w})" for j, w in enumerate(qlf_weights(dim)))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+feats AS (
+  SELECT doc_id, f FROM toks, LATERAL unnest(w) AS u(f)
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+  FROM toks, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+),
+weights(j, wt) AS (VALUES {rows}),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_features, SUM(wt) + {bias} AS s
+  FROM feats JOIN weights
+    ON (('0x' || substring(md5(f), 1, 15))::BIGINT % {dim}) = j
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+       CAST(FLOOR(s * 10000.0 / n_features) AS BIGINT) AS logit_x10k,
+       CAST(CASE WHEN FLOOR(s * 10000.0 / n_features) >= {threshold_x10k}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 def source_signatures(documents: DataFrame, k: int = 5) -> DataFrame:
     """Per-source signature terms: the k tokens most over-represented
     in each source vs the whole corpus — the domain-shift audit a

@@ -32,6 +32,7 @@ def write_bucketed(
     bucket_col: str | list[str],
     n_buckets: int,
     sort_col: str | list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a parquet table bucketed by ``bucket_col``
     (one column or a composite key list — a later equi-join skips its
@@ -39,14 +40,26 @@ def write_bucketed(
     composite join keys need composite bucketing).
 
     ``table`` may be qualified (``db.name``); create the database with
-    an explicit LOCATION first to control where files land.
+    an explicit LOCATION first to control where files land. ``path``
+    makes it an EXTERNAL table at that location instead (the files then
+    live with their owner's state — e.g. the admission gate keeps its
+    bucketed probe index inside its own state tree); the table entry is
+    dropped and the location cleared first so a re-write with a new
+    bucket count or schema never collides with stale metadata.
     """
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    if path is not None:
+        import shutil
+
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path.replace("file:", ""), ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
         .bucketBy(n_buckets, *cols)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     if sort_col is not None:
         scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
         writer = writer.sortBy(*scols)

@@ -43,15 +43,19 @@ and the index tree holds the cosine-LSH bucket posting list
 else (partition overwrite, replay guard, compaction) is identical.
 
 Scale posture: the index partitions are narrow (doc_id, band,
-band_hash) rows — at 100 TB compact them periodically into a table
-bucketed on (band, band_hash) (operators/bucketing.py) and pass that
-as the probe side; the per-batch cost contract is measured in SCALE.md
-(flat admission wall under 10x corpus with a precomputed index).
+band_hash) rows — ``compact(bucketize=True)`` merges them AND
+publishes the merged index as a table bucketed on the probe keys
+(operators/bucketing.py), so every later admission probe equi-joins
+into it with zero Exchange on the index side; the per-batch cost
+contract is measured in SCALE.md (flat admission wall under 10x
+corpus with a precomputed index; post-compaction probe row).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
 from dataclasses import dataclass
 
@@ -237,6 +241,111 @@ class AdmissionStream:
             vectors._norm(F.col("embedding")).alias("c_nrm"),
         )
 
+    # -- bucketed probe index ---------------------------------------------
+    def _bucket_keys(self) -> list[str]:
+        return ["band", "band_hash"] if self.mode == "text" else ["bucket"]
+
+    def _bucket_table_name(self) -> str:
+        """Deterministic per state dir — one gate, one table."""
+        h = hashlib.md5(self.state_dir.encode()).hexdigest()[:10]
+        return f"admission_idx_{h}"
+
+    def _bucketed_meta(self) -> dict | None:
+        try:
+            with open(
+                os.path.join(self._tree("index"), "_bucketed_index")
+            ) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _write_bucketed_index(self, floor: int, n_buckets: int) -> None:
+        """Publish the merged (<= floor) index partition as an external
+        table bucketed on the probe keys, stored inside the state tree.
+        The plain merged partition remains the source of truth — the
+        bucketed table is a derived accelerator, rebuilt on demand
+        (``_ensure_bucketed_table``) when a fresh session's metastore
+        has no entry for it."""
+        from rigatoni_spark.operators import bucketing
+
+        if floor < 0:
+            return
+        idx = (
+            self.spark.read.parquet(self._tree("index"))
+            .filter(F.col("ingest_batch") == floor)
+            .drop("ingest_batch")
+        )
+        keys = self._bucket_keys()
+        bucketing.write_bucketed(
+            idx,
+            self._bucket_table_name(),
+            keys,
+            n_buckets,
+            sort_col=keys,
+            path=os.path.join(self.state_dir, "index_bucketed"),
+        )
+        self._atomic_write(
+            os.path.join(self._tree("index"), "_bucketed_index"),
+            json.dumps(
+                {
+                    "table": self._bucket_table_name(),
+                    "floor": floor,
+                    "n_buckets": n_buckets,
+                }
+            ),
+        )
+
+    def _ensure_bucketed_table(self, meta: dict) -> None:
+        loc = os.path.join(self.state_dir, "index_bucketed")
+        if self.spark.catalog.tableExists(meta["table"]) and glob.glob(
+            os.path.join(loc, "*")
+        ):
+            return
+        # fresh session / recycled metastore: rebuild from the plain
+        # merged partition (idempotent — same rows, same bucket spec)
+        self._write_bucketed_index(meta["floor"], meta["n_buckets"])
+
+    def _index_df(self, batch_id: int) -> DataFrame:
+        """The probe-side index for micro-batch ``batch_id``: the
+        bucketed table covers everything up to the compaction floor (no
+        Exchange on this side of the probe equi-join — the join keys
+        are the bucket spec), unioned with the plain post-compaction
+        partitions when any exist. Falls back to the plain
+        partition-pruned read when no bucketed index is published (or
+        a later compaction advanced the floor past it)."""
+        floor = self._floor("index")
+        fresh = [
+            i
+            for i in (
+                int(p.rsplit("=", 1)[1])
+                for p in self._committed_partitions("index")
+            )
+            if floor < i < batch_id
+        ]
+        meta = self._bucketed_meta()
+        if meta is not None and meta["floor"] == floor:
+            self._ensure_bucketed_table(meta)
+            base = self.spark.table(meta["table"]).select(*self._index_cols())
+            if not fresh:
+                return base
+            extra = (
+                self.spark.read.parquet(self._tree("index"))
+                .filter(
+                    (F.col("ingest_batch") > floor)
+                    & (F.col("ingest_batch") < batch_id)
+                )
+                .select(*self._index_cols())
+            )
+            return base.unionByName(extra)
+        return (
+            self.spark.read.parquet(self._tree("index"))
+            .filter(
+                (F.col("ingest_batch") >= floor)
+                & (F.col("ingest_batch") < batch_id)
+            )
+            .select(*self._index_cols())
+        )
+
     # -- micro-batch body ----------------------------------------------
     def _admit(self, batch: DataFrame, batch_id: int) -> None:
         batch = batch.select(*self._payload)
@@ -258,15 +367,7 @@ class AdmissionStream:
                 )
                 .select(*self._payload)
             )
-            index = (
-                self.spark.read.parquet(self._tree("index"))
-                .filter(
-                    (F.col("ingest_batch") >= self._floor("index"))
-                    & (F.col("ingest_batch") < batch_id)
-                )
-                .select(*self._index_cols())
-            )
-            report = self._report(corpus, batch, index)
+            report = self._report(corpus, batch, self._index_df(batch_id))
         else:
             # empty corpus: everything is new, no probe to pay
             report = self._empty_corpus_report(batch)
@@ -341,13 +442,29 @@ class AdmissionStream:
         )
         return self
 
-    def compact(self, up_to: int | None = None, n_files: int = 8) -> None:
+    def compact(
+        self,
+        up_to: int | None = None,
+        n_files: int = 8,
+        bucketize: bool = False,
+        n_buckets: int = 64,
+    ) -> None:
         """Merge every committed state partition with id <= ``up_to``
         (default: all of them) into ONE ``ingest_batch=<up_to>``
         partition per tree — the small-files remedy: a long-running
         gate accrues one directory per micro-batch, and at 100 TB the
         probe join's scan cost becomes file-listing-bound long before
         it is data-bound.
+
+        ``bucketize=True`` additionally publishes the merged index as
+        an EXTERNAL table bucketed on the probe keys ((band, band_hash)
+        in text mode, (bucket) in vector mode; files under
+        ``<state_dir>/index_bucketed``): every later admission probe
+        equi-joins into it with ZERO Exchange on the index side — at
+        100 TB the index re-shuffle per micro-batch is the dominant
+        probe cost, and bucketing pays it once per compaction instead.
+        Post-compaction batches union their (small, plain) partitions
+        on top until the next compaction folds them in.
 
         Crash-safe and restartable, per tree:
 
@@ -409,6 +526,10 @@ class AdmissionStream:
                 str(target),
             )
             self._finish_compaction(name)
+        if bucketize:
+            # derived from the already-merged partition — crash-safe by
+            # rebuild (_ensure_bucketed_table), not by swap protocol
+            self._write_bucketed_index(self._floor("index"), n_buckets)
 
     def _finish_compaction(self, name: str) -> None:
         pend = os.path.join(self._tree(name), "_compaction_pending")

@@ -324,3 +324,122 @@ class TestAdmissionStream:
         s.stop()
         assert s.stats.docs_rejected == 1
         assert {r["doc_id"] for r in s.corpus().collect()} == {1, 3}
+
+    def test_bucketized_compaction_gates_and_plans_without_index_exchange(
+        self, spark, dirs
+    ):
+        """compact(bucketize=True) publishes the merged index as a
+        bucketed table; (a) the gate still rejects duplicates against
+        it, (b) the probe equi-join plans with NO Exchange above the
+        bucketed index scan (the 100 TB contract: only the increment
+        shuffles), (c) a metastore without the table entry rebuilds it
+        from the plain merged partition."""
+        from pyspark.sql import functions as F
+
+        from rigatoni_spark.llm import minhash
+
+        src, state, ckpt = dirs
+        for i, rows in enumerate([[(1, A)], [(2, B)], [(3, C)]]):
+            _feed(src, f"b{i}.parquet", rows)
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        s.compact(bucketize=True, n_buckets=4)
+        meta = s._bucketed_meta()
+        assert meta is not None and meta["floor"] == 2
+        assert spark.catalog.tableExists(meta["table"])
+        # (b) plan guard: probe join against the bucketed index has no
+        # Exchange on the index side (forbid broadcast so the test
+        # exercises the co-location path, as test_bucketing does)
+        idx = s._index_df(batch_id=3)
+        batch = spark.createDataFrame(
+            [(9, A), (10, D)], "doc_id bigint, text string"
+        )
+        plain = (
+            spark.read.parquet(os.path.join(state, "index"))
+            .filter(F.col("ingest_batch") <= 2)
+            .select("doc_id", "band", "band_hash")
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+            def n_exchanges(index_side):
+                probe = minhash.lsh_bands(batch).join(
+                    index_side.withColumnRenamed("doc_id", "corpus_id"),
+                    ["band", "band_hash"],
+                )
+                plan = probe._jdf.queryExecution().executedPlan().toString()
+                return plan.count("Exchange"), plan
+
+            nb, plan_b = n_exchanges(idx)
+            np_, _ = n_exchanges(plain)
+            # bucketing removes exactly the index-side Exchange; the
+            # remaining ones belong to the increment (shuffle-to-bucket
+            # + lsh_bands' internal spread repartition)
+            assert nb == np_ - 1, plan_b
+            assert "Bucketed: true" in plan_b or "SelectedBucketsCount" in plan_b, plan_b
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # (a) the gate still gates: dup of doc 1 rejected, new admitted
+        _feed(src, "b3.parquet", [(4, A), (5, D)])
+        s2 = AdmissionStream(spark, src, state, ckpt).start()
+        s2.process_all_available()
+        s2.stop()
+        assert s2.stats.docs_rejected == 1
+        assert {r["doc_id"] for r in s2.corpus().collect()} == {1, 2, 3, 5}
+        # (c) rebuild-on-miss: drop the table, the next read recreates
+        # it from the plain merged partition
+        spark.sql(f"DROP TABLE IF EXISTS {meta['table']}")
+        import shutil
+
+        shutil.rmtree(os.path.join(state, "index_bucketed"), ignore_errors=True)
+        idx2 = s2._index_df(batch_id=4)
+        assert spark.catalog.tableExists(meta["table"])
+        got = {r["doc_id"] for r in idx2.select("doc_id").distinct().collect()}
+        # rebuilt base (1,2,3) union the fresh batch-3 partition (5)
+        assert got == {1, 2, 3, 5}
+        # stale marker after a later plain compact: floor moves past the
+        # marker and the plain path takes over (no wrong reads)
+        s2.compact()
+        assert s2._floor("index") == 3
+        idx3 = s2._index_df(batch_id=5)
+        got3 = {r["doc_id"] for r in idx3.select("doc_id").distinct().collect()}
+        assert got3 == {1, 2, 3, 5}
+
+    def test_bucketized_compaction_vector_mode(self, spark, dirs):
+        """Vector mode: the bucketed posting list (bucket key) gates a
+        later embedding batch after compact(bucketize=True)."""
+        src, state, ckpt = dirs
+        v = [float((i * 7) % 13 - 6) or 1.0 for i in range(64)]
+        w = [float((i * 11) % 17 - 8) or 2.0 for i in range(64)]
+        neg = [-x for x in v]
+
+        def feed_vec(name, rows):
+            t = pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            )
+            pq.write_table(t, os.path.join(src, name))
+
+        feed_vec("b0.parquet", [(1, v)])
+        feed_vec("b1.parquet", [(2, w)])
+        s = AdmissionStream(
+            spark, src, state, ckpt, threshold=0.95, mode="vector"
+        ).start()
+        s.process_all_available()
+        s.stop()
+        s.compact(bucketize=True, n_buckets=4)
+        assert s._bucketed_meta()["floor"] == 1
+        feed_vec("b2.parquet", [(3, v), (4, neg)])
+        s2 = AdmissionStream(
+            spark, src, state, ckpt, threshold=0.95, mode="vector"
+        ).start()
+        s2.process_all_available()
+        s2.stop()
+        assert s2.stats.docs_rejected == 1  # vec 3 == vec 1 via the table
+        assert {r["vec_id"] for r in s2.corpus().collect()} == {1, 2, 4}

@@ -193,3 +193,35 @@ def test_retention_cohorts_week_offsets(spark):
     assert got[("2024-01-01", 0)] == 2
     assert got[("2024-01-01", 1)] == 1
     assert got[("2024-01-16", 0)] == 1
+
+
+def test_quality_logit_matches_hand_computation(spark):
+    """Pin the fastText-style gate to an out-of-engine computation:
+    python md5 + the same weight table must reproduce the logit
+    exactly (integer path end to end)."""
+    import hashlib
+    import math
+
+    from rigatoni_spark.llm import textstats
+
+    text = "good clean prose with varied words"
+    toks = text.split(" ")
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    ws = textstats.qlf_weights()
+    s = sum(
+        ws[int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % textstats.QLF_DIM]
+        for f in feats
+    )
+    expect = math.floor(s * 10000 / len(feats))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = textstats.quality_logit(df).collect()[0]
+    assert row["n_features"] == len(feats)
+    assert row["logit_x10k"] == expect
+    assert row["keep"] == (1 if expect >= 0 else 0)
+    # single-token doc: the bigram branch must yield [] (a naive
+    # sequence(1, size-1) would DESCEND to [1, 0] at size == 1)
+    one = spark.createDataFrame([(2, "word")], "doc_id bigint, text string")
+    r1 = textstats.quality_logit(one).collect()[0]
+    assert r1["n_features"] == 1
+    w = ws[int(hashlib.md5(b"word").hexdigest()[:15], 16) % textstats.QLF_DIM]
+    assert r1["logit_x10k"] == math.floor(w * 10000)

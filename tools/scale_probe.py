@@ -353,6 +353,76 @@ def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
         assert n_clusters == chains, "fixpoint mismatch on chain graph"
 
 
+def probe_admission_compact(spark, sf_dir: str) -> None:
+    """Post-compaction streaming-admission wall (SCALE.md row).
+
+    Builds real gate state through the stream (4 committed micro-batches
+    holding the 10x amplified corpus), then times the NEXT admission
+    micro-batch body (``_admit``: probe + verify + state writes) in three
+    states: fragmented (one partition per batch), compacted-plain, and
+    compacted-bucketized (probe index read from the bucketed table —
+    zero Exchange on the index side; the plan property is pinned by
+    tests/test_admission_stream.py, this measures the wall)."""
+    import glob as _glob
+    import shutil
+
+    from rigatoni_spark.streaming.admission import AdmissionStream
+
+    docs, big = _amplified_docs(spark, sf_dir)
+    inc = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+        .cache()
+    )
+    n_inc = inc.count()
+    print(f"RESULT admission_compact corpus={big.count()} inc={n_inc}")
+
+    def build_state():
+        root = tempfile.mkdtemp(prefix="adm_compact_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(4):
+            stage = os.path.join(root, f"_stage_{i}")
+            (
+                big.filter(F.col("doc_id") % 4 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        g = AdmissionStream(
+            spark,
+            src,
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+            max_bucket=50,
+        ).start()
+        g.process_all_available()
+        g.stop()
+        assert g.stats.batches == 4, g.stats
+        return root, g
+
+    for label, prep in (
+        ("fragmented", lambda g: None),
+        ("compact-plain", lambda g: g.compact()),
+        ("compact-bucketized", lambda g: g.compact(bucketize=True, n_buckets=16)),
+    ):
+        root, g = build_state()
+        prep(g)
+        t0 = time.time()
+        g._admit(inc, 4)
+        print(
+            f"RESULT admission_compact {label}: {time.time() - t0:.1f}s "
+            f"admitted={g.stats.docs_admitted - 0}",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    inc.unpersist()
+
+
 def probe_pq(spark, sf_dir: str) -> None:
     """PQ family under a 16x-amplified corpus: the ADC scan (pq_topk)
     and IVF-PQ against brute-force exact cosine top-k on the same
@@ -510,7 +580,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -528,6 +598,8 @@ def main() -> None:
         probe_incremental(spark, args.sf_dir)
     if args.which in ("incremental_vec", "all"):
         probe_incremental_vec(spark, args.sf_dir)
+    if args.which in ("admission_compact", "all"):
+        probe_admission_compact(spark, args.sf_dir)
     if args.which in ("pq", "all"):
         probe_pq(spark, args.sf_dir)
     if args.which in ("binary", "all"):
