@@ -1074,6 +1074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sliding-window twin of chunk_stats: the repeated PASSAGES
     # themselves (boilerplate mining), top-k by document frequency
     "dedup_duplicated_spans": _doc(ldedup.top_duplicated_spans),
+    "dedup_maximal_spans": _doc(ldedup.maximal_duplicated_spans),
     # the transform half: rewrite docs minus already-seen chunks
     "dedup_chunk_clean": _doc(ldedup.chunk_dedup_clean),
     # subset-duplicates (short doc quoted inside a long one) — threshold
@@ -1485,6 +1486,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_simhash_neardups": simhash.near_duplicates_oracle(),
     "dedup_chunk_stats": ldedup.chunk_dedup_oracle(),
     "dedup_duplicated_spans": ldedup.top_duplicated_spans_oracle(),
+    "dedup_maximal_spans": ldedup.maximal_duplicated_spans_oracle(),
     "dedup_chunk_clean": ldedup.chunk_dedup_clean_oracle(),
     "dedup_containment": ldedup.containment_oracle(threshold=0.5),
     "text_training_shuffle": sampling.training_shuffle_oracle(),

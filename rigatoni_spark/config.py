@@ -140,6 +140,11 @@ class PipelineConfig:
     max_retry_delay_ms: int = 30_000
     channel_buffer_size: int = 1000  # min 10 (pipeline.rs:601-611)
     dedup_by_key: bool = False
+    # exactly-once replay of an archived feed: trigger(availableNow)
+    # drains everything present (in batch_size-bounded micro-batches,
+    # same deterministic sink keys) then terminates — the backfill mode
+    # a real consumer runs before switching to the continuous trigger
+    backfill: bool = False
     stream: ChangeStreamConfig = field(default_factory=ChangeStreamConfig)
 
     MAX_BATCH_SIZE = 10_000

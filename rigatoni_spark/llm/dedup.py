@@ -428,6 +428,149 @@ ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT {k}
 """
 
 
+def maximal_duplicated_spans(
+    documents: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Maximal-span coalescing over :func:`top_duplicated_spans`'
+    fixed windows: adjacent duplicated windows in a document chain
+    into ONE maximal span, so a 100-token boilerplate block reports as
+    a single 100-token span instead of ~93 overlapping 8-token
+    windows — the span-level form of the suffix-array dedup result
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"). Output: the top-``k`` maximal span TEXTS occurring
+    in >= ``min_docs`` documents, with token length, document
+    frequency, occurrence count, and the earliest containing doc.
+
+    Chaining is the gaps-and-islands order-key trick, pure integers:
+    a window at position p whose span text is cross-document
+    duplicated joins island ``p - row_number()`` within its doc —
+    consecutive duplicated positions share an island, any gap starts a
+    new one. Island -> (min pos, max pos + span - 1, capped at doc
+    end), then the maximal text is one array slice off the doc's own
+    tokens.
+
+    Plan shape: the window explode and duplicated-span agg of
+    ``top_duplicated_spans`` -> semi join back (narrow, hinted
+    shuffle-hash) -> per-doc row_number (ONE shuffle on doc_id; state
+    is a counter) -> island agg -> shuffle-hash join to the token
+    arrays -> final span agg + TakeOrdered top-k. Every join is an
+    equi-join on doc_id/span; nothing quadratic, nothing sorted
+    globally."""
+    s = span_tokens
+    from pyspark.sql.window import Window
+
+    d = spread(documents)
+    toks = F.split(F.col("text"), " ")
+    win_structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (s - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, s)).alias("span"),
+        ),
+    )
+    wins = d.select("doc_id", F.explode(win_structs).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.span").alias("span")
+    )
+    dups = (
+        wins.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("span")
+    )
+    hits = wins.join(dups.hint("shuffle_hash"), "span", "left_semi")
+    isl = hits.withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    runs = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + (s - 1)).alias("end_raw"),
+    )
+    doc_toks = d.select("doc_id", toks.alias("w"))
+    spans = runs.join(doc_toks.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "slice(w, start_pos,"
+                " least(end_raw, size(w)) - start_pos + 1)"
+            ),
+        ).alias("span"),
+    )
+    # NOTE: no second min_docs gate on the maximal TEXT — a doc whose
+    # maximal run extends past what other docs share (asymmetric
+    # overlap) still reports its run with n_docs = 1; every window
+    # inside it was cross-document duplicated, which is the signal.
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .select(
+            "span",
+            F.size(F.split(F.col("span"), " "))
+            .cast("bigint")
+            .alias("span_len_tokens"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc_id",
+        )
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("span_len_tokens").desc(),
+            F.col("n_occurrences").desc(),
+            "span",
+        )
+        .limit(k)
+    )
+
+
+def maximal_duplicated_spans_oracle(
+    span_tokens: int = 8, min_docs: int = 2, k: int = 30
+) -> str:
+    s = span_tokens
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{s - 1}], ' ') AS span
+  FROM toks, LATERAL unnest(generate_series(
+    1, greatest(len(w) - {s - 1}, 1))) AS g(i)
+),
+dups AS (
+  SELECT span FROM wins GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+hits AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM wins WHERE span IN (SELECT span FROM dups)
+),
+runs AS (
+  SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + {s - 1} AS end_raw
+  FROM hits GROUP BY doc_id, island
+),
+spans AS (
+  SELECT r.doc_id,
+         array_to_string(
+           t.w[r.start_pos:least(r.end_raw, len(t.w))], ' ') AS span
+  FROM runs r JOIN toks t USING (doc_id)
+)
+SELECT span,
+       CAST(len(string_split(span, ' ')) AS BIGINT) AS span_len_tokens,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc_id
+FROM spans GROUP BY span
+ORDER BY n_docs DESC, span_len_tokens DESC, n_occurrences DESC, span ASC
+LIMIT {k}
+"""
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,

@@ -381,16 +381,26 @@ class Pipeline:
             def _batch(bdf: DataFrame, bid: int) -> None:
                 self._foreach_batch(bdf, bid, state)
 
-            return (
+            writer = (
                 df.writeStream.queryName(name)
                 .foreachBatch(_batch)
                 .option(
                     "checkpointLocation",
                     f"{self.checkpoint_dir}/{name}",
                 )
-                .trigger(processingTime=trigger_secs)
-                .start()
             )
+            if self.config.backfill:
+                # B5 backfill: drain the whole archived feed exactly
+                # once and terminate. maxFilesPerTrigger still bounds
+                # each micro-batch (availableNow honors source rate
+                # limits), and the deterministic (batch_id, group-time)
+                # sink keys make an interrupted backfill resume from
+                # the checkpoint with the SAME remaining keys — no
+                # duplicates, no gaps.
+                writer = writer.trigger(availableNow=True)
+            else:
+                writer = writer.trigger(processingTime=trigger_secs)
+            return writer.start()
 
         stream = read_change_events_stream(
             self.spark,
@@ -432,6 +442,24 @@ class Pipeline:
         helper — the streaming analogue of 'run to completion')."""
         for q in self._queries:
             q.processAllAvailable()
+
+    def await_backfill(self, timeout_secs: float = 600.0) -> PipelineStats:
+        """Backfill-mode drive: block until every availableNow query
+        processes the feed and self-terminates, then return stats.
+        Raises if the pipeline was not started with backfill=True
+        (a continuous trigger never terminates on its own)."""
+        if not self.config.backfill:
+            raise RuntimeError(
+                "await_backfill() requires PipelineConfig(backfill=True)"
+            )
+        for q in self._queries:
+            if not q.awaitTermination(timeout=timeout_secs):
+                raise TimeoutError(
+                    f"backfill query {q.name} still running after "
+                    f"{timeout_secs}s"
+                )
+        self.metrics.set_gauge(M.PIPELINE_STATUS, 0.0)
+        return self.stats
 
     def stop(self) -> PipelineStats:
         """O3: graceful shutdown — finish in-flight batches, stop."""

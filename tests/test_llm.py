@@ -328,6 +328,33 @@ class TestDedup:
         assert all(r["n_docs"] >= 2 for r in out.values())
         assert not any("solo" in s for s in out)
 
+    def test_maximal_duplicated_spans_coalesce(self, spark):
+        """A long shared block reports as ONE maximal span (window
+        chaining), not ~n overlapping 8-token windows; a gap splits the
+        chain; asymmetric overlap yields per-doc maximal texts."""
+        block = " ".join(f"b{i}" for i in range(20))  # 20 shared tokens
+        rows = [
+            (1, block + " t1 t2 t3"),
+            (2, "h1 h2 " + block),
+            # doc 3 shares only the FIRST 12 tokens of the block
+            (3, " ".join(f"b{i}" for i in range(12)) + " z1 z2 z3"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup.maximal_duplicated_spans(df, span_tokens=8).collect()
+        by_span = {r["span"]: r for r in out}
+        # the full 20-token block is maximal in docs 1 and 2
+        assert block in by_span
+        assert by_span[block]["n_docs"] == 2
+        assert by_span[block]["span_len_tokens"] == 20
+        # doc 3's maximal run covers its 12 shared tokens: windows at
+        # pos 1..5 chain -> span b0..b11
+        twelve = " ".join(f"b{i}" for i in range(12))
+        assert twelve in by_span
+        assert by_span[twelve]["span_len_tokens"] == 12
+        assert by_span[twelve]["n_docs"] == 1  # maximal only in doc 3
+        # nothing fragmented: no bare 8-token window of the block shows
+        assert all(r["span_len_tokens"] >= 12 for r in out)
+
     def test_chunk_dedup_clean(self, spark):
         """First occurrence of a chunk survives; later copies are cut
         from the rebuilt text; an all-boilerplate doc survives as empty

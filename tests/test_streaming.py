@@ -389,3 +389,85 @@ class TestPipelineE2E:
         p.stop()
         # 1000 events collapse to <=60 unique (collection, _id) keys
         assert p.stats.events_processed <= 60
+
+
+class TestBackfill:
+    def test_backfill_drains_and_matches_continuous_keys(
+        self, spark, dirs, tmp_path
+    ):
+        """B5 backfill: trigger(availableNow) processes the whole
+        archived feed in batch-bounded micro-batches, terminates on its
+        own, and writes EXACTLY the keys the continuous trigger would
+        (deterministic (batch_id, group-time) stems)."""
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        _feed(src, "b.parquet", 300, 300)
+        _feed(src, "c.parquet", 600, 200)
+        sinkA = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(
+            spark, PipelineConfig(backfill=True), sinkA, src, ckpt
+        ).start()
+        stats = p.await_backfill()
+        assert not p.is_running()  # availableNow self-terminates
+        assert stats.events_processed == 800
+        # continuous-trigger reference over the same feed
+        out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        sinkB = S3SinkConfig(bucket=out2, format=SerializationFormat.JSON)
+        cont = Pipeline(
+            spark, PipelineConfig(batch_timeout_secs=1.0), sinkB, src, ckpt2
+        ).start()
+        cont.process_all_available()
+        cont.stop()
+        assert cont.stats.events_processed == 800
+        assert sorted(stats.keys_written) == sorted(cont.stats.keys_written)
+        # a second backfill over the same checkpoint replays nothing
+        p2 = Pipeline(
+            spark, PipelineConfig(backfill=True), sinkA, src, ckpt
+        ).start()
+        assert p2.await_backfill().events_processed == 0
+
+    def test_backfill_resumes_from_checkpoint_after_interrupt(
+        self, spark, dirs, tmp_path
+    ):
+        """An interrupted backfill (stopped partway through the
+        archive) resumes from the checkpoint: remaining files get the
+        NEXT batch ids, and the union of keys equals a single-shot
+        run's."""
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p1 = Pipeline(
+            spark, PipelineConfig(backfill=True), sink, src, ckpt
+        ).start()
+        s1 = p1.await_backfill()
+        assert s1.events_processed == 300
+        # the rest of the archive lands; resume drains only the delta
+        _feed(src, "b.parquet", 300, 300)
+        _feed(src, "c.parquet", 600, 200)
+        p2 = Pipeline(
+            spark, PipelineConfig(backfill=True), sink, src, ckpt
+        ).start()
+        s2 = p2.await_backfill()
+        assert s2.events_processed == 500
+        # single-shot reference
+        src3, out3 = str(tmp_path / "src3"), str(tmp_path / "out3")
+        os.makedirs(src3)
+        _feed(src3, "a.parquet", 0, 300)
+        _feed(src3, "b.parquet", 300, 300)
+        _feed(src3, "c.parquet", 600, 200)
+        ref = Pipeline(
+            spark,
+            PipelineConfig(backfill=True),
+            S3SinkConfig(bucket=out3, format=SerializationFormat.JSON),
+            src3,
+            str(tmp_path / "ckpt3"),
+        ).start()
+        s3 = ref.await_backfill()
+        assert sorted(s1.keys_written + s2.keys_written) == sorted(
+            s3.keys_written
+        )
+        # continuous-mode pipelines reject await_backfill
+        with pytest.raises(RuntimeError, match="backfill=True"):
+            Pipeline(
+                spark, PipelineConfig(), sink, src, ckpt
+            ).await_backfill()
