@@ -208,6 +208,18 @@ def main() -> None:
     detail["streaming_runs_sec_by_batch_size"] = {
         str(bs): [round(s, 3) for s in runs] for bs, runs in stream_runs.items()
     }
+    detail["notes"] = {
+        # round-8 A/B verdict on the +47% r06->r07 text_repetition_stats
+        # delta (implementation unchanged since r06): three interleaved
+        # min-of-2 passes with controls, 2026-08-15 —
+        # repetition 1.27/1.27/1.42 s vs token_counts 0.62/0.39/0.51 s,
+        # fingerprints 0.50/0.49/0.62 s. Controls ran 1.7-2.6x THEIR
+        # r07 records in the same passes; repetition's ratio to the
+        # controls (2.8-3.2x) is AT OR BELOW its r07 ratio (3.6x).
+        # Verdict: hypervisor steal, not a plan change.
+        "text_repetition_stats": "r06->r07 delta attributed to steal "
+        "(interleaved A/B: ratio-to-controls at or below r07's)",
+    }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json"), "w") as fh:

@@ -536,6 +536,34 @@ def _drain_to_memory_table(
     return df.sparkSession.table(name).orderBy(*order_cols)
 
 
+def _q_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join through the REAL engine: the CDC
+    stream joins the broadcast customer dim per micro-batch (Spark
+    re-broadcasts the static side each trigger — the standard
+    enrichment topology), folded into a complete-mode count by
+    (segment, operation). Drained over the bounded feed, this equals
+    the batch join — same oracle family as rel_enrich_customers minus
+    the countDistinct (distinct aggregation is not streamable; the
+    batch twin carries that column)."""
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    sdf = read_change_events_stream(spark, sf_dir, path_glob="events.parquet")
+    dim = tables.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    key = F.get_json_object(F.col("document_key"), "$._id").cast("bigint")
+    joined = sdf.withColumn("c_custkey", key).join(F.broadcast(dim), "c_custkey")
+    agg = joined.groupBy("c_mktsegment", "operation").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return _drain_to_memory_table(
+        agg,
+        "stream_enrich",
+        ["c_mktsegment", "operation"],
+        output_mode="complete",
+    )
+
+
 def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the REAL streaming engine: per-key pre-images from the
     stateful prior-payload operator (applyInPandasWithState), drained
@@ -1212,11 +1240,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         tables.load_table(spark, sf_dir, "events")
     ),
     "s7_stream_interval_join": _q_stream_interval_join,
+    "s7_stream_enrich_dim": _q_stream_enrich_dim,
     "sim_binary_hamming_topk": lambda spark, sf_dir: vectors.binary_quantize_topk(
         tables.load_table(spark, sf_dir, "embeddings")
     ),
     "events_hll_distinct_users": lambda spark, sf_dir: sketches.hll_distinct(
         tables.load_table(spark, sf_dir, "events"), "user_id"
+    ),
+    "events_hll_distinct_users_by_type": lambda spark, sf_dir: (
+        sketches.hll_distinct_by(
+            tables.load_table(spark, sf_dir, "events"),
+            "user_id",
+            "event_type",
+        )
     ),
     "events_cms_type_counts": lambda spark, sf_dir: sketches.cms_point_estimates(
         tables.load_table(spark, sf_dir, "events"), "event_type"
@@ -1605,6 +1641,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_hll_distinct_users": sketches.hll_distinct_oracle(
         "events", "user_id"
     ),
+    "events_hll_distinct_users_by_type": sketches.hll_distinct_by_oracle(
+        "events", "user_id", "event_type"
+    ),
     "events_cms_type_counts": sketches.cms_estimates_oracle(
         "events", "event_type"
     ),
@@ -1625,6 +1664,14 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",
     ),
+    "s7_stream_enrich_dim": f"""{_CE_CTE}
+SELECT c.c_mktsegment, e.operation, COUNT(*) AS n_events
+FROM change_events e
+JOIN customer c
+  ON CAST(json_extract_string(e.document_key, '$._id') AS BIGINT)
+     = c.c_custkey
+GROUP BY c.c_mktsegment, e.operation
+ORDER BY c.c_mktsegment, e.operation""",
     "s7_stream_interval_join": f"""{_CE_CTE},
 ins AS (SELECT document_key AS key, cluster_time AS t_ins
         FROM change_events WHERE operation = 'insert'),

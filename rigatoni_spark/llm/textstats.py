@@ -448,11 +448,14 @@ def quality_logit(
     int64 and the mean is the one shared-IEEE ``floor(x10k)`` division
     every near-dup operator already uses.
 
-    Plan shape: a pure scan-fused projection — tokenize, build the
-    feature array, fold it with ``aggregate`` against the literal
-    weight array. Zero joins, zero shuffles, no UDF: at 100 TB the
-    gate rides any existing full read for free (the weight vector is
-    ~1 KB of plan literal, never a table)."""
+    Plan shape: explode one row per feature (the bigram builder is the
+    only higher-order lambda — string concat, cheap interpreted), then
+    hash + weight lookup run as a CODEGEN'D projection over the
+    exploded rows (higher-order ``aggregate`` folds are
+    CodegenFallback — pushing the md5 into one cost 10x wall), then one
+    map-side-combined per-doc agg. One shuffle of (doc_id, weight)
+    pairs, zero joins, no UDF; the weight vector is ~1 KB of plan
+    literal, never a table."""
     ws = qlf_weights(dim)
     warr = F.array(*[F.lit(w) for w in ws])
     toks = _tokens()
@@ -467,23 +470,18 @@ def quality_logit(
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     feats = F.concat(unis, bis)
-
-    def bucket(f):
-        h = F.conv(
-            F.substring(F.md5(f.cast("binary")), 1, 15), 16, 10
-        ).cast("bigint")
-        return (h % dim).cast("int")
-
-    logit_sum = F.aggregate(
-        feats,
-        F.lit(bias).cast("bigint"),
-        lambda acc, f: acc + F.element_at(warr, bucket(f) + 1),
-    )
+    h = F.conv(
+        F.substring(F.md5(F.col("f").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    wt = F.element_at(warr, (h % dim).cast("int") + 1)
     return (
-        documents.select(
-            "doc_id",
-            F.size(feats).cast("bigint").alias("n_features"),
-            logit_sum.alias("s"),
+        spread(documents)
+        .select("doc_id", F.explode(feats).alias("f"))
+        .select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            (F.sum("wt") + bias).alias("s"),
         )
         .select(
             "doc_id",

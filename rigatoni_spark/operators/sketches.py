@@ -157,6 +157,110 @@ FROM raw
 """
 
 
+def hll_distinct_by(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Grouped HLL: one cardinality estimate PER ``group_col`` value —
+    the per-series twin of :func:`hll_distinct` (same register layout,
+    estimator, and small-range linear counting, keyed by the group).
+    The canonical 100 TB per-key-distinct shape: the register table is
+    |groups| x 1024 rows regardless of input size, map-side partial MAX
+    crushes the explode before the exchange, and no count_distinct
+    expansion ever happens."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    prepared = df.select(F.col(group_col).alias("grp"), h.alias("h")).select(
+        "grp",
+        (F.col("h") % M_REGISTERS).alias("bucket"),
+        F.expr(f"h div {M_REGISTERS}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+    )
+    regs = (
+        prepared.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    term = F.expr("CAST(power(2, 51 - r) AS BIGINT)")
+    return (
+        regs.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_registers_set"),
+            (
+                F.coalesce(F.sum(term), F.lit(0))
+                + (F.lit(M_REGISTERS) - F.count(F.lit(1))) * F.lit(1 << 51)
+            ).alias("s_scaled"),
+        )
+        .select(
+            "grp",
+            "n_registers_set",
+            "s_scaled",
+            F.expr(
+                f"CAST(CAST({_NUMERATOR} AS DECIMAL(38,0)) div s_scaled"
+                " AS BIGINT)"
+            ).alias("_raw_x1e6"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_registers_set",
+            "s_scaled",
+            F.when(
+                (F.col("n_registers_set") < M_REGISTERS)
+                & (F.col("_raw_x1e6") < _SMALL_RANGE_X1E6),
+                F.lit(M_REGISTERS)
+                * F.element_at(
+                    F.array(*[F.lit(x) for x in LN_M_OVER_V_X1E6]),
+                    (F.lit(M_REGISTERS) - F.col("n_registers_set")).cast(
+                        "int"
+                    ),
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_raw_x1e6"))
+            .alias("estimate_x1e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_distinct_by_oracle(table: str, col: str, group_col: str) -> str:
+    ln_list = "[" + ", ".join(str(x) for x in LN_M_OVER_V_X1E6) + "]"
+    return f"""
+WITH hashed AS (
+  SELECT {group_col} AS grp,
+         ('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table}),
+split AS (
+  SELECT grp, h % {M_REGISTERS} AS bucket, h // {M_REGISTERS} AS w
+  FROM hashed),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN w = 0 THEN 51
+                  ELSE 51 - length(bin(w)) END) AS r
+  FROM split GROUP BY grp, bucket),
+folded AS (
+  SELECT grp, COUNT(*) AS n_registers_set,
+         CAST(COALESCE(SUM(CAST(power(2, 51 - r) AS BIGINT)), 0)
+              + ({M_REGISTERS} - COUNT(*)) * {1 << 51}::BIGINT
+              AS BIGINT) AS s_scaled
+  FROM regs GROUP BY grp),
+raw AS (
+  SELECT grp, n_registers_set, s_scaled,
+         CAST({_NUMERATOR}::HUGEINT // s_scaled::HUGEINT AS BIGINT)
+           AS raw_x1e6
+  FROM folded)
+SELECT grp AS {group_col},
+       n_registers_set, s_scaled,
+       CASE WHEN n_registers_set < {M_REGISTERS}
+             AND raw_x1e6 < {_SMALL_RANGE_X1E6}
+            THEN {M_REGISTERS}::BIGINT *
+                 ({ln_list}[{M_REGISTERS} - n_registers_set])::BIGINT
+            ELSE raw_x1e6 END AS estimate_x1e6
+FROM raw ORDER BY {group_col}
+"""
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 

@@ -681,3 +681,25 @@ def test_zscore_flags_planted_outlier(spark):
     assert [r.event_id for r in out] == [99]
     # z of the planted point: (v - mean)/std with n=100 -> ~9.95
     assert 900 < out[0].z_x100 < 1005
+
+
+def test_hll_distinct_by_groups_match_global_discipline(spark):
+    """Grouped HLL: per-group estimates use the same register/estimator
+    discipline as the global sketch — a group holding the global
+    input's rows reproduces hll_distinct's numbers exactly, and
+    disjoint groups estimate independently."""
+    from rigatoni_spark.operators import sketches
+
+    df = spark.range(3000).selectExpr(
+        "id AS user_id", "CASE WHEN id % 3 = 0 THEN 'a' ELSE 'b' END AS g"
+    )
+    grouped = {
+        r["g"]: r for r in sketches.hll_distinct_by(df, "user_id", "g").collect()
+    }
+    only_a = df.filter("g = 'a'")
+    glob = sketches.hll_distinct(only_a, "user_id").collect()[0]
+    assert grouped["a"]["estimate_x1e6"] == glob["estimate_x1e6"]
+    assert grouped["a"]["n_registers_set"] == glob["n_registers_set"]
+    # estimates land within the ~3% rse band of true cardinalities
+    assert abs(grouped["a"]["estimate_x1e6"] / 1e6 - 1000) < 1000 * 0.15
+    assert abs(grouped["b"]["estimate_x1e6"] / 1e6 - 2000) < 2000 * 0.15
