@@ -564,6 +564,70 @@ def _q_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a bounded file stream (static-infer schema,
+    the same convention as the CDC file source)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText-style quality gate running IN-STREAM: the same
+    explode -> codegen'd hash+weight projection -> per-doc fold as
+    text_quality_logit, maintained complete-mode over the document
+    stream — the shape of a crawl-ingest scorer that gates documents
+    as they arrive. Drained over the bounded corpus it equals the
+    batch gate, so the same oracle hash-checks the streaming path."""
+    return _drain_to_memory_table(
+        textstats.quality_logit(_documents_stream(spark, sf_dir)),
+        "stream_qgate",
+        ["doc_id"],
+        output_mode="complete",
+    )
+
+
+def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination running IN-STREAM: training documents stream in,
+    their distinct n-grams broadcast-join the STATIC benchmark gram
+    set (eval sets are small fixed artifacts — the canonical
+    stream-static decon topology), per-doc hit counts maintained
+    complete-mode. Same oracle as the batch decon_contamination_hits."""
+    from rigatoni_spark.llm.contamination import _doc_grams
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bench = (
+        _doc_grams(docs, 4)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= 4,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    )
+    s_grams = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    hits = s_grams.join(F.broadcast(bench), "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_grams")
+    )
+    return _drain_to_memory_table(
+        hits, "stream_decon", ["doc_id"], output_mode="complete"
+    )
+
+
 def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the REAL streaming engine: per-key pre-images from the
     stateful prior-payload operator (applyInPandasWithState), drained
@@ -1241,6 +1305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "s7_stream_interval_join": _q_stream_interval_join,
     "s7_stream_enrich_dim": _q_stream_enrich_dim,
+    "s7_stream_quality_gate": _q_stream_quality_gate,
+    "s7_stream_decon_hits": _q_stream_decon_hits,
     "sim_binary_hamming_topk": lambda spark, sf_dir: vectors.binary_quantize_topk(
         tables.load_table(spark, sf_dir, "embeddings")
     ),
@@ -1497,6 +1563,10 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_quality_logit": textstats.quality_logit_oracle(),
+    # streaming twins converge to the identical batch results over the
+    # drained bounded corpus — same oracles
+    "s7_stream_quality_gate": textstats.quality_logit_oracle(),
+    "s7_stream_decon_hits": contamination.contamination_oracle(),
     "text_lang_profile": textstats.LANG_PROFILE_ORACLE,
     "text_langid_heuristic": textstats.LANGID_ORACLE,
     "text_fingerprints": textstats.FINGERPRINTS_ORACLE,
