@@ -247,7 +247,15 @@ def _run_sink_roundtrip(
         )
         keys = write_batch(ce, cfg, batch_id=0)
         if not keys:
-            raise RuntimeError("sink round-trip wrote no keys")
+            # empty feed -> the sink correctly wrote nothing; surface
+            # an empty envelope frame (same schema the read-back
+            # projection would produce), not an error
+            return spark.createDataFrame(
+                [],
+                "operation string, database string, collection string,"
+                " cluster_time timestamp, document_key string,"
+                " full_document string, resume_token string",
+            )
         back = read_sink_output(spark, cfg)
         # canonical typed projection: text formats surface strings,
         # parquet/avro surface native types — one cast spine makes all

@@ -76,8 +76,9 @@ def _seed_codebooks(
     # the encode kernel labels codes by numpy argmin POSITION and the
     # ADC LUTs index by position too — sound only when position == seed
     # vec_id. A corpus with vec_id gaps below k_codes (e.g. a filtered
-    # frame) would silently mislabel, so refuse it instead.
-    if [cid for cid, _ in cents] != list(range(k_codes)):
+    # frame) would silently mislabel, so refuse it instead. An EMPTY
+    # corpus is fine — the kernels carry a shape-correct no-op path.
+    if cents and [cid for cid, _ in cents] != list(range(k_codes)):
         raise ValueError(
             "PQ codebook seeding needs contiguous vec_id 0.."
             f"{k_codes - 1} in the corpus (got "
