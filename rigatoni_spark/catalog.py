@@ -303,6 +303,74 @@ def _q_sink_avro_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink small-files remedy inside the correctness gate: three
+    micro-batch writes accrue per-batch objects under the HIVE layout;
+    ``sinks.compact.compact_sink_output`` rewrites the tree through the
+    SAME writer under one compaction id (one object per collection
+    group), and the read-back must hash-match the combined slice
+    oracle — content-preservation of the maintenance pass is the thing
+    under test. Raises if compaction failed to reduce the object count."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from rigatoni_spark.config import (
+        CompressionCodec,
+        PartitionStrategy,
+        S3SinkConfig,
+        SerializationFormat,
+    )
+    from rigatoni_spark.sinks.compact import compact_sink_output
+    from rigatoni_spark.sinks.reader import read_sink_output
+    from rigatoni_spark.sinks.writers import write_batch
+
+    rt = F.col("resume_token").cast("bigint")
+    ce = read_change_events(spark, sf_dir).filter(rt % 7 == 0)
+    root = tempfile.mkdtemp(prefix="sink_cp_")
+    try:
+        cfg = S3SinkConfig(
+            bucket=root,
+            format=SerializationFormat.JSON,
+            compression=CompressionCodec.GZIP,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        for b in range(3):
+            write_batch(ce.filter(rt % 3 == b), cfg, batch_id=b)
+
+        def n_objects() -> int:
+            return len(
+                _glob.glob(
+                    os.path.join(root, "**", "*.jsonl.gz"), recursive=True
+                )
+            )
+
+        before = n_objects()
+        compact_sink_output(spark, cfg, compaction_id=999)
+        after = n_objects()
+        if not (0 < after < before):
+            raise RuntimeError(
+                f"compaction did not shrink the tree: {before} -> {after}"
+            )
+        out = (
+            read_sink_output(spark, cfg)
+            .select(
+                F.col("operation").cast("string").alias("operation"),
+                F.col("database").cast("string").alias("database"),
+                F.col("collection").cast("string").alias("collection"),
+                F.col("cluster_time").cast("timestamp").alias("cluster_time"),
+                F.col("document_key").cast("string").alias("document_key"),
+                F.col("full_document").cast("string").alias("full_document"),
+                F.col("resume_token").cast("string").alias("resume_token"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy(F.col("resume_token").cast("bigint"))
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/B1 through the REAL streaming engine: the change-event stream
     (availableNow trigger) folded into a complete-mode windowed
@@ -1097,6 +1165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k5_sink_parquet_zstd": _q_sink_parquet_zstd,
     "k4_sink_csv_flat": _q_sink_csv_flat,
     "k6_sink_avro_gzip": _q_sink_avro_gzip,
+    "k7_sink_compaction": _q_sink_compaction,
     "s4_watch_collections": _q_watch_collections,
     "s5_pre_images": _q_pre_images,
     "f4_update_description": _q_update_description,
@@ -1131,6 +1200,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": _rel("asof"),
     "rel_except_customers": _rel("except"),
     "rel_pivot_ops": _q_pivot,
+    "cdc_payload_schema_profile": lambda spark, sf_dir: (
+        advanced.payload_schema_profile(read_change_events(spark, sf_dir))
+    ),
     "rel_window_running": _rel("running"),
     "rel_cube": _rel("cube"),
     "rel_enrich_customers": _q_enrich,
@@ -1413,6 +1485,7 @@ FROM change_events WHERE event_id % 7 = 0 ORDER BY event_id"""
             "k5_sink_parquet_zstd",
             "k4_sink_csv_flat",
             "k6_sink_avro_gzip",
+            "k7_sink_compaction",
         )
     },
     "s2_ddl_lifecycle": f"""
@@ -1542,6 +1615,9 @@ GROUP BY collection, operation ORDER BY collection, operation""",
     "rel_window_running": advanced.RUNNING_TOTALS_ORACLE,
     "rel_cube": advanced.CUBE_ORACLE,
     "rel_enrich_customers": f"{_CE_CTE}\n{advanced.ENRICH_ORACLE_BODY}",
+    "cdc_payload_schema_profile": (
+        f"{_CE_CTE}{advanced.PAYLOAD_SCHEMA_ORACLE_BODY}"
+    ),
     "rel_q4_late_orders": relational.Q4_ORACLE,
     "rel_q10_returned_revenue": relational.Q10_ORACLE,
     "rel_q15_top_supplier": relational.Q15_ORACLE,

@@ -450,6 +450,90 @@ ORDER BY c.c_mktsegment, e.operation
 """
 
 
+_PAYLOAD_COLS = ("document_key", "full_document", "updated_fields")
+
+
+def payload_schema_profile(events_ce: DataFrame) -> DataFrame:
+    """Schemaless-payload drift monitor: top-level key inventory across
+    the JSON envelope columns — per (column, key): occurrence count and
+    presence fraction among that column's non-null rows. The audit a
+    CDC consumer runs to notice upstream schema drift (new fields,
+    vanished fields) WITHOUT a registered schema — the flexibility the
+    JSON-payload data model exists for (schema.py; the reference keeps
+    payloads as raw BSON for the same reason, event.rs:272-311).
+
+    Plan: per column, a scan-stage ``json_object_keys`` explode (keys
+    only — values never leave the scan), unioned, then one hash agg on
+    (column, key) + a broadcast join to the per-column non-null totals.
+    At 100 TB this is |rows| x |keys| narrow rows into a map-side
+    combined agg — the profile table is ~|distinct keys| rows."""
+    parts = []
+    for c in _PAYLOAD_COLS:
+        parts.append(
+            events_ce.filter(F.col(c).isNotNull()).select(
+                F.lit(c).alias("payload_col"),
+                F.explode(F.json_object_keys(F.col(c))).alias("key"),
+            )
+        )
+    keyed = parts[0]
+    for p in parts[1:]:
+        keyed = keyed.unionByName(p)
+    totals = None
+    for c in _PAYLOAD_COLS:
+        t = events_ce.filter(F.col(c).isNotNull()).agg(
+            F.lit(c).alias("payload_col"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        totals = t if totals is None else totals.unionByName(t)
+    return (
+        keyed.groupBy("payload_col", "key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .join(F.broadcast(totals), "payload_col")
+        .select(
+            "payload_col",
+            "key",
+            "n_present",
+            F.floor(F.col("n_present") * 10000 / F.col("n_rows"))
+            .cast("bigint")
+            .alias("presence_x10k"),
+        )
+        .orderBy("payload_col", "key")
+    )
+
+
+PAYLOAD_SCHEMA_ORACLE_BODY = """
+, keyed AS (
+  SELECT payload_col, unnest(json_keys(v)) AS key FROM (
+    SELECT 'document_key' AS payload_col, document_key AS v
+    FROM change_events WHERE document_key IS NOT NULL
+    UNION ALL
+    SELECT 'full_document', full_document
+    FROM change_events WHERE full_document IS NOT NULL
+    UNION ALL
+    SELECT 'updated_fields', updated_fields
+    FROM change_events WHERE updated_fields IS NOT NULL
+  )
+), totals AS (
+  SELECT payload_col, COUNT(*) AS n_rows FROM (
+    SELECT 'document_key' AS payload_col
+    FROM change_events WHERE document_key IS NOT NULL
+    UNION ALL
+    SELECT 'full_document' FROM change_events
+    WHERE full_document IS NOT NULL
+    UNION ALL
+    SELECT 'updated_fields' FROM change_events
+    WHERE updated_fields IS NOT NULL
+  ) GROUP BY payload_col
+)
+SELECT k.payload_col, k.key, COUNT(*) AS n_present,
+       CAST(FLOOR(COUNT(*) * 10000.0 / MAX(t.n_rows)) AS BIGINT)
+         AS presence_x10k
+FROM keyed k JOIN totals t USING (payload_col)
+GROUP BY k.payload_col, k.key
+ORDER BY k.payload_col, k.key
+"""
+
+
 def value_histogram(events: DataFrame, width: float = 10.0) -> DataFrame:
     """Fixed-width histogram over a numeric measure — the distribution
     profile every corpus/metric audit starts with.

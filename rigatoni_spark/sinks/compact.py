@@ -1,0 +1,188 @@
+"""Sink-output compaction: merge the many small objects a
+micro-batched CDC sink accrues into one object per layout group.
+
+The reference flushes one object per (collection, batch) —
+`rigatoni-destinations/src/s3/destination.rs:531-604` — so a
+long-running pipeline at a 5-second trigger writes ~17K objects per
+collection per day. At 100 TB consumer scan cost becomes
+object-listing-bound long before it is data-bound (the same
+small-files failure mode the admission gate's state compaction
+handles, streaming/admission.py). This pass rewrites the WHOLE sink
+tree through the REAL writer (`write_batch`) under one compaction
+batch id: the deterministic (batch_id, group-time) key scheme then
+yields one object per layout group (per (collection, hour) dir under
+HIVE — partitionBy re-derives every row's true hour, so layout
+fidelity is exact; per collection under the other strategies, keyed
+at the group's max event time like any flush).
+
+Offline maintenance: run with the pipeline STOPPED, like
+``AdmissionStream.compact``. Crash-safe by a two-phase marker +
+deterministic re-run:
+
+1. publish ``_sink_compaction`` marker (phase=staging, cid);
+2. clean any partial state (staging dirs, cid-prefixed keys) — the
+   remaining tree is exactly the old object set;
+3. read the tree back (sinks/reader.py), rewrite through
+   ``write_batch(batch_id=cid)``;
+4. advance the marker to phase=published;
+5. delete every non-cid-prefixed object, prune empty dirs, clear the
+   marker.
+
+A crash re-enters at the right phase via
+:func:`recover_sink_compaction`: in ``staging`` the old set is intact
+(step 2 makes the rewrite idempotent); in ``published`` the new
+objects are all present and only deletes remain (delete is
+missing-tolerant). Readers between steps 4 and 5 can see old+new
+double rows — the offline contract, not a correctness hole.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rigatoni_spark.config import S3SinkConfig
+from rigatoni_spark.sinks.key_gen import file_extension
+from rigatoni_spark.sinks.reader import read_sink_output
+from rigatoni_spark.sinks.writers import write_batch
+
+_MARKER = "_sink_compaction"
+
+
+def _base(cfg: S3SinkConfig) -> str:
+    base = cfg.base_uri.replace("file:", "")
+    if not base.startswith("/"):
+        raise NotImplementedError(
+            "sink compaction is wired for filesystem destinations (the "
+            "same constraint as write_batch); S3 needs hadoop-aws"
+        )
+    return base.rstrip("/")
+
+
+def _object_files(base: str, ext: str) -> list[str]:
+    return sorted(
+        f
+        for f in glob.glob(
+            os.path.join(base, "**", f"*{ext}"), recursive=True
+        )
+        if f"{os.sep}_staging_" not in f
+    )
+
+
+def _typed_envelope(df: DataFrame) -> DataFrame:
+    """Canonical typed projection of read-back rows (text formats
+    surface strings) — what write_batch's key generation needs."""
+    return df.select(
+        F.col("operation").cast("string").alias("operation"),
+        F.col("database").cast("string").alias("database"),
+        F.col("collection").cast("string").alias("collection"),
+        F.col("cluster_time").cast("timestamp").alias("cluster_time"),
+        F.col("document_key").cast("string").alias("document_key"),
+        F.col("full_document").cast("string").alias("full_document"),
+        F.col("resume_token").cast("string").alias("resume_token"),
+    )
+
+
+def compact_sink_output(
+    spark: SparkSession, cfg: S3SinkConfig, compaction_id: int
+) -> dict:
+    """Compact every object under ``cfg.base_uri`` into one object per
+    layout group. ``compaction_id`` becomes the new keys' batch-id stem
+    prefix — it must not collide with any existing key (enforced) and
+    must differ between successive compactions (the previous pass's
+    objects are 'old' to the next one).
+
+    Returns ``{"removed": n_old_objects, "keys": new_keys}``.
+    """
+    base = _base(cfg)
+    ext = file_extension(cfg.format, cfg.compression)
+    marker = os.path.join(base, _MARKER)
+    if os.path.exists(marker):
+        raise RuntimeError(
+            "a sink compaction is pending; run recover_sink_compaction"
+        )
+    prefix = f"{compaction_id:012d}-"
+    files = _object_files(base, ext)
+    if any(os.path.basename(f).startswith(prefix) for f in files):
+        raise ValueError(
+            f"compaction_id {compaction_id} collides with existing keys"
+        )
+    if len(files) < 2:
+        return {"removed": 0, "keys": []}
+    _atomic_write(
+        marker, json.dumps({"cid": compaction_id, "phase": "staging"})
+    )
+    return _run(spark, cfg, compaction_id)
+
+
+def recover_sink_compaction(spark: SparkSession, cfg: S3SinkConfig) -> dict:
+    """Finish a crashed compaction (no-op without a pending marker)."""
+    base = _base(cfg)
+    marker = os.path.join(base, _MARKER)
+    if not os.path.exists(marker):
+        return {"removed": 0, "keys": []}
+    with open(marker) as fh:
+        state = json.load(fh)
+    if state["phase"] == "staging":
+        return _run(spark, cfg, state["cid"])
+    return _finish(cfg, state["cid"])
+
+
+def _run(spark: SparkSession, cfg: S3SinkConfig, cid: int) -> dict:
+    base = _base(cfg)
+    ext = file_extension(cfg.format, cfg.compression)
+    prefix = f"{cid:012d}-"
+    # phase-1 cleanup: drop partial staging dirs and partial new keys,
+    # restoring the tree to exactly the old object set
+    for d in glob.glob(os.path.join(base, "**", "_staging_*"), recursive=True):
+        shutil.rmtree(d, ignore_errors=True)
+    for f in _object_files(base, ext):
+        if os.path.basename(f).startswith(prefix):
+            os.remove(f)
+    typed = _typed_envelope(read_sink_output(spark, cfg))
+    keys = write_batch(typed, cfg, batch_id=cid)
+    marker = os.path.join(base, _MARKER)
+    _atomic_write(marker, json.dumps({"cid": cid, "phase": "published"}))
+    out = _finish(cfg, cid)
+    out["keys"] = keys
+    return out
+
+
+def _finish(cfg: S3SinkConfig, cid: int) -> dict:
+    base = _base(cfg)
+    ext = file_extension(cfg.format, cfg.compression)
+    prefix = f"{cid:012d}-"
+    removed = 0
+    for f in _object_files(base, ext):
+        if not os.path.basename(f).startswith(prefix):
+            try:
+                os.remove(f)
+                removed += 1
+            except FileNotFoundError:
+                pass
+    _prune_empty_dirs(base)
+    os.remove(os.path.join(base, _MARKER))
+    return {"removed": removed, "keys": []}
+
+
+def _prune_empty_dirs(base: str) -> None:
+    for d in sorted(
+        (p for p, _, _ in os.walk(base)), key=len, reverse=True
+    ):
+        if d != base:
+            try:
+                os.rmdir(d)  # only succeeds when empty
+            except OSError:
+                pass
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, path)

@@ -497,3 +497,118 @@ class TestReadBack:
         assert pruned.count() == want
         c1_keys = [k for k in keys if k.startswith("collection=c1/")]
         assert c1_keys and len(c1_keys) < len(keys)
+
+
+class TestSinkCompaction:
+    def _cfg(self, out):
+        return S3SinkConfig(
+            bucket=str(out),
+            format=SerializationFormat.JSON,
+            compression=CompressionCodec.GZIP,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+
+    def _rows(self, spark, cfg):
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        return sorted(
+            (r["collection"], r["resume_token"])
+            for r in read_sink_output(spark, cfg)
+            .select("collection", "resume_token")
+            .collect()
+        )
+
+    def test_merges_objects_and_preserves_content(
+        self, spark, change_events, tmp_path
+    ):
+        from rigatoni_spark.sinks.compact import compact_sink_output
+
+        cfg = self._cfg(tmp_path)
+        rt = F.col("resume_token").cast("bigint")
+        for b in range(3):
+            write_batch(change_events.filter(rt % 3 == b), cfg, batch_id=b)
+        before_files = glob.glob(str(tmp_path / "**" / "*.jsonl.gz"), recursive=True)
+        want = self._rows(spark, cfg)
+        res = compact_sink_output(spark, cfg, compaction_id=777)
+        after_files = glob.glob(str(tmp_path / "**" / "*.jsonl.gz"), recursive=True)
+        assert len(after_files) < len(before_files)
+        assert len(after_files) == len(res["keys"])
+        assert all(
+            os.path.basename(f).startswith("000000000777-") for f in after_files
+        )
+        assert self._rows(spark, cfg) == want
+        # reusing the same cid collides with the now-existing keys
+        with pytest.raises(ValueError, match="collides"):
+            compact_sink_output(spark, cfg, compaction_id=777)
+
+    def test_recovery_from_staging_phase_drops_partial_keys(
+        self, spark, change_events, tmp_path
+    ):
+        """Crash mid-rewrite: marker=staging + a partial cid-prefixed
+        object on disk. Recovery re-runs from the intact old set — the
+        partial object must not double rows."""
+        import shutil as _sh
+
+        from rigatoni_spark.sinks.compact import (
+            _atomic_write,
+            recover_sink_compaction,
+        )
+
+        cfg = self._cfg(tmp_path)
+        rt = F.col("resume_token").cast("bigint")
+        for b in range(2):
+            write_batch(change_events.filter(rt % 2 == b), cfg, batch_id=b)
+        want = self._rows(spark, cfg)
+        some = glob.glob(str(tmp_path / "**" / "*.jsonl.gz"), recursive=True)[0]
+        partial = os.path.join(
+            os.path.dirname(some), "000000000555-999.jsonl.gz"
+        )
+        _sh.copy(some, partial)  # half-written new object
+        _atomic_write(
+            str(tmp_path / "_sink_compaction"),
+            '{"cid": 555, "phase": "staging"}',
+        )
+        recover_sink_compaction(spark, cfg)
+        assert not os.path.exists(str(tmp_path / "_sink_compaction"))
+        assert self._rows(spark, cfg) == want
+        files = glob.glob(str(tmp_path / "**" / "*.jsonl.gz"), recursive=True)
+        assert all(
+            os.path.basename(f).startswith("000000000555-") for f in files
+        )
+
+    def test_recovery_from_published_phase_deletes_stragglers(
+        self, spark, change_events, tmp_path
+    ):
+        """Crash mid-delete: new objects all present, some old ones
+        linger. Recovery deletes them without re-reading anything."""
+        from rigatoni_spark.sinks.compact import (
+            _atomic_write,
+            compact_sink_output,
+            recover_sink_compaction,
+        )
+
+        cfg = self._cfg(tmp_path)
+        rt = F.col("resume_token").cast("bigint")
+        for b in range(2):
+            write_batch(change_events.filter(rt % 2 == b), cfg, batch_id=b)
+        want = self._rows(spark, cfg)
+        compact_sink_output(spark, cfg, compaction_id=888)
+        # simulate a straggler old object + a published-phase marker
+        straggler = tmp_path / "c0" / "000000000001-straggler.jsonl.gz"
+        straggler.parent.mkdir(exist_ok=True)
+        straggler.write_bytes(b"junk")
+        _atomic_write(
+            str(tmp_path / "_sink_compaction"),
+            '{"cid": 888, "phase": "published"}',
+        )
+        recover_sink_compaction(spark, cfg)
+        assert not straggler.exists()
+        assert not os.path.exists(str(tmp_path / "_sink_compaction"))
+        assert self._rows(spark, cfg) == want
+        # pending marker blocks a new compaction attempt
+        _atomic_write(
+            str(tmp_path / "_sink_compaction"),
+            '{"cid": 1, "phase": "staging"}',
+        )
+        with pytest.raises(RuntimeError, match="pending"):
+            compact_sink_output(spark, cfg, compaction_id=2)
