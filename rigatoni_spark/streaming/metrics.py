@@ -56,6 +56,8 @@ WRITE_DURATION = "rigatoni_destination_write_duration_seconds"
 WRITE_BYTES = "rigatoni_destination_write_bytes"
 WRITE_ERRORS = "rigatoni_destination_write_errors_total"
 BATCHES_WRITTEN = "rigatoni_batches_written_total"
+DLQ_EVENTS = "rigatoni_dlq_events_total"
+DLQ_BATCHES = "rigatoni_dlq_batches_total"
 QUEUE_SIZE = "rigatoni_batch_queue_size"
 ACTIVE_COLLECTIONS = "rigatoni_active_collections"
 PIPELINE_STATUS = "rigatoni_pipeline_status"

@@ -81,6 +81,8 @@ class PipelineStats:
     batches_written: int = 0
     write_errors: int = 0
     retries: int = 0
+    dlq_batches: int = 0
+    dlq_events: int = 0
     keys_written: list[str] = field(default_factory=list)
 
 
@@ -94,12 +96,22 @@ class Pipeline:
         sink: S3SinkConfig,
         source_dir: str,
         checkpoint_dir: str,
+        dlq_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
         self.sink = sink
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
+        # dead-letter destination: when set, a batch whose write
+        # exhausts its retries (or fails non-retryably, invalidate
+        # excepted) lands under dlq_dir/batch_id=N as parquet with the
+        # error attached, and the STREAM KEEPS RUNNING — one poisoned
+        # batch must not wedge the whole CDC feed. Per-batch-id
+        # partition overwrite makes a replayed failure idempotent,
+        # the same exactly-once-by-overwrite contract as the
+        # admission gate's state trees.
+        self.dlq_dir = dlq_dir.replace("file:", "") if dlq_dir else None
         self.stats = PipelineStats()
         self.metrics = M.MetricsRegistry()
         self._queries: list = []
@@ -245,18 +257,23 @@ class Pipeline:
                 staging_scope=state.scope,
             )
 
-        keys = self._retrying_write(_write)
+        keys = self._retrying_write(_write, batch_df, batch_id)
+        if keys is None:
+            return  # batch routed to the DLQ; stream continues
         n = batch_info["n"]
         if n == 0:
             return
         state.last_n = n
         self._finish_batch(n, keys, batch_info["colls"], t0, state)
 
-    def _retrying_write(self, write_fn):
+    def _retrying_write(self, write_fn, batch_df=None, batch_id=None):
         """R1 wrapper shared by both batch paths: retry policy from
         config, retry/error accounting, invalidate passes through as
         the terminal error it is (it also self-classifies as
-        non-retryable for with_retry)."""
+        non-retryable for with_retry). With a DLQ configured, an
+        exhausted/non-retryable failure routes the batch there and
+        returns None instead of raising — the caller skips its
+        finish-batch accounting and the stream continues."""
         policy = RetryPolicy(
             max_retries=self.config.max_retries,
             retry_delay_ms=self.config.retry_delay_ms,
@@ -272,11 +289,32 @@ class Pipeline:
             return with_retry(write_fn, policy, on_retry=_on_retry)
         except StreamInvalidatedError:
             raise
-        except Exception:
+        except Exception as err:
             with self._lock:
                 self.stats.write_errors += 1
             self.metrics.inc(M.WRITE_ERRORS)
-            raise
+            if self.dlq_dir is None or batch_df is None:
+                raise
+            self._to_dlq(batch_df, batch_id, err)
+            return None
+
+    def _to_dlq(self, batch_df: DataFrame, batch_id: int, err) -> None:
+        """Dead-letter the batch: full envelope + error text, one
+        parquet partition per batch id (overwrite => replay-idempotent).
+        A DLQ consumer replays with spark.read.parquet(dlq_dir)."""
+        import os
+
+        dest = os.path.join(self.dlq_dir, f"batch_id={batch_id}")
+        dlq = batch_df.withColumn(
+            "dlq_error", F.lit(str(err)[:500])
+        )
+        dlq.write.mode("overwrite").parquet(dest)
+        n = self.spark.read.parquet(dest).count()
+        with self._lock:
+            self.stats.dlq_batches += 1
+            self.stats.dlq_events += n
+        self.metrics.inc(M.DLQ_BATCHES)
+        self.metrics.inc(M.DLQ_EVENTS, n)
 
     def _foreach_batch_probed(
         self,
@@ -327,7 +365,9 @@ class Pipeline:
                     staging_scope=state.scope,
                 )
 
-            keys = self._retrying_write(_write)
+            keys = self._retrying_write(_write, batch_df, batch_id)
+            if keys is None:
+                return  # batch routed to the DLQ; stream continues
             state.last_n = n
             self._finish_batch(n, keys, set(group_times), t0, state)
         finally:

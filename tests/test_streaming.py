@@ -471,3 +471,92 @@ class TestBackfill:
             Pipeline(
                 spark, PipelineConfig(), sink, src, ckpt
             ).await_backfill()
+
+
+class TestDeadLetterQueue:
+    def test_poisoned_batch_routes_to_dlq_and_stream_continues(
+        self, spark, dirs, tmp_path, monkeypatch
+    ):
+        """A batch whose write fails non-retryably lands in the DLQ
+        (full envelope + error text, batch_id partition) and the
+        stream keeps processing; the WAL commits the poisoned batch so
+        a restart does NOT replay it at the sink."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        _feed(src, "b.parquet", 300, 200)
+        real = P.write_batch
+
+        def flaky(df, cfg, batch_id=None, **kw):
+            if batch_id == 0:
+                raise RuntimeError("access denied by destination")
+            return real(df, cfg, batch_id=batch_id, **kw)
+
+        monkeypatch.setattr(P, "write_batch", flaky)
+        dlq_dir = str(tmp_path / "dlq")
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(
+            spark,
+            PipelineConfig(batch_timeout_secs=1.0, max_retries=1),
+            sink,
+            src,
+            ckpt,
+            dlq_dir=dlq_dir,
+        ).start()
+        p.process_all_available()
+        p.stop()
+        assert p.stats.dlq_batches == 1
+        assert p.stats.dlq_events == 300
+        assert p.stats.write_errors == 1
+        assert p.stats.retries == 0  # access denied: non-retryable
+        assert p.stats.events_processed == 200  # batch 1 flowed on
+        dlq = spark.read.parquet(dlq_dir)
+        assert dlq.count() == 300
+        row = dlq.limit(1).collect()[0]
+        assert "access denied" in row["dlq_error"]
+        assert row["batch_id"] == 0
+        # the WAL committed the poisoned batch: a clean restart (no
+        # monkeypatch) replays nothing
+        monkeypatch.setattr(P, "write_batch", real)
+        p2 = Pipeline(
+            spark,
+            PipelineConfig(batch_timeout_secs=1.0),
+            sink,
+            src,
+            ckpt,
+            dlq_dir=dlq_dir,
+        ).start()
+        p2.process_all_available()
+        p2.stop()
+        assert p2.stats.events_processed == 0
+
+    def test_retryable_failure_exhausts_backoff_before_dlq(
+        self, spark, dirs, tmp_path, monkeypatch
+    ):
+        """A retryable error is retried per policy; only exhaustion
+        dead-letters the batch. Without a DLQ the error still raises
+        (pre-existing contract untouched)."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 100)
+        attempts = {"n": 0}
+
+        def always_timeout(df, cfg, **kw):
+            attempts["n"] += 1
+            raise RuntimeError("connection timeout to destination")
+
+        monkeypatch.setattr(P, "write_batch", always_timeout)
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        cfg = PipelineConfig(
+            batch_timeout_secs=1.0, max_retries=2, retry_delay_ms=10
+        )
+        p = Pipeline(
+            spark, cfg, sink, src, ckpt, dlq_dir=str(tmp_path / "dlq")
+        ).start()
+        p.process_all_available()
+        p.stop()
+        assert attempts["n"] == 3  # initial + 2 retries
+        assert p.stats.retries == 2
+        assert p.stats.dlq_batches == 1 and p.stats.dlq_events == 100
