@@ -347,6 +347,15 @@ def _q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         before = n_objects()
+        if before == 0:
+            # empty feed: nothing written, nothing to compact — return
+            # the empty typed envelope like the other sink round-trips
+            return spark.createDataFrame(
+                [],
+                "operation string, database string, collection string,"
+                " cluster_time timestamp, document_key string,"
+                " full_document string, resume_token string",
+            )
         compact_sink_output(spark, cfg, compaction_id=999)
         after = n_objects()
         if not (0 < after < before):
