@@ -209,7 +209,12 @@ def _q_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_sink_roundtrip(
-    spark: SparkSession, sf_dir: str, fmt: str, codec: str, strategy: str
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str,
+    codec: str,
+    strategy: str,
+    time_bound: str | None = None,
 ) -> DataFrame:
     """K3-K9 inside the correctness gate: a fixed slice of the
     change-event feed (event_id % 7 == 0) goes through the REAL sink
@@ -234,9 +239,14 @@ def _run_sink_roundtrip(
     from rigatoni_spark.sinks.reader import read_sink_output
     from rigatoni_spark.sinks.writers import write_batch
 
-    ce = read_change_events(spark, sf_dir).filter(
-        F.col("resume_token").cast("bigint") % 7 == 0
-    )
+    ce = read_change_events(spark, sf_dir)
+    if time_bound is not None:
+        # dense slice for layouts that fan out per (collection, hour):
+        # the sparse %7 slice would write thousands of 1-row objects —
+        # a layout-granularity artifact, not a sink property
+        ce = ce.filter(F.col("cluster_time") < F.lit(time_bound))
+    else:
+        ce = ce.filter(F.col("resume_token").cast("bigint") % 7 == 0)
     root = tempfile.mkdtemp(prefix="sink_rt_")
     try:
         cfg = S3SinkConfig(
@@ -282,9 +292,13 @@ def _q_sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5+K8: Parquet, zstd-compressed, Hive key layout."""
+    """K5+K8: Parquet, zstd-compressed, Hive key layout. Slice = the
+    feed's first two days: HIVE fans one object per (collection, hour),
+    so this round-trip uses a DENSE window (384 dirs at sf0.1) rather
+    than the sparse %7 sample (5.3K one-row dirs)."""
     return _run_sink_roundtrip(
-        spark, sf_dir, "PARQUET", "ZSTD", "HIVE_PARTITIONED"
+        spark, sf_dir, "PARQUET", "ZSTD", "HIVE_PARTITIONED",
+        time_bound="2024-01-03",
     )
 
 
@@ -1226,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprints": _doc(textstats.fingerprints),
     "text_tfidf_top_terms": _doc(textstats.tfidf_top_terms),
     "text_bigrams_top": _doc(textstats.bigram_counts),
+    "text_bpe_pair_counts": _doc(textstats.bpe_pair_counts),
     "text_regex_tokens": _doc(textstats.regex_token_counts),
     # deterministic sampling (hash-thresholded; reproducible data mixes)
     "sample_fraction_hash": _doc(
@@ -1372,6 +1387,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s6_stream_admission_vec": _q_stream_admission_vec,
     # product quantization: compressed-domain similarity (llm/pq.py)
     "sim_pq_codes": _emb(pq.pq_codes),
+    "sim_pq_incremental_codes": lambda spark, sf_dir: pq.pq_encode_increment(
+        tables.load_table(spark, sf_dir, "embeddings"),
+        tables.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 3)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        ),
+    ),
     "sim_pq_topk": _emb(pq.pq_topk),
     "dedup_pq_buckets": _emb(pq.pq_bucket_dedup),
     "sim_ivfpq_topk": _emb(pq.ivfpq_topk),
@@ -1491,12 +1515,16 @@ SELECT operation, "database", collection, cluster_time, document_key,
 FROM change_events WHERE event_id % 7 = 0 ORDER BY event_id"""
         for k in (
             "k3_sink_jsonl_gzip",
-            "k5_sink_parquet_zstd",
             "k4_sink_csv_flat",
             "k6_sink_avro_gzip",
             "k7_sink_compaction",
         )
     },
+    "k5_sink_parquet_zstd": f"""{_CE_CTE}
+SELECT operation, "database", collection, cluster_time, document_key,
+       full_document, resume_token
+FROM change_events WHERE cluster_time < TIMESTAMP '2024-01-03'
+ORDER BY event_id""",
     "s2_ddl_lifecycle": f"""
 WITH ddl AS ({ddl_events_oracle_cte()})
 SELECT operation, collection, cluster_time, resume_token
@@ -1656,6 +1684,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_top_tokens": textstats.top_tokens_oracle(),
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_quality_logit": textstats.quality_logit_oracle(),
+    "text_bpe_pair_counts": textstats.bpe_pair_counts_oracle(),
     # streaming twins converge to the identical batch results over the
     # drained bounded corpus — same oracles
     "s7_stream_quality_gate": textstats.quality_logit_oracle(),
@@ -1787,6 +1816,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
         threshold=0.3
     ),
     "sim_pq_codes": pq.pq_codes_oracle(),
+    "sim_pq_incremental_codes": pq.pq_increment_oracle(),
     "sim_pq_topk": pq.pq_topk_oracle(),
     "dedup_pq_buckets": pq.pq_bucket_dedup_oracle(),
     "sim_ivfpq_topk": pq.ivfpq_topk_oracle(),

@@ -196,10 +196,19 @@ def pq_codes(
 
     Plan: one scan-stage Arrow kernel projection, zero joins, zero
     shuffles (the orderBy is the oracle-compare canonicalizer)."""
+    return _encode_frame(
+        embeddings, _seed_codebooks(embeddings, m, k_codes, scale), scale
+    )
+
+
+def _encode_frame(frame: DataFrame, books, scale: int) -> DataFrame:
+    """Encode ``frame`` against ALREADY-BUILT codebooks — shared by the
+    whole-corpus path (pq_codes) and the increment path
+    (pq_encode_increment)."""
     import numpy as np
     import pandas as pd
 
-    enc = _np_encode_fn(_seed_codebooks(embeddings, m, k_codes, scale))
+    enc = _np_encode_fn(books)
 
     @F.pandas_udf("struct<code_key: string, distortion: bigint>")
     def kernel(s):
@@ -210,7 +219,7 @@ def pq_codes(
         return pd.DataFrame({"code_key": keys, "distortion": dist})
 
     return (
-        spread(embeddings)
+        spread(frame)
         .select(
             "vec_id",
             kernel(_quantize_expr(F.col("embedding"), scale)).alias("pq"),
@@ -221,6 +230,28 @@ def pq_codes(
             F.col("pq.distortion").alias("distortion"),
         )
         .orderBy("vec_id")
+    )
+
+
+def pq_encode_increment(
+    corpus: DataFrame,
+    increment: DataFrame,
+    m: int = M_SUBSPACES,
+    k_codes: int = K_CODES,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Serving-flow PQ: encode a NEW vector batch against the EXISTING
+    corpus codebooks — no retrain, no corpus re-encode. This is the
+    admission-side twin of :func:`pq_codes`: a 100 TB deployment
+    trains/seeds codebooks once, persists the coded corpus
+    (``write_pq_index``), and every arriving batch pays only its own
+    encode (cost ∝ |increment|; the codebooks ride the closure, so the
+    plan is one scan-stage Arrow projection over the increment — the
+    corpus is never touched). Distortion per new vector is the drift
+    monitor: rising increment distortion vs the corpus baseline is the
+    retrain signal."""
+    return _encode_frame(
+        increment, _seed_codebooks(corpus, m, k_codes, scale), scale
     )
 
 
@@ -268,6 +299,41 @@ SELECT vec_id,
        string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS code_key,
        CAST(SUM(d) AS BIGINT) AS distortion
 FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def pq_increment_oracle(
+    m: int = M_SUBSPACES, k_codes: int = K_CODES, scale: int = SCALE
+) -> str:
+    """Oracle for the catalog's incremental-encode query: codebooks
+    from the CORPUS (same cb CTE as every PQ oracle), encode only the
+    derived increment (vec_id % 5 == 3, reversed embedding, +1e6 id —
+    vectors guaranteed absent from the corpus)."""
+    sub = DIM // m
+    return f"""{_oracle_prefix(m, k_codes, scale, sub)},
+incq AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(list_reverse(embedding),
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 5 = 3
+),
+ipqd AS (
+  SELECT incq.vec_id, cb.s, cb.code,
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (incq.qv[cb.s * {sub} + i] - cb.cvec[i])
+              * (incq.qv[cb.s * {sub} + i] - cb.cvec[i]))) AS d
+  FROM incq CROSS JOIN cb
+),
+ienc AS (
+  SELECT vec_id, s, code, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, code) AS rn
+    FROM ipqd) WHERE rn = 1
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS code_key,
+       CAST(SUM(d) AS BIGINT) AS distortion
+FROM ienc GROUP BY vec_id ORDER BY vec_id
 """
 
 

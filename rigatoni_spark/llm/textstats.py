@@ -529,6 +529,57 @@ FROM scored ORDER BY doc_id
 """
 
 
+def bpe_pair_counts(documents: DataFrame, k: int = 30) -> DataFrame:
+    """Tokenizer induction, round one: corpus-wide adjacent
+    character-pair counts within words — the merge-candidate table the
+    first BPE iteration ranks (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"; the same counting
+    loop GPT-2's byte-level BPE runs per merge). Output: the top-``k``
+    pairs by occurrence count (ties broken by pair text — a total
+    order, so the cut is hash-stable).
+
+    Full BPE alternates count -> merge -> recount; each round is THIS
+    shape (the merge rewrites the symbol column between rounds), so one
+    round is the representative distributed kernel: explode words ->
+    explode in-word adjacent pairs (both scan-stage) -> one map-side
+    combined count agg -> TakeOrdered top-k. At 100 TB nothing but
+    (pair, partial count) rows ever shuffles."""
+    toks = _tokens()
+    word = F.col("word")
+    # substring(col, i, 2) with a COLUMN start position needs expr form
+    pairs = F.when(
+        F.length(word) >= 2,
+        F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        spread(documents)
+        .select(F.explode(toks).alias("word"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_oracle(k: int = 30) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+pairs AS (
+  SELECT word[i:i+1] AS pair
+  FROM words, LATERAL unnest(generate_series(1, len(word) - 1)) AS g(i)
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT {k}
+"""
+
+
 def source_signatures(documents: DataFrame, k: int = 5) -> DataFrame:
     """Per-source signature terms: the k tokens most over-represented
     in each source vs the whole corpus — the domain-shift audit a
