@@ -45,6 +45,40 @@ class MetricsRegistry:
                 out[f"{name}{{{lbl}}}" if lbl else name] = v
             return out
 
+    def render_prometheus(self) -> str:
+        """Prometheus text exposition format (the reference's
+        /metrics surface, rigatoni-examples/metrics_prometheus.rs):
+        `# TYPE` headers + one sample line per (name, labels), label
+        values quoted/escaped per the exposition spec. Serve behind any
+        HTTP handler."""
+
+        def esc(v: str) -> str:
+            return v.replace("\\", "\\\\").replace('"', '\\"').replace(
+                "\n", "\\n"
+            )
+
+        with self._lock:
+            families: dict[str, list[str]] = {}
+            for kind, table in (
+                ("counter", dict(self.counters)),
+                ("gauge", dict(self.gauges)),
+            ):
+                for (name, labels), v in sorted(table.items()):
+                    lbl = ",".join(
+                        f'{k}="{esc(str(val))}"' for k, val in labels
+                    )
+                    line = f"{name}{{{lbl}}} {v:g}" if lbl else f"{name} {v:g}"
+                    families.setdefault(f"# TYPE {name} {kind}", []).append(
+                        line
+                    )
+        return (
+            "\n".join(
+                header + "\n" + "\n".join(lines)
+                for header, lines in families.items()
+            )
+            + "\n"
+        )
+
 
 # Metric names (metrics.rs:101-227)
 EVENTS_PROCESSED = "rigatoni_events_processed_total"
