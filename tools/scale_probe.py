@@ -353,6 +353,30 @@ def probe_chain(spark, chains: int = 32, chain_len: int = 64) -> None:
         assert n_clusters == chains, "fixpoint mismatch on chain graph"
 
 
+def probe_text_gates(spark, sf_dir: str) -> None:
+    """Round-8 text operators under the 10x amplified corpus: the
+    quality-logit gate and BPE pair counting are scan-shaped (explode
+    -> codegen'd projection -> map-side-combined agg), so wall should
+    track corpus size ~linearly with a scheduling floor."""
+    from rigatoni_spark.llm import dedup as _d  # noqa: F401 (amplifier dep)
+    from rigatoni_spark.llm import textstats
+
+    docs, big = _amplified_docs(spark, sf_dir)
+    for label, corpus in (("1x", docs), ("10x", big)):
+        _timed(
+            f"quality_logit corpus={label}",
+            lambda c=corpus: textstats.quality_logit(c),
+        )
+        _timed(
+            f"bpe_pair_counts corpus={label}",
+            lambda c=corpus: textstats.bpe_pair_counts(c),
+        )
+        _timed(
+            f"maximal_spans corpus={label}",
+            lambda c=corpus: _d.maximal_duplicated_spans(c),
+        )
+
+
 def probe_admission_compact(spark, sf_dir: str) -> None:
     """Post-compaction streaming-admission wall (SCALE.md row).
 
@@ -580,7 +604,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "text_gates", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -598,6 +622,8 @@ def main() -> None:
         probe_incremental(spark, args.sf_dir)
     if args.which in ("incremental_vec", "all"):
         probe_incremental_vec(spark, args.sf_dir)
+    if args.which in ("text_gates", "all"):
+        probe_text_gates(spark, args.sf_dir)
     if args.which in ("admission_compact", "all"):
         probe_admission_compact(spark, args.sf_dir)
     if args.which in ("pq", "all"):
