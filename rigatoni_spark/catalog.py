@@ -635,6 +635,71 @@ def _drain_to_memory_table(
     return df.sparkSession.table(name).orderBy(*order_cols)
 
 
+def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's wire format through the REAL streaming parser: change
+    events serialize into Debezium MongoDB envelopes (a JSONL "topic
+    archive" — the broker-less file twin carries the same per-record
+    JSON the Kafka reader sees, sources/kafka.py), stream back through
+    ``read_debezium_file_stream``, and must reproduce the native
+    envelope. Debezium's source clock is ``ts_ms`` — cluster_time
+    round-trips at millisecond precision and resume_token becomes the
+    ts_ms string, both mirrored in the oracle. Ops cover the Debezium
+    code map (c/u/d); replace has no Mongo-connector code."""
+    import os
+    import shutil
+    import tempfile
+
+    from rigatoni_spark.sources.kafka import read_debezium_file_stream
+
+    ce = read_change_events(spark, sf_dir).filter(
+        F.col("operation").isin("insert", "update", "delete")
+        & (F.col("resume_token").cast("bigint") % 5 == 0)
+    )
+    code = F.coalesce(
+        *[
+            F.when(F.col("operation") == k, F.lit(v))
+            for k, v in (("insert", "c"), ("update", "u"), ("delete", "d"))
+        ]
+    )
+    value = F.to_json(
+        F.struct(
+            code.alias("op"),
+            F.struct(
+                F.col("database").alias("db"),
+                F.col("collection").alias("collection"),
+                F.expr("unix_micros(cluster_time) div 1000").alias("ts_ms"),
+            ).alias("source"),
+            F.col("document_key").alias("documentKey"),
+            F.col("full_document").alias("after"),
+            F.struct(
+                F.col("updated_fields").alias("updatedFields"),
+            ).alias("updateDescription"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="dbz_rt_")
+    try:
+        lines = os.path.join(root, "topic")
+        ce.select(value.alias("value")).write.mode("overwrite").text(lines)
+        parsed = read_debezium_file_stream(spark, lines)
+        out = _drain_to_memory_table(
+            parsed.select(
+                "operation",
+                "database",
+                "collection",
+                "cluster_time",
+                "document_key",
+                "full_document",
+                "updated_fields",
+                "resume_token",
+            ),
+            "dbz_rt",
+            ["resume_token", "document_key", "operation"],
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _q_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension join through the REAL engine: the CDC
     stream joins the broadcast customer dim per micro-batch (Spark
@@ -1418,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "s7_stream_interval_join": _q_stream_interval_join,
     "s7_stream_enrich_dim": _q_stream_enrich_dim,
+    "s2_debezium_roundtrip": _q_debezium_roundtrip,
     "s7_stream_quality_gate": _q_stream_quality_gate,
     "s7_stream_decon_hits": _q_stream_decon_hits,
     "sim_binary_hamming_topk": lambda spark, sf_dir: vectors.binary_quantize_topk(
@@ -1857,6 +1923,15 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
         "events", "user_id", "event_type = 'click'",
         "events", "user_id", "event_type = 'purchase'",
     ),
+    "s2_debezium_roundtrip": f"""{_CE_CTE}
+SELECT operation, "database", collection,
+       make_timestamp((epoch_us(cluster_time) // 1000) * 1000)
+         AS cluster_time,
+       document_key, full_document, updated_fields,
+       CAST(epoch_us(cluster_time) // 1000 AS VARCHAR) AS resume_token
+FROM change_events
+WHERE operation IN ('insert', 'update', 'delete') AND event_id % 5 = 0
+ORDER BY resume_token, document_key, operation""",
     "s7_stream_enrich_dim": f"""{_CE_CTE}
 SELECT c.c_mktsegment, e.operation, COUNT(*) AS n_events
 FROM change_events e
