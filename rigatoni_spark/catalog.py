@@ -635,6 +635,43 @@ def _drain_to_memory_table(
     return df.sparkSession.table(name).orderBy(*order_cols)
 
 
+def _q_stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_materialize's streaming twin through the FULL MaterializedView
+    machinery (streaming/materialized.py): applyInPandasWithState
+    per-key fold -> per-batch snapshot merge -> atomic ``_CURRENT``
+    pointer publication, drained with availableNow. The published
+    snapshot must equal the batch log-compaction — same oracle; the
+    merge winnow is max-version idempotent, so micro-batch boundaries
+    cannot change the fixpoint."""
+    import os
+    import shutil
+    import tempfile
+
+    from rigatoni_spark.streaming.materialized import MaterializedView
+
+    root = tempfile.mkdtemp(prefix="mv_q_")
+    try:
+        feed = os.path.join(root, "feed")
+        os.makedirs(feed)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(feed, "events.parquet"),
+        )
+        mv = MaterializedView(
+            spark,
+            feed,
+            os.path.join(root, "snap"),
+            os.path.join(root, "ckpt"),
+        ).start(available_now=True)
+        mv.await_termination(300)
+        if mv._query is not None and mv._query.isActive:
+            raise RuntimeError("materialized view did not drain in 300s")
+        out = mv.snapshot().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("collection", "document_key")
+
+
 def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2's wire format through the REAL streaming parser: change
     events serialize into Debezium MongoDB envelopes (a JSONL "topic
@@ -1240,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_dedup_first_by_key": _q_dedup_first,
     "g3_dedup_latest_by_key": _q_dedup_latest,
     "cdc_materialize": _q_materialize,
+    "cdc_stream_materialized_view": _q_stream_materialized_view,
     "f1_json_analytics": _q_json_analytics,
     "b1_daily_active_users": _q_daily_active,
     "b1_windowed_counts": _q_windowed_counts,
@@ -1635,6 +1673,9 @@ ranked AS (
 SELECT collection, document_key, operation, resume_token
 FROM ranked WHERE rn = 1 ORDER BY collection, document_key""",
     "cdc_materialize": f"""{_CE_CTE},
+{MATERIALIZE_ORACLE_BODY.strip()}""",
+    # the streaming stateful view converges to the identical snapshot
+    "cdc_stream_materialized_view": f"""{_CE_CTE},
 {MATERIALIZE_ORACLE_BODY.strip()}""",
     "f1_json_analytics": f"""{_CE_CTE}
 SELECT collection,
