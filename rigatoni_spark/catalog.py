@@ -1511,6 +1511,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": lambda spark, sf_dir: advanced.funnel(
         tables.load_table(spark, sf_dir, "events")
     ),
+    "events_funnel4": lambda spark, sf_dir: advanced.funnel(
+        tables.load_table(spark, sf_dir, "events"),
+        ("signup", "view", "click", "purchase"),
+    ),
     "events_retention_cohorts": lambda spark, sf_dir: advanced.retention_cohorts(
         tables.load_table(spark, sf_dir, "events")
     ),
@@ -1932,6 +1936,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),
     "events_funnel": advanced.funnel_oracle(),
+    "events_funnel4": advanced.funnel_oracle(
+        ("signup", "view", "click", "purchase")
+    ),
     "events_retention_cohorts": advanced.RETENTION_ORACLE,
     "s7_stream_sessions": advanced.stream_sessions_oracle(),
     "cdc_scd2_history": f"""{_CE_CTE},

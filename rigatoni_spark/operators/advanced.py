@@ -758,62 +758,58 @@ def funnel_oracle(
     qualifying event is the (ts, event_id)-min strictly after the
     user's stage N-1 anchor and within its window — identical
     semantics to processing events in (ts, event_id) order with a
-    greedy (stage, anchor_ts) machine.
-
-    The join chain is written out for the catalog's 3-stage funnel;
-    ``funnel()`` itself is arity-generic, so other stage counts need a
-    matching oracle — fail loudly rather than silently check the wrong
-    shape."""
-    if len(stages) != 3:
-        raise ValueError(
-            "funnel_oracle is written for exactly 3 stages; "
-            f"got {len(stages)}"
-        )
-    s0, s1, s2 = stages
+    greedy (stage, anchor_ts) machine. The chain is GENERATED for
+    len(stages) CTEs, matching funnel()'s arity-generic fold."""
+    if not stages:
+        raise ValueError("funnel_oracle needs at least one stage")
     w = int(window_hours)
-    return f"""
-WITH v1 AS (
+    ctes = [
+        f"""s1 AS (
   SELECT user_id, ts, event_id FROM (
     SELECT user_id, ts, event_id,
            ROW_NUMBER() OVER (PARTITION BY user_id
                               ORDER BY ts, event_id) AS rn
-    FROM events WHERE event_type = '{s0}') WHERE rn = 1
-), c2 AS (
+    FROM events WHERE event_type = '{stages[0]}') WHERE rn = 1
+)"""
+    ]
+    for i in range(1, len(stages)):
+        prev = f"s{i}"
+        ctes.append(
+            f"""s{i + 1} AS (
   SELECT user_id, ts, event_id FROM (
     SELECT e.user_id, e.ts, e.event_id,
            ROW_NUMBER() OVER (PARTITION BY e.user_id
                               ORDER BY e.ts, e.event_id) AS rn
-    FROM events e JOIN v1 USING (user_id)
-    WHERE e.event_type = '{s1}'
-      AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))
-      AND e.ts <= v1.ts + INTERVAL {w} HOUR
+    FROM events e JOIN {prev} USING (user_id)
+    WHERE e.event_type = '{stages[i]}'
+      AND (e.ts > {prev}.ts OR (e.ts = {prev}.ts AND e.event_id > {prev}.event_id))
+      AND e.ts <= {prev}.ts + INTERVAL {w} HOUR
   ) WHERE rn = 1
-), p3 AS (
-  SELECT user_id FROM (
-    SELECT e.user_id,
-           ROW_NUMBER() OVER (PARTITION BY e.user_id
-                              ORDER BY e.ts, e.event_id) AS rn
-    FROM events e JOIN c2 USING (user_id)
-    WHERE e.event_type = '{s2}'
-      AND (e.ts > c2.ts OR (e.ts = c2.ts AND e.event_id > c2.event_id))
-      AND e.ts <= c2.ts + INTERVAL {w} HOUR
-  ) WHERE rn = 1
-), t AS (
-  SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
-         (SELECT COUNT(*) FROM v1) AS s1,
-         (SELECT COUNT(*) FROM c2) AS s2,
-         (SELECT COUNT(*) FROM p3) AS s3
+)"""
+        )
+    t_cols = ",\n         ".join(
+        ["(SELECT COUNT(DISTINCT user_id) FROM events) AS n_users"]
+        + [
+            f"(SELECT COUNT(*) FROM s{i + 1}) AS c{i + 1}"
+            for i in range(len(stages))
+        ]
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {i + 1} AS stage, '{name}' AS event_type,"
+        f" c{i + 1} AS n_reached, "
+        + ("n_users" if i == 0 else f"c{i}")
+        + " AS n_prev FROM t"
+        for i, name in enumerate(stages)
+    )
+    return f"""
+WITH {', '.join(ctes)}, t AS (
+  SELECT {t_cols}
 )
 SELECT stage, event_type, n_reached,
        CASE WHEN n_prev = 0 THEN 0
             ELSE n_reached * 100 // n_prev END AS pct_of_prev
 FROM (
-  SELECT 1 AS stage, '{s0}' AS event_type, s1 AS n_reached,
-         n_users AS n_prev FROM t
-  UNION ALL
-  SELECT 2, '{s1}', s2, s1 FROM t
-  UNION ALL
-  SELECT 3, '{s2}', s3, s2 FROM t
+  {unions}
 ) ORDER BY stage
 """
 
