@@ -1511,6 +1511,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": lambda spark, sf_dir: advanced.funnel(
         tables.load_table(spark, sf_dir, "events")
     ),
+    "events_rolling_hour": lambda spark, sf_dir: advanced.rolling_window_stats(
+        tables.load_table(spark, sf_dir, "events")
+    ),
     "events_funnel4": lambda spark, sf_dir: advanced.funnel(
         tables.load_table(spark, sf_dir, "events"),
         ("signup", "view", "click", "purchase"),
@@ -1936,6 +1939,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),
     "events_funnel": advanced.funnel_oracle(),
+    "events_rolling_hour": advanced.rolling_window_oracle(),
     "events_funnel4": advanced.funnel_oracle(
         ("signup", "view", "click", "purchase")
     ),

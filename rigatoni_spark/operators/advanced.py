@@ -814,6 +814,54 @@ FROM (
 """
 
 
+def rolling_window_stats(events: DataFrame, hours: int = 1) -> DataFrame:
+    """Per-event trailing event-time window: how many events and how
+    much value the same user produced in the preceding ``hours`` —
+    the rolling-feature primitive behind rate limiting, anomaly
+    baselines, and per-user activity features. A RANGE frame on the
+    event-time axis (not ROWS): bounds are data times, so the result
+    is independent of row order and micro-batch boundaries.
+
+    Plan: ONE shuffle on user_id + an in-partition sort; the frame
+    slides linearly per partition (no self-join, no explode of the
+    interval — the naive events x events time-range join this
+    replaces is quadratic per hot user). Value sums accumulate as
+    DECIMAL then round once, the engine-exactness rule every money
+    aggregate here follows."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(hours * 3_600_000_000), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_trailing"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast(
+                "double"
+            ),
+            2,
+        ).alias("value_trailing"),
+    ).orderBy("event_id")
+
+
+def rolling_window_oracle(hours: int = 1) -> str:
+    return f"""
+SELECT event_id, user_id, ts,
+  COUNT(*) OVER w AS n_events_trailing,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+    AS value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {hours} HOUR PRECEDING
+                       AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their
     first event, counted active per subsequent week offset — the
