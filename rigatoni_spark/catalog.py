@@ -1359,6 +1359,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
+    "dedup_cross_corpus": lambda spark, sf_dir: (
+        minhash.cross_corpus_near_duplicates(
+            tables.load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 2 == 0
+            ),
+            tables.load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 2 == 1
+            ),
+        )
+    ),
     "dedup_clusters": _doc(ldedup.duplicate_clusters),
     # pointer-doubling variant: same unique fixpoint, O(log diameter)
     # rounds (the chain-component knob; flip data in SCALE.md)
@@ -1821,6 +1831,7 @@ SELECT * FROM picked ORDER BY doc_id""",
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),
     "dedup_minhash_lsh": minhash.near_duplicates_oracle(),
+    "dedup_cross_corpus": minhash.cross_corpus_oracle_even_odd(),
     "dedup_clusters": ldedup.duplicate_clusters_oracle(),
     "dedup_clusters_doubling": ldedup.duplicate_clusters_oracle(),
     "dedup_keep_canonical": ldedup.cluster_keep_canonical_oracle(),

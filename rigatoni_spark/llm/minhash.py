@@ -164,6 +164,85 @@ def near_duplicates(
     )
 
 
+def cross_corpus_near_duplicates(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    threshold: float = 0.7,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Dump-vs-dump overlap: near-duplicate pairs with ONE side in each
+    corpus — the question a crawl team asks before ingesting a new dump
+    ("how much of this is already in the last one?"). Distinct from the
+    admission gate (per-doc report): this returns the PAIRS with their
+    verified Jaccard, so overlap can be audited, joined to metadata,
+    or used to build a cross-dump mapping.
+
+    Doc ids must be globally distinct across the two frames (the
+    banding machinery keys on doc_id; colliding ids would silently
+    merge sketches). Implementation: tag sides, run the single-corpus
+    LSH+verify over the union (the bucket join naturally mixes sides),
+    then keep only cross-side pairs and orient output as
+    (a_id from corpus_a, b_id from corpus_b). Within-corpus duplicate
+    mass never reaches the output — but it DOES share the banding
+    plan, so cost matches one near_duplicates run over |A|+|B|."""
+    tagged = corpus_a.select(
+        "doc_id", "text", F.lit(0).alias("_side")
+    ).unionByName(corpus_b.select("doc_id", "text", F.lit(1).alias("_side")))
+    pairs = near_duplicates(
+        tagged.select("doc_id", "text"),
+        threshold=threshold,
+        k=k,
+        bands=bands,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
+    )
+    sides = tagged.select("doc_id", "_side")
+    oriented = (
+        pairs.join(
+            sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "_side", "side_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sides.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "_side", "side_b"
+            ),
+            "doc_b",
+        )
+        .filter(F.col("side_a") != F.col("side_b"))
+    )
+    a_id = F.when(F.col("side_a") == 0, F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    b_id = F.when(F.col("side_a") == 0, F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    return oriented.select(
+        a_id.alias("a_id"), b_id.alias("b_id"), "jaccard_x10k"
+    ).orderBy("a_id", "b_id")
+
+
+def cross_corpus_oracle_even_odd(
+    threshold: float = 0.7, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle for the catalog's even/odd split of ``documents``:
+    single-corpus near-dup pairs restricted to cross-parity, oriented
+    even -> odd (corpus_a = even doc_ids, corpus_b = odd)."""
+    return f"""
+WITH nd AS ({near_duplicates_oracle(threshold, k, bands, shingle_n).strip()})
+SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS a_id,
+       CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS b_id,
+       jaccard_x10k
+FROM nd WHERE doc_a % 2 != doc_b % 2
+ORDER BY a_id, b_id
+"""
+
+
 def incremental_near_duplicates(
     corpus: DataFrame,
     increment: DataFrame,
