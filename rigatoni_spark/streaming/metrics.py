@@ -57,6 +57,12 @@ class MetricsRegistry:
                 "\n", "\\n"
             )
 
+        def fmt(v) -> str:
+            # full precision: "%g" rounds to 6 significant digits, so a
+            # counter past ~1e6 (routine for events_processed_total)
+            # would scrape inexact and rate() would drift
+            return repr(float(v)) if isinstance(v, float) else str(v)
+
         with self._lock:
             families: dict[str, list[str]] = {}
             for kind, table in (
@@ -67,7 +73,11 @@ class MetricsRegistry:
                     lbl = ",".join(
                         f'{k}="{esc(str(val))}"' for k, val in labels
                     )
-                    line = f"{name}{{{lbl}}} {v:g}" if lbl else f"{name} {v:g}"
+                    line = (
+                        f"{name}{{{lbl}}} {fmt(v)}"
+                        if lbl
+                        else f"{name} {fmt(v)}"
+                    )
                     families.setdefault(f"# TYPE {name} {kind}", []).append(
                         line
                     )

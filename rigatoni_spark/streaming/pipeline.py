@@ -83,6 +83,8 @@ class PipelineStats:
     retries: int = 0
     dlq_batches: int = 0
     dlq_events: int = 0
+    dlq_replayed_batches: int = 0
+    dlq_replayed_events: int = 0
     keys_written: list[str] = field(default_factory=list)
 
 
@@ -257,7 +259,9 @@ class Pipeline:
                 staging_scope=state.scope,
             )
 
-        keys = self._retrying_write(_write, batch_df, batch_id)
+        keys = self._retrying_write(
+            _write, batch_df, batch_id, scope=state.scope
+        )
         if keys is None:
             return  # batch routed to the DLQ; stream continues
         n = batch_info["n"]
@@ -266,7 +270,9 @@ class Pipeline:
         state.last_n = n
         self._finish_batch(n, keys, batch_info["colls"], t0, state)
 
-    def _retrying_write(self, write_fn, batch_df=None, batch_id=None):
+    def _retrying_write(
+        self, write_fn, batch_df=None, batch_id=None, scope=None
+    ):
         """R1 wrapper shared by both batch paths: retry policy from
         config, retry/error accounting, invalidate passes through as
         the terminal error it is (it also self-classifies as
@@ -295,16 +301,26 @@ class Pipeline:
             self.metrics.inc(M.WRITE_ERRORS)
             if self.dlq_dir is None or batch_df is None:
                 raise
-            self._to_dlq(batch_df, batch_id, err)
+            self._to_dlq(batch_df, batch_id, err, scope=scope)
             return None
 
-    def _to_dlq(self, batch_df: DataFrame, batch_id: int, err) -> None:
+    def _to_dlq(
+        self, batch_df: DataFrame, batch_id: int, err, scope=None
+    ) -> None:
         """Dead-letter the batch: full envelope + error text, one
-        parquet partition per batch id (overwrite => replay-idempotent).
-        A DLQ consumer replays with spark.read.parquet(dlq_dir)."""
+        parquet partition per (query, batch id) — overwrite makes the
+        same query's replay of the same batch idempotent, while the
+        query= scope keeps concurrent per-collection queries (each with
+        its own batch_id sequence starting at 0) from overwriting each
+        other's dead-lettered events. A DLQ consumer replays with
+        spark.read.parquet(dlq_dir) or Pipeline.replay_dlq()."""
         import os
 
-        dest = os.path.join(self.dlq_dir, f"batch_id={batch_id}")
+        dest = os.path.join(
+            self.dlq_dir,
+            f"query={scope or 'default'}",
+            f"batch_id={batch_id}",
+        )
         dlq = batch_df.withColumn(
             "dlq_error", F.lit(str(err)[:500])
         )
@@ -365,7 +381,9 @@ class Pipeline:
                     staging_scope=state.scope,
                 )
 
-            keys = self._retrying_write(_write, batch_df, batch_id)
+            keys = self._retrying_write(
+                _write, batch_df, batch_id, scope=state.scope
+            )
             if keys is None:
                 return  # batch routed to the DLQ; stream continues
             state.last_n = n
@@ -512,3 +530,94 @@ class Pipeline:
 
     def is_running(self) -> bool:
         return any(q.isActive for q in self._queries)
+
+    # -- dead-letter replay ------------------------------------------------
+
+    def replay_dlq(self) -> list[str]:
+        """Re-drive every dead-lettered batch through the real sink
+        path and clear the entries that succeed; returns the keys
+        written. The operational half of the reference's retry story
+        (pipeline.rs:1790-1868): the DLQ parks a poisoned batch so the
+        stream keeps flowing, and once the destination heals this
+        replays it with the SAME deterministic keys the batch would
+        have produced had it never failed (key stems derive from
+        (batch_id, per-collection max cluster_time) — both carried by
+        the parked envelopes), so a replayed feed's final object set
+        is byte-identical to a never-failed run's.
+
+        Entries replay in (query, batch_id) order. A batch that fails
+        again (under the pipeline's normal retry policy) raises and
+        stays parked — rerun after the sink heals further; already-
+        replayed entries were cleared, so the rerun is incremental.
+        Refuses to run while the pipeline is live: a replaying batch_id
+        could collide with the owning query's in-flight staging.
+        """
+        import os
+        import re
+        import shutil
+
+        if self.is_running():
+            raise RuntimeError(
+                "replay_dlq() requires the pipeline to be stopped — a "
+                "replay reuses the owning query's (scope, batch_id) "
+                "staging identity and could collide with its in-flight "
+                "batch"
+            )
+        if self.dlq_dir is None or not os.path.isdir(self.dlq_dir):
+            return []
+
+        entries: list[tuple[str, int, str]] = []
+        for qdir in sorted(os.listdir(self.dlq_dir)):
+            m = re.fullmatch(r"query=(.+)", qdir)
+            if not m:
+                continue
+            scope = m.group(1)
+            for bdir in sorted(os.listdir(os.path.join(self.dlq_dir, qdir))):
+                b = re.fullmatch(r"batch_id=(\d+)", bdir)
+                if b:
+                    entries.append(
+                        (
+                            scope,
+                            int(b.group(1)),
+                            os.path.join(self.dlq_dir, qdir, bdir),
+                        )
+                    )
+        entries.sort(key=lambda e: (e[0], e[1]))
+
+        all_keys: list[str] = []
+        for scope, batch_id, path in entries:
+            parked = self.spark.read.parquet(path)
+            n = parked.count()
+            if n == 0:
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            # write_batch projects to ENVELOPE_COLUMNS itself, shedding
+            # dlq_error and the partition-discovery columns; no DLQ
+            # fallback here — a still-failing replay raises and the
+            # entry stays parked for the next attempt
+            keys = self._retrying_write(
+                lambda: write_batch(
+                    parked,
+                    self.sink,
+                    batch_id=batch_id,
+                    n_events=n,
+                    staging_scope=None if scope == "default" else scope,
+                )
+            )
+            shutil.rmtree(path)
+            all_keys.extend(keys)
+            with self._lock:
+                self.stats.dlq_replayed_batches += 1
+                self.stats.dlq_replayed_events += n
+                self.stats.events_processed += n
+                self.stats.batches_written += 1
+                self.stats.keys_written.extend(keys)
+            self.metrics.inc(M.EVENTS_PROCESSED, n)
+            self.metrics.inc(M.BATCHES_WRITTEN)
+        # prune emptied query= dirs so "DLQ empty" is observable as an
+        # empty (or absent) tree
+        for qdir in list(os.listdir(self.dlq_dir)):
+            full = os.path.join(self.dlq_dir, qdir)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return all_keys

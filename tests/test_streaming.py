@@ -473,6 +473,23 @@ class TestBackfill:
             ).await_backfill()
 
 
+class TestMetricsPrecision:
+    def test_render_prometheus_full_precision_past_1e6(self):
+        """%g rounds to 6 significant digits — a counter past 1e6
+        (routine for events_processed_total on a long-running feed)
+        must scrape exact, or rate() over it drifts."""
+        from rigatoni_spark.streaming import metrics as M
+
+        reg = M.MetricsRegistry()
+        reg.inc(M.EVENTS_PROCESSED, 1_234_567)
+        reg.set_gauge(M.BATCH_DURATION, 0.123456789012345)
+        text = reg.render_prometheus()
+        assert "rigatoni_events_processed_total 1234567" in text
+        assert "1.23457e+06" not in text
+        # float gauges render repr() full precision
+        assert "0.123456789012345" in text
+
+
 class TestDeadLetterQueue:
     def test_poisoned_batch_routes_to_dlq_and_stream_continues(
         self, spark, dirs, tmp_path, monkeypatch
@@ -560,3 +577,133 @@ class TestDeadLetterQueue:
         assert attempts["n"] == 3  # initial + 2 retries
         assert p.stats.retries == 2
         assert p.stats.dlq_batches == 1 and p.stats.dlq_events == 100
+
+    def test_replay_dlq_restores_never_failed_object_set(
+        self, spark, dirs, tmp_path, monkeypatch
+    ):
+        """The operational half of the retry story
+        (pipeline.rs:1790-1868): poison batch 0, exhaust retries into
+        the DLQ, heal the sink, replay_dlq() — the final object set
+        (keys AND contents) must equal a run that never failed, and
+        the DLQ must be empty afterwards. Deterministic key stems make
+        this byte-exact, not just count-equal."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        _feed(src, "b.parquet", 300, 200)
+        cfg = PipelineConfig(batch_timeout_secs=1.0, max_retries=1)
+        sink_kw = dict(format=SerializationFormat.JSON)
+
+        def _read_objects(root: str) -> dict[str, set]:
+            out_files = {}
+            for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        out_files[os.path.relpath(f, root)] = set(
+                            fh.read().splitlines()
+                        )
+            return out_files
+
+        # never-failed run
+        clean_out = str(tmp_path / "clean_out")
+        p0 = Pipeline(
+            spark,
+            cfg,
+            S3SinkConfig(bucket=clean_out, **sink_kw),
+            src,
+            str(tmp_path / "clean_ckpt"),
+        ).start()
+        p0.process_all_available()
+        p0.stop()
+        clean_keys = sorted(p0.stats.keys_written)
+
+        # poisoned run: batch 0 dead-letters, batch 1 flows
+        real = P.write_batch
+
+        def flaky(df, c, batch_id=None, **kw):
+            if batch_id == 0:
+                raise RuntimeError("access denied by destination")
+            return real(df, c, batch_id=batch_id, **kw)
+
+        monkeypatch.setattr(P, "write_batch", flaky)
+        dlq_dir = str(tmp_path / "dlq")
+        sink = S3SinkConfig(bucket=out, **sink_kw)
+        p = Pipeline(spark, cfg, sink, src, ckpt, dlq_dir=dlq_dir).start()
+        p.process_all_available()
+        p.stop()
+        assert p.stats.dlq_batches == 1 and p.stats.dlq_events == 300
+        # replay refuses while running
+        p_live = Pipeline(
+            spark, cfg, sink, src, ckpt, dlq_dir=dlq_dir
+        ).start()
+        with pytest.raises(RuntimeError, match="stopped"):
+            p_live.replay_dlq()
+        p_live.stop()
+
+        # heal the sink, replay
+        monkeypatch.setattr(P, "write_batch", real)
+        keys = p.replay_dlq()
+        assert keys, "replay produced no keys"
+        assert p.stats.dlq_replayed_batches == 1
+        assert p.stats.dlq_replayed_events == 300
+        assert sorted(p.stats.keys_written) == clean_keys
+        assert _read_objects(out) == _read_objects(clean_out)
+        # DLQ is empty (tree pruned) and a second replay is a no-op
+        assert not os.listdir(dlq_dir) or not any(
+            os.listdir(os.path.join(dlq_dir, d)) for d in os.listdir(dlq_dir)
+        )
+        assert p.replay_dlq() == []
+
+    def test_dlq_scoped_per_query_no_cross_collection_clobber(
+        self, spark, dirs, tmp_path, monkeypatch
+    ):
+        """At COLLECTION watch level each per-collection query restarts
+        batch_id at 0 — two collections dead-lettering 'batch 0' must
+        land in DISJOINT DLQ partitions (query= scope), not overwrite
+        each other; replay then restores both collections' events."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 500)
+        cfg = PipelineConfig(
+            batch_timeout_secs=1.0,
+            max_retries=1,
+            watch_level=WatchLevel.COLLECTION,
+            collections=["c0", "c1"],
+        )
+        sink = S3SinkConfig(
+            bucket=out,
+            format=SerializationFormat.JSON,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+        real = P.write_batch
+
+        def always_denied(df, c, **kw):
+            raise RuntimeError("access denied by destination")
+
+        monkeypatch.setattr(P, "write_batch", always_denied)
+        dlq_dir = str(tmp_path / "dlq")
+        p = Pipeline(spark, cfg, sink, src, ckpt, dlq_dir=dlq_dir).start()
+        p.process_all_available()
+        p.stop()
+        assert p.stats.dlq_batches == 2  # one poisoned batch PER query
+        qdirs = sorted(os.listdir(dlq_dir))
+        assert len(qdirs) == 2 and all(d.startswith("query=") for d in qdirs)
+        # both collections' events survived — nothing clobbered
+        parked = spark.read.parquet(dlq_dir)
+        by_coll = {
+            r["collection"]: r["n"]
+            for r in parked.groupBy("collection").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert set(by_coll) == {"c0", "c1"}
+        assert sum(by_coll.values()) == p.stats.dlq_events
+        # heal + replay restores both collections at the sink
+        monkeypatch.setattr(P, "write_batch", real)
+        keys = p.replay_dlq()
+        assert {k.split("/")[0] for k in keys} == {"c0", "c1"}
+        assert not any(
+            os.listdir(os.path.join(dlq_dir, d))
+            for d in os.listdir(dlq_dir)
+        ) if os.listdir(dlq_dir) else True
