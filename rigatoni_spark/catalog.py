@@ -1177,6 +1177,27 @@ def _q_stream_admission_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE tokenizer loop: merges learned on the FULL corpus, the encode
+# catalog entry emits the token stream for a deterministic 1-in-10
+# document sample (bounds the hashed output; learn itself is unsampled)
+_BPE_MERGES = 8
+_BPE_SAMPLE_MOD = 10
+
+
+def _q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bpe_learn_table(
+        tables.load_table(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    merges = textstats.bpe_learn(docs, _BPE_MERGES)
+    return textstats.bpe_encode(
+        docs.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0), merges
+    )
+
+
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(tables.load_table(spark, sf_dir, "documents"))
@@ -1344,6 +1365,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_top_terms": _doc(textstats.tfidf_top_terms),
     "text_bigrams_top": _doc(textstats.bigram_counts),
     "text_bpe_pair_counts": _doc(textstats.bpe_pair_counts),
+    "text_bpe_learn": _q_bpe_learn,
+    "text_bpe_encode": _q_bpe_encode,
     "text_regex_tokens": _doc(textstats.regex_token_counts),
     # deterministic sampling (hash-thresholded; reproducible data mixes)
     "sample_fraction_hash": _doc(
@@ -1809,6 +1832,10 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_quality_scores": textstats.QUALITY_ORACLE,
     "text_quality_logit": textstats.quality_logit_oracle(),
     "text_bpe_pair_counts": textstats.bpe_pair_counts_oracle(),
+    "text_bpe_learn": textstats.bpe_learn_oracle(_BPE_MERGES),
+    "text_bpe_encode": textstats.bpe_encode_oracle(
+        _BPE_MERGES, sample_mod=_BPE_SAMPLE_MOD
+    ),
     # streaming twins converge to the identical batch results over the
     # drained bounded corpus — same oracles
     "s7_stream_quality_gate": textstats.quality_logit_oracle(),

@@ -567,7 +567,7 @@ def bpe_pair_counts(documents: DataFrame, k: int = 30) -> DataFrame:
 
 def bpe_pair_counts_oracle(k: int = 30) -> str:
     return f"""
-WITH words AS (
+WITH words AS MATERIALIZED (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
 ),
 pairs AS (
@@ -577,6 +577,297 @@ pairs AS (
 SELECT pair, COUNT(*) AS n_occurrences
 FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC LIMIT {k}
+"""
+
+
+def _sq(s: str) -> str:
+    """Escape a literal for a Spark SQL single-quoted string."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _dq(s: str) -> str:
+    """Escape a literal for a DuckDB (ANSI) single-quoted string."""
+    return s.replace("'", "''")
+
+
+def _merge_fold_expr(inner: str, left: str, right: str, lvl: int) -> str:
+    """Spark SQL for one greedy BPE merge application: a left fold over
+    a symbol array. Scanning left-to-right, ``left`` followed by
+    ``right`` collapses into ``left || right``; the freshly merged
+    symbol is strictly longer than ``left`` so it can never re-match as
+    the left element of the same pair within the round — exactly the
+    textbook greedy semantics (run "a a a" under pair (a,a) -> [aa, a],
+    never [a, aa]). ``lvl`` uniquifies the lambda variable names so the
+    folds nest (Spark rejects shadowed lambda variables)."""
+    l, m = _sq(left), _sq(left + right)
+    r = _sq(right)
+    a, s = f"acc{lvl}", f"s{lvl}"
+    return (
+        f"aggregate({inner}, CAST(array() AS array<string>), "
+        f"({a}, {s}) -> IF(size({a}) > 0 "
+        f"AND element_at({a}, -1) = '{l}' AND {s} = '{r}', "
+        f"concat(slice({a}, 1, size({a}) - 1), array('{m}')), "
+        f"concat({a}, array({s}))))"
+    )
+
+
+_CHARS_EXPR = "filter(split({col}, ''), c -> c <> '')"
+
+
+def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
+    """Tokenizer induction, the full loop: iterate ``n_merges`` rounds
+    of count -> pick -> merge over the distinct-word frequency table
+    (Sennrich et al. 2016) and return the ordered merge table — the
+    driver-held, bounded artifact every later encode broadcasts (the
+    same driver-held-small-state shape as the k-means centroids).
+
+    Deterministic by construction: each round's winner is the max by
+    (occurrence count, left symbol, right symbol) — a total order — and
+    merge application is the greedy left fold of ``_merge_fold_expr``.
+
+    Distributed shape per round: one scan-stage pair explode over the
+    vocab (NOT the corpus — the corpus is word-counted exactly once
+    up front, the only full-data shuffle), one map-side-combined count
+    agg, a 1-row collect, and a fold projection. The vocab is persisted
+    each round and the previous round unpersisted, so lineage stays
+    one round deep — at 100 TB the vocab (distinct words) is orders of
+    magnitude smaller than the corpus and the loop cost is
+    ``n_merges`` small jobs."""
+    words = (
+        spread(documents)
+        .select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        "word",
+        "cnt",
+        F.expr(_CHARS_EXPR.format(col="word")).alias("syms"),
+    ).persist()
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pair = F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS l, "
+            "element_at(syms, i + 1) AS r))"
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append(
+            {
+                "merge_rank": rank,
+                "left_sym": l,
+                "right_sym": r,
+                "merged": l + r,
+                "n_occurrences": n,
+            }
+        )
+        nxt = vocab.withColumn(
+            "syms", F.expr(_merge_fold_expr("syms", l, r, rank))
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_learn_table(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """``bpe_learn`` as a DataFrame (merge_rank, left_sym, right_sym,
+    merged, n_occurrences) for the oracle-checked catalog entry."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("merge_rank", LongType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("n_occurrences", LongType()),
+        ]
+    )
+    rows = [
+        (
+            m["merge_rank"],
+            m["left_sym"],
+            m["right_sym"],
+            m["merged"],
+            m["n_occurrences"],
+        )
+        for m in bpe_learn(documents, n_merges)
+    ]
+    return documents.sparkSession.createDataFrame(rows, schema).orderBy(
+        "merge_rank"
+    )
+
+
+def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
+    """Apply a learned merge table: tokenize every document to the BPE
+    symbol stream it would feed a trainer, as (doc_id, pos, token,
+    token_id) rows. Encoding is the same greedy fold as training,
+    applied per word in merge-rank order — so for words seen at train
+    time the output equals the trainer's final vocab state (the
+    standard BPE train/encode equivalence), while unseen words still
+    encode correctly through the same folds.
+
+    Scale shape: the merge table rides the plan as literals (bounded,
+    driver-held); the whole words -> chars -> ``n_merges`` nested folds
+    pipeline is ONE scan-fused codegen projection — zero joins, zero
+    Python. Token ids are a dense rank over the distinct symbols
+    actually emitted (≤ |alphabet| + n_merges strings — collected as a
+    bounded driver probe, then broadcast-joined back)."""
+    inner = _CHARS_EXPR.format(col="w")
+    for lvl, m in enumerate(merges, start=1):
+        inner = _merge_fold_expr(inner, m["left_sym"], m["right_sym"], lvl)
+    flat = (
+        f"flatten(transform(filter(split(text, ' '), w0 -> w0 <> ''), "
+        f"w -> {inner}))"
+    )
+    stream = spread(documents).select(
+        "doc_id", F.posexplode(F.expr(flat)).alias("pos0", "token")
+    )
+    stream = stream.select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token"
+    )
+    spark = documents.sparkSession
+    # bounded vocabulary: base alphabet + one new string per merge
+    toks = sorted(
+        r["token"] for r in stream.select("token").distinct().collect()
+    )
+    ids = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(toks)], "token string, token_id long"
+    )
+    return (
+        stream.join(F.broadcast(ids), "token")
+        .select("doc_id", "pos", "token", "token_id")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _bpe_vocab_ctes(n_merges: int) -> str:
+    """DuckDB CTE chain computing the BPE training state: ``words`` ->
+    ``vocab_0`` (character symbols) -> per round r: pair counts,
+    deterministic best pair, and a POSITIONAL greedy rewrite. The
+    rewrite mirrors the Spark fold without a fold: a match chain (runs
+    of overlapping matches, only possible when left==right) executes at
+    even offsets from its chain start — exactly which pairs the
+    left-to-right greedy scan merges."""
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+vocab_0 AS MATERIALIZED (
+  SELECT word, cnt,
+         list_transform(generate_series(1, length(word)), i -> word[i])
+           AS syms
+  FROM words
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""pairs_{r} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r2, SUM(cnt) AS n
+  FROM vocab_{p}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+best_{r} AS MATERIALIZED (SELECT l, r2, n FROM pairs_{r} ORDER BY n DESC, l, r2 LIMIT 1),
+pos_{r} AS MATERIALIZED (
+  SELECT v.word, v.cnt, g.i, v.syms[g.i] AS sym,
+         (g.i < len(v.syms) AND v.syms[g.i] = b.l
+          AND v.syms[g.i + 1] = b.r2) AS m
+  FROM vocab_{p} v CROSS JOIN best_{r} b,
+       LATERAL unnest(generate_series(1, len(v.syms))) AS g(i)
+),
+chain_{r} AS MATERIALIZED (
+  SELECT word, i,
+         ((i - MIN(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS ex
+  FROM (
+    SELECT word, i,
+           i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+    FROM pos_{r} WHERE m
+  )
+),
+vocab_{r} AS MATERIALIZED (
+  SELECT p.word, p.cnt,
+         list(CASE WHEN COALESCE(c.ex, FALSE) THEN p.sym || b.r2
+              ELSE p.sym END ORDER BY p.i) AS syms
+  FROM pos_{r} p
+  CROSS JOIN best_{r} b
+  LEFT JOIN chain_{r} c ON c.word = p.word AND c.i = p.i
+  LEFT JOIN chain_{r} cp ON cp.word = p.word AND cp.i = p.i - 1 AND cp.ex
+  WHERE cp.word IS NULL
+  GROUP BY p.word, p.cnt
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_learn_oracle(n_merges: int = 8) -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r2 AS right_sym, l || r2 AS merged, "
+        f"CAST(n AS BIGINT) AS n_occurrences FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {_bpe_vocab_ctes(n_merges)}\n"
+        f"SELECT * FROM (\n  {rows}\n) ORDER BY merge_rank"
+    )
+
+
+def bpe_encode_oracle(n_merges: int = 8, sample_mod: int | None = None) -> str:
+    """Encode oracle; merges always learn on the full corpus, while
+    ``sample_mod`` restricts the ENCODED documents (doc_id % mod = 0)
+    to bound the hashed output — mirrored by the catalog's Spark side."""
+    gate = f"WHERE doc_id % {sample_mod} = 0" if sample_mod else ""
+    return f"""
+WITH {_bpe_vocab_ctes(n_merges)},
+doc_words AS MATERIALIZED (
+  SELECT doc_id, g.i AS wpos, words[g.i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents {gate}),
+       LATERAL unnest(generate_series(1, len(words))) AS g(i)
+  WHERE words[g.i] <> ''
+),
+doc_syms AS (
+  SELECT d.doc_id, d.wpos, g.j, v.syms[g.j] AS token
+  FROM doc_words d JOIN vocab_{n_merges} v USING (word),
+       LATERAL unnest(generate_series(1, len(v.syms))) AS g(j)
+),
+stream AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, j) AS pos,
+         token
+  FROM doc_syms
+),
+ids AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+  FROM (SELECT DISTINCT token FROM stream)
+)
+SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, s.token AS token,
+       CAST(i.token_id AS BIGINT) AS token_id
+FROM stream s JOIN ids i USING (token)
+ORDER BY doc_id, pos
 """
 
 

@@ -225,3 +225,89 @@ def test_quality_logit_matches_hand_computation(spark):
     assert r1["n_features"] == 1
     w = ws[int(hashlib.md5(b"word").hexdigest()[:15], 16) % textstats.QLF_DIM]
     assert r1["logit_x10k"] == math.floor(w * 10000)
+
+
+def _bpe_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_bpe_learn_matches_hand_computation(spark):
+    """Sennrich et al. (2016) worked example — corpus {low:5, lower:2,
+    newest:6, widest:3}; every merge, count, and tie-break below is
+    hand-computed (ties resolve by (count desc, left, right))."""
+    df = _bpe_docs(
+        spark,
+        [
+            " ".join(["low"] * 5 + ["lower"] * 2),
+            " ".join(["newest"] * 6 + ["widest"] * 3),
+        ],
+    )
+    merges = textstats.bpe_learn(df, 6)
+    got = [
+        (m["merge_rank"], m["left_sym"], m["right_sym"], m["n_occurrences"])
+        for m in merges
+    ]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),   # lo:7 ties ow:7 -> 'l' < 'o'
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),   # ew/ne/w+est all 6 -> 'e' first
+        (6, "ew", "est", 6),
+    ]
+
+
+def test_bpe_encode_matches_hand_computation(spark):
+    """Encode under the hand-computed merge table: token stream and
+    dense sorted token ids pinned exactly."""
+    train = _bpe_docs(
+        spark,
+        [
+            " ".join(["low"] * 5 + ["lower"] * 2),
+            " ".join(["newest"] * 6 + ["widest"] * 3),
+        ],
+    )
+    merges = textstats.bpe_learn(train, 6)
+    out = textstats.bpe_encode(
+        _bpe_docs(spark, ["low lower newest widest"]), merges
+    ).collect()
+    stream = [(r["pos"], r["token"], r["token_id"]) for r in out]
+    # low | low,e,r | n,ewest | w,i,d,est ; ids = rank in sorted vocab
+    # {d:0, e:1, est:2, ewest:3, i:4, low:5, n:6, r:7, w:8}
+    assert stream == [
+        (1, "low", 5),
+        (2, "low", 5),
+        (3, "e", 1),
+        (4, "r", 7),
+        (5, "n", 6),
+        (6, "ewest", 3),
+        (7, "w", 8),
+        (8, "i", 4),
+        (9, "d", 0),
+        (10, "est", 2),
+    ]
+
+
+def test_bpe_greedy_run_semantics(spark):
+    """Runs of the merged symbol must pair LEFT-TO-RIGHT (aaa -> [aa,a],
+    never [a,aa]) — the classic off-by-one that string-replace BPE
+    implementations get wrong on shared boundaries (a 4-run must yield
+    TWO pairs)."""
+    df = _bpe_docs(spark, ["aaa aaaa aaaaa"])
+    merges = textstats.bpe_learn(df, 2)
+    got = [
+        (m["merge_rank"], m["left_sym"], m["right_sym"], m["n_occurrences"])
+        for m in merges
+    ]
+    # round 1: (a,a) occurs 2+3+4=9 times; after the greedy rewrite the
+    # words are [aa,a], [aa,aa], [aa,aa,a] so (aa,a) and (aa,aa) both
+    # count 2 and 'a' < 'aa' breaks the tie
+    assert got == [(1, "a", "a", 9), (2, "aa", "a", 2)]
+    enc = textstats.bpe_encode(df, merges).collect()
+    assert [r["token"] for r in enc] == ["aaa", "aa", "aa", "aa", "aaa"]
+    # an UNSEEN word runs through the same folds (general path, not the
+    # train-state join): 6 a's -> [aa,aa,aa], untouched by merge 2
+    unseen = textstats.bpe_encode(_bpe_docs(spark, ["aaaaaa"]), merges)
+    assert [r["token"] for r in unseen.collect()] == ["aa", "aa", "aa"]
