@@ -1205,6 +1205,21 @@ def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
     return wrapped
 
 
+def _q_quality_logit_file_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), "rigatoni_qlf_weights.parquet"
+    )
+    textstats.write_qlf_weights(spark, path)
+    return textstats.quality_logit(
+        tables.load_table(spark, sf_dir, "documents"), weights_path=path
+    )
+
+
 def _emb(fn) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(tables.load_table(spark, sf_dir, "embeddings"))
@@ -1358,7 +1373,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- LLM-pipeline: text analysis ---
     "text_token_counts": _doc(textstats.token_counts),
     "text_quality_scores": _doc(textstats.quality_scores),
-    "text_quality_logit": _doc(textstats.quality_logit),
+    # exercises the trained-artifact path: the weight table is written
+    # as the (bucket, weight) parquet wire format and broadcast-joined
+    # back in (values identical to the literal stand-in, so the same
+    # oracle holds; the streaming twin keeps the literal path covered)
+    "text_quality_logit": _q_quality_logit_file_weights,
     "text_lang_profile": _doc(textstats.lang_profile),
     "text_langid_heuristic": _doc(textstats.langid_heuristic),
     "text_fingerprints": _doc(textstats.fingerprints),

@@ -429,11 +429,25 @@ def qlf_weights(dim: int = QLF_DIM) -> list[int]:
     return [((j * 2654435761) % 1001) - 500 for j in range(dim)]
 
 
+def write_qlf_weights(
+    spark, path: str, weights: list[int] | None = None
+) -> None:
+    """Materialize a weight vector as the (bucket, weight) parquet
+    artifact ``quality_logit(weights_path=...)`` consumes — the wire
+    format a trained fastText/DCLM-style classifier would export."""
+    ws = weights if weights is not None else qlf_weights()
+    spark.createDataFrame(
+        [(j, int(w)) for j, w in enumerate(ws)],
+        "bucket int, weight long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
 def quality_logit(
     documents: DataFrame,
     threshold_x10k: int = 0,
     dim: int = QLF_DIM,
     bias: int = QLF_BIAS,
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Model-based quality filtering — the fastText-classifier gate
     shape every public pretraining pipeline runs (CCNet / GPT-3's
@@ -455,9 +469,24 @@ def quality_logit(
     CodegenFallback — pushing the md5 into one cost 10x wall), then one
     map-side-combined per-doc agg. One shuffle of (doc_id, weight)
     pairs, zero joins, no UDF; the weight vector is ~1 KB of plan
-    literal, never a table."""
-    ws = qlf_weights(dim)
-    warr = F.array(*[F.lit(w) for w in ws])
+    literal, never a table.
+
+    ``weights_path`` swaps the literal stand-in vector for a TRAINED
+    artifact: a (bucket int, weight long) parquet table (the shape a
+    fastText/DCLM-style classifier exports; see ``write_qlf_weights``).
+    ``dim`` is inferred as max(bucket)+1 and the lookup becomes a
+    broadcast hash join on the bucket id — at real fastText dims
+    (2M buckets ≈ 16 MB) that broadcast is cheap while a 2M-element
+    array literal would bloat every task's plan. Buckets absent from
+    the artifact weigh 0 (fastText's implicit-zero rows)."""
+    weights_df = None
+    if weights_path is not None:
+        spark = documents.sparkSession
+        weights_df = spark.read.parquet(weights_path).select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("weight").cast("bigint").alias("wt"),
+        )
+        dim = int(weights_df.agg(F.max("bucket")).collect()[0][0]) + 1
     toks = _tokens()
     unis = toks
     bis = F.when(
@@ -473,11 +502,23 @@ def quality_logit(
     h = F.conv(
         F.substring(F.md5(F.col("f").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
-    wt = F.element_at(warr, (h % dim).cast("int") + 1)
+    exploded = spread(documents).select(
+        "doc_id", F.explode(feats).alias("f")
+    )
+    if weights_df is not None:
+        scored = (
+            exploded.select(
+                "doc_id", (h % dim).cast("int").alias("bucket")
+            )
+            .join(F.broadcast(weights_df), "bucket", "left")
+            .select("doc_id", F.coalesce(F.col("wt"), F.lit(0)).alias("wt"))
+        )
+    else:
+        warr = F.array(*[F.lit(w) for w in qlf_weights(dim)])
+        wt = F.element_at(warr, (h % dim).cast("int") + 1)
+        scored = exploded.select("doc_id", wt.alias("wt"))
     return (
-        spread(documents)
-        .select("doc_id", F.explode(feats).alias("f"))
-        .select("doc_id", wt.alias("wt"))
+        scored
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),

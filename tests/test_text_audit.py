@@ -311,3 +311,33 @@ def test_bpe_greedy_run_semantics(spark):
     # train-state join): 6 a's -> [aa,aa,aa], untouched by merge 2
     unseen = textstats.bpe_encode(_bpe_docs(spark, ["aaaaaa"]), merges)
     assert [r["token"] for r in unseen.collect()] == ["aa", "aa", "aa"]
+
+
+def test_quality_logit_file_weights_match_literal(spark, docs, tmp_path):
+    """The gate with weights read from a (bucket, weight) parquet
+    artifact must score identically to the literal stand-in vector —
+    the drop-in path for a trained fastText/DCLM-style classifier —
+    and the lookup must plan as a broadcast hash join, never SMJ."""
+    path = str(tmp_path / "qlf_weights.parquet")
+    textstats.write_qlf_weights(spark, path)
+    lit = textstats.quality_logit(docs).collect()
+    fil = textstats.quality_logit(docs, weights_path=path)
+    assert fil.collect() == lit
+    plan = fil._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # sparse artifact: missing buckets weigh 0, shifting scores but
+    # never dropping features from the count
+    sparse = [
+        (j, w)
+        for j, w in enumerate(textstats.qlf_weights())
+        if j % 2 == 0
+    ]
+    spark.createDataFrame(
+        sparse + [(textstats.QLF_DIM - 1, 0)], "bucket int, weight long"
+    ).write.mode("overwrite").parquet(path)
+    got = {
+        r["doc_id"]: r["n_features"]
+        for r in textstats.quality_logit(docs, weights_path=path).collect()
+    }
+    assert got == {r["doc_id"]: r["n_features"] for r in lit}
