@@ -52,6 +52,49 @@ from rigatoni_spark.sinks.reader import read_sink_output
 from rigatoni_spark.sinks.writers import write_batch
 
 _MARKER = "_sink_compaction"
+_LEASE = "_rigatoni_pipeline.lease"
+
+
+def write_sink_lease(base_uri: str) -> str | None:
+    """Drop a liveness lease under the sink root (called by
+    Pipeline.start). The lease carries the owning driver's pid so
+    compaction can distinguish 'pipeline running' from 'pipeline
+    crashed and left a stale file'. Filesystem sinks only (the only
+    kind wired here); returns the lease path or None."""
+    base = base_uri.replace("file:", "")
+    if not base.startswith("/"):
+        return None
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, _LEASE)
+    _atomic_write(path, json.dumps({"pid": os.getpid()}))
+    return path
+
+
+def clear_sink_lease(base_uri: str) -> None:
+    """Remove the lease (Pipeline.stop / await_backfill)."""
+    base = base_uri.replace("file:", "")
+    path = os.path.join(base, _LEASE)
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
+def _lease_holder_alive(base: str) -> int | None:
+    """pid of a LIVE lease holder, else None (no lease / stale)."""
+    path = os.path.join(base, _LEASE)
+    try:
+        with open(path) as fh:
+            pid = int(json.load(fh)["pid"])
+    except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+        return None
+    try:
+        os.kill(pid, 0)  # signal 0: existence probe, nothing delivered
+    except ProcessLookupError:
+        return None  # stale lease from a crashed driver
+    except PermissionError:
+        return pid  # alive, owned by another user
+    return pid
 
 
 def _base(cfg: S3SinkConfig) -> str:
@@ -98,9 +141,24 @@ def compact_sink_output(
     objects are 'old' to the next one).
 
     Returns ``{"removed": n_old_objects, "keys": new_keys}``.
-    """
+
+    The run-with-the-pipeline-STOPPED contract is ENFORCED, not just
+    documented (mirrors ``AdmissionStream.compact``'s is_running()
+    check): Pipeline.start drops a pid lease under the sink root and
+    this refuses while the holder is alive — a concurrent micro-batch
+    flushing between the rewrite read and the delete pass would write
+    keys that are not cid-prefixed and lose them silently. As a second
+    belt, the object set is snapshotted into the marker at staging
+    time and the delete pass only ever removes files from that
+    snapshot, so even an unleased racing writer cannot lose data."""
     base = _base(cfg)
     ext = file_extension(cfg.format, cfg.compression)
+    pid = _lease_holder_alive(base)
+    if pid is not None:
+        raise RuntimeError(
+            f"a pipeline (driver pid {pid}) holds the lease on this "
+            "sink; stop it before compacting"
+        )
     marker = os.path.join(base, _MARKER)
     if os.path.exists(marker):
         raise RuntimeError(
@@ -144,10 +202,18 @@ def _run(spark: SparkSession, cfg: S3SinkConfig, cid: int) -> dict:
     for f in _object_files(base, ext):
         if os.path.basename(f).startswith(prefix):
             os.remove(f)
+    # snapshot the exact old object set the rewrite is about to read:
+    # _finish deletes ONLY these files, so a batch flushed by a racing
+    # writer after this point survives (its rows are simply not part of
+    # this compaction)
+    snapshot = [os.path.relpath(f, base) for f in _object_files(base, ext)]
     typed = _typed_envelope(read_sink_output(spark, cfg))
     keys = write_batch(typed, cfg, batch_id=cid)
     marker = os.path.join(base, _MARKER)
-    _atomic_write(marker, json.dumps({"cid": cid, "phase": "published"}))
+    _atomic_write(
+        marker,
+        json.dumps({"cid": cid, "phase": "published", "files": snapshot}),
+    )
     out = _finish(cfg, cid)
     out["keys"] = keys
     return out
@@ -157,9 +223,20 @@ def _finish(cfg: S3SinkConfig, cid: int) -> dict:
     base = _base(cfg)
     ext = file_extension(cfg.format, cfg.compression)
     prefix = f"{cid:012d}-"
+    marker = os.path.join(base, _MARKER)
+    snapshot: set[str] | None = None
+    try:
+        with open(marker) as fh:
+            files = json.load(fh).get("files")
+        if files is not None:
+            snapshot = set(files)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     removed = 0
     for f in _object_files(base, ext):
-        if not os.path.basename(f).startswith(prefix):
+        rel = os.path.relpath(f, base)
+        in_snapshot = snapshot is None or rel in snapshot
+        if not os.path.basename(f).startswith(prefix) and in_snapshot:
             try:
                 os.remove(f)
                 removed += 1

@@ -469,6 +469,13 @@ class Pipeline:
             # the file source scan; exact $match still runs per-batch
             pipeline=self.config.stream.pipeline,
         )
+        # liveness lease under the sink root: compact_sink_output
+        # refuses to run while this driver is alive (the enforcement
+        # half of its run-with-the-pipeline-stopped contract)
+        from rigatoni_spark.sinks.compact import write_sink_lease
+
+        write_sink_lease(self.sink.base_uri)
+
         level = self.config.watch_level
         if level is WatchLevel.COLLECTION:
             # O2: per-collection fan-out with isolated checkpoints
@@ -516,8 +523,14 @@ class Pipeline:
                     f"backfill query {q.name} still running after "
                     f"{timeout_secs}s"
                 )
+        self._clear_lease()
         self.metrics.set_gauge(M.PIPELINE_STATUS, 0.0)
         return self.stats
+
+    def _clear_lease(self) -> None:
+        from rigatoni_spark.sinks.compact import clear_sink_lease
+
+        clear_sink_lease(self.sink.base_uri)
 
     def stop(self) -> PipelineStats:
         """O3: graceful shutdown — finish in-flight batches, stop."""
@@ -525,6 +538,7 @@ class Pipeline:
             q.stop()
         for q in self._queries:
             q.awaitTermination(timeout=60)
+        self._clear_lease()
         self.metrics.set_gauge(M.PIPELINE_STATUS, 0.0)
         return self.stats
 

@@ -612,3 +612,74 @@ class TestSinkCompaction:
         )
         with pytest.raises(RuntimeError, match="pending"):
             compact_sink_output(spark, cfg, compaction_id=2)
+
+    def test_lease_blocks_compaction_while_pipeline_alive(
+        self, spark, change_events, tmp_path
+    ):
+        """The run-with-the-pipeline-STOPPED contract is enforced: a
+        live lease (held by Pipeline.start) refuses compaction; a STALE
+        lease from a crashed driver does not wedge maintenance."""
+        import subprocess
+
+        from rigatoni_spark.sinks.compact import (
+            clear_sink_lease,
+            compact_sink_output,
+            write_sink_lease,
+        )
+
+        cfg = self._cfg(tmp_path)
+        rt = F.col("resume_token").cast("bigint")
+        for b in range(2):
+            write_batch(change_events.filter(rt % 2 == b), cfg, batch_id=b)
+        # live lease: this very process
+        write_sink_lease(cfg.base_uri)
+        with pytest.raises(RuntimeError, match="lease"):
+            compact_sink_output(spark, cfg, compaction_id=31)
+        clear_sink_lease(cfg.base_uri)
+        # stale lease: a child that has already exited
+        child = subprocess.Popen(["true"])
+        child.wait()
+        (tmp_path / "_rigatoni_pipeline.lease").write_text(
+            '{"pid": %d}' % child.pid
+        )
+        res = compact_sink_output(spark, cfg, compaction_id=32)
+        assert res["keys"], "stale lease must not block compaction"
+
+    def test_finish_only_deletes_snapshotted_files(
+        self, spark, change_events, tmp_path
+    ):
+        """Belt-and-braces for an unleased racing writer: the delete
+        pass removes ONLY the objects snapshotted into the marker at
+        staging time — a batch flushed mid-compaction survives."""
+        from rigatoni_spark.sinks.compact import (
+            _atomic_write,
+            recover_sink_compaction,
+        )
+
+        cfg = self._cfg(tmp_path)
+        rt = F.col("resume_token").cast("bigint")
+        for b in range(2):
+            write_batch(change_events.filter(rt % 2 == b), cfg, batch_id=b)
+        import glob as _g
+        import json as _json
+
+        old = [
+            os.path.relpath(f, str(tmp_path))
+            for f in _g.glob(
+                str(tmp_path / "**" / "*.jsonl.gz"), recursive=True
+            )
+        ]
+        # a racing writer lands a new object AFTER the snapshot
+        racer = tmp_path / "c0" / "000000000099-racer.jsonl.gz"
+        racer.parent.mkdir(exist_ok=True)
+        racer.write_bytes(b"racing batch")
+        # published marker whose snapshot predates the racer; cid 555
+        # objects don't exist — only the delete pass runs
+        _atomic_write(
+            str(tmp_path / "_sink_compaction"),
+            _json.dumps({"cid": 555, "phase": "published", "files": old}),
+        )
+        recover_sink_compaction(spark, cfg)
+        assert racer.exists(), "snapshot-bounded delete removed a racer"
+        for rel in old:
+            assert not (tmp_path / rel).exists()
