@@ -442,11 +442,19 @@ class AdmissionStream:
         )
         return self
 
+    # auto-bucketize threshold: below this many index rows the whole
+    # index fits in a handful of scan partitions and the per-batch
+    # Exchange it would save costs less than maintaining the external
+    # table; above it the index-side re-shuffle per micro-batch is the
+    # dominant probe cost (SCALE.md 'bucketized admission index').
+    # At the 100 TB design point the index is ALWAYS past this.
+    BUCKETIZE_MIN_ROWS = 100_000
+
     def compact(
         self,
         up_to: int | None = None,
         n_files: int = 8,
-        bucketize: bool = False,
+        bucketize: bool | None = None,
         n_buckets: int = 64,
     ) -> None:
         """Merge every committed state partition with id <= ``up_to``
@@ -456,7 +464,11 @@ class AdmissionStream:
         probe join's scan cost becomes file-listing-bound long before
         it is data-bound.
 
-        ``bucketize=True`` additionally publishes the merged index as
+        ``bucketize`` defaults to AUTO (None): the merged index is
+        additionally published bucketed whenever it holds at least
+        ``BUCKETIZE_MIN_ROWS`` rows — at scale this is strictly better
+        and the threshold only spares tiny states the external-table
+        upkeep. Pass True/False to force. Bucketizing publishes it as
         an EXTERNAL table bucketed on the probe keys ((band, band_hash)
         in text mode, (bucket) in vector mode; files under
         ``<state_dir>/index_bucketed``): every later admission probe
@@ -526,6 +538,15 @@ class AdmissionStream:
                 str(target),
             )
             self._finish_compaction(name)
+        if bucketize is None and self._committed_partitions("index"):
+            floor = self._floor("index")
+            if floor >= 0:
+                n_idx = (
+                    self.spark.read.parquet(self._tree("index"))
+                    .filter(F.col("ingest_batch") <= floor)
+                    .count()  # parquet footer counts — metadata-cheap
+                )
+                bucketize = n_idx >= self.BUCKETIZE_MIN_ROWS
         if bucketize:
             # derived from the already-merged partition — crash-safe by
             # rebuild (_ensure_bucketed_table), not by swap protocol

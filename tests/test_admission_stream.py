@@ -407,6 +407,42 @@ class TestAdmissionStream:
         got3 = {r["doc_id"] for r in idx3.select("doc_id").distinct().collect()}
         assert got3 == {1, 2, 3, 5}
 
+    def test_compact_auto_bucketizes_past_threshold(self, spark, dirs):
+        """bucketize defaults to AUTO: tiny states stay on the plain
+        partition-pruned path (no external-table upkeep), while an
+        index at/above BUCKETIZE_MIN_ROWS publishes the bucketed table
+        without being asked — the 100 TB default."""
+        src, state, ckpt = dirs
+        for i, rows in enumerate([[(1, A)], [(2, B)], [(3, C)]]):
+            _feed(src, f"b{i}.parquet", rows)
+        s = AdmissionStream(spark, src, state, ckpt).start()
+        s.process_all_available()
+        s.stop()
+        s.compact()  # tiny index: auto stays plain
+        assert s._bucketed_meta() is None
+        # one more batch so a second compaction has >= 2 partitions;
+        # drop the instance threshold to flip auto on
+        _feed(src, "b3.parquet", [(4, D)])
+        s2 = AdmissionStream(spark, src, state, ckpt).start()
+        s2.process_all_available()
+        s2.stop()
+        s2.BUCKETIZE_MIN_ROWS = 1
+        s2.compact()
+        meta = s2._bucketed_meta()
+        assert meta is not None and meta["floor"] == s2._floor("index")
+        assert spark.catalog.tableExists(meta["table"])
+        # explicit False still wins over auto
+        _feed(src, "b4.parquet", [(5, A)])
+        s3 = AdmissionStream(spark, src, state, ckpt).start()
+        s3.process_all_available()
+        s3.stop()
+        s3.BUCKETIZE_MIN_ROWS = 1
+        s3.compact(bucketize=False)
+        meta3 = s3._bucketed_meta()
+        # marker from the earlier bucketized pass is now stale (floor
+        # advanced) — no NEW publication happened
+        assert meta3["floor"] < s3._floor("index")
+
     def test_bucketized_compaction_vector_mode(self, spark, dirs):
         """Vector mode: the bucketed posting list (bucket key) gates a
         later embedding batch after compact(bucketize=True)."""
