@@ -219,6 +219,24 @@ def main() -> None:
         # Verdict: hypervisor steal, not a plan change.
         "text_repetition_stats": "r06->r07 delta attributed to steal "
         "(interleaved A/B: ratio-to-controls at or below r07's)",
+        # round-9 A/B verdict on the r7->r8 SPINE drop (99.3K -> 66.5K
+        # events/s in the driver's run; builder's committed run of the
+        # same code: 81.8K). tools/spine_probe.py, 2026-08-15, raw runs
+        # in BENCH_AB_r09.json: 6 interleaved same-session passes of the
+        # r8 writer (full-precision timestampFormat — the ONLY runtime
+        # delta on this path per git diff 0d4ffad..4aae379) vs the r7
+        # writer (default millis format), order alternated, control agg
+        # per pass. Result: min 0.920 s vs 0.928 s (ratio 0.991 — the
+        # format option costs nothing at the bench's min policy) and
+        # the HEAD spine measured 108.7K events/s, ABOVE the r7 record.
+        # The streaming pipeline interleaved in the same passes banded
+        # 1.32-1.49 s (75.7K eps min), inside the committed r8 band.
+        # Verdict: the r8 driver figure was a steal draw; no per-batch
+        # overhead to fix (measured < 1%).
+        "cdc_spine_write": "r7->r8 drop attributed to steal "
+        "(tools/spine_probe.py interleaved A/B: timestampFormat ratio "
+        "0.991 at min; HEAD spine 108.7K eps > r7's 99.3K; raw runs in "
+        "BENCH_AB_r09.json)",
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -90,17 +90,17 @@ def _staged_writer(
     during the rename pass, else None."""
     fmt = cfg.format
     writer = df.write.mode("overwrite").partitionBy(*part_cols)
+    if _TEXT_TS_FMT:  # falsy only when a probe A/Bs the default format
+        writer = writer.option("timestampFormat", _TEXT_TS_FMT)
     if fmt is SerializationFormat.JSON:
         (
-            writer.option("timestampFormat", _TEXT_TS_FMT)
-            .option("compression", _TEXT_CODECS[cfg.compression] or "none")
+            writer.option("compression", _TEXT_CODECS[cfg.compression] or "none")
             .json(staging)
         )
         return None
     if fmt is SerializationFormat.CSV:
         (
             writer.option("header", "true")
-            .option("timestampFormat", _TEXT_TS_FMT)
             .option("compression", _TEXT_CODECS[cfg.compression] or "none")
             .csv(staging)
         )
