@@ -1198,6 +1198,13 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return textstats.bpe_fertility(
+        docs, textstats.bpe_learn(docs, _BPE_MERGES)
+    )
+
+
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(tables.load_table(spark, sf_dir, "documents"))
@@ -1386,6 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pair_counts": _doc(textstats.bpe_pair_counts),
     "text_bpe_learn": _q_bpe_learn,
     "text_bpe_encode": _q_bpe_encode,
+    "text_bpe_fertility": _q_bpe_fertility,
     "text_regex_tokens": _doc(textstats.regex_token_counts),
     # deterministic sampling (hash-thresholded; reproducible data mixes)
     "sample_fraction_hash": _doc(
@@ -1855,6 +1863,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "text_bpe_encode": textstats.bpe_encode_oracle(
         _BPE_MERGES, sample_mod=_BPE_SAMPLE_MOD
     ),
+    "text_bpe_fertility": textstats.bpe_fertility_oracle(_BPE_MERGES),
     # streaming twins converge to the identical batch results over the
     # drained bounded corpus — same oracles
     "s7_stream_quality_gate": textstats.quality_logit_oracle(),

@@ -801,6 +801,74 @@ def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
     )
 
 
+def bpe_fertility(documents: DataFrame, merges: list[dict]) -> DataFrame:
+    """Tokenizer fertility audit: characters per BPE token by source —
+    the compression-ratio table every tokenizer change ships with (a
+    source whose fertility jumps is one the tokenizer serves badly;
+    the multilingual-fertility concern raised for GPT-style BPEs).
+
+    Token counts come from ``size(flatten(...))`` over the same nested
+    greedy folds as :func:`bpe_encode` — per-doc counts without ever
+    materializing the token stream, so this stays ONE scan-fused
+    projection plus a tiny per-source agg at any corpus size. Ratios
+    are integer (x100) for engine-exact hashing."""
+    inner = _CHARS_EXPR.format(col="w")
+    for lvl, m in enumerate(merges, start=1):
+        inner = _merge_fold_expr(inner, m["left_sym"], m["right_sym"], lvl)
+    n_toks = F.expr(
+        f"size(flatten(transform(filter(split(text, ' '), w0 -> w0 <> ''), "
+        f"w -> {inner})))"
+    )
+    return (
+        spread(documents)
+        .select(
+            "source",
+            F.length("text").alias("n_chars"),
+            n_toks.alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_chars * 100 div n_tokens").alias(
+                "chars_per_token_x100"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def bpe_fertility_oracle(n_merges: int = 8) -> str:
+    return f"""
+WITH {_bpe_vocab_ctes(n_merges)},
+doc_words AS MATERIALIZED (
+  SELECT doc_id, words[g.i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       LATERAL unnest(generate_series(1, len(words))) AS g(i)
+  WHERE words[g.i] <> ''
+),
+per_doc AS (
+  SELECT d.doc_id, SUM(len(v.syms)) AS n_toks
+  FROM doc_words d JOIN vocab_{n_merges} v USING (word)
+  GROUP BY d.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(LENGTH(text)) * 100 // SUM(n_toks) AS BIGINT)
+         AS chars_per_token_x100
+FROM documents JOIN per_doc USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def _bpe_vocab_ctes(n_merges: int) -> str:
     """DuckDB CTE chain computing the BPE training state: ``words`` ->
     ``vocab_0`` (character symbols) -> per round r: pair counts,

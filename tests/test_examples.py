@@ -63,6 +63,9 @@ def test_resume_from_checkpoint(spark, tmp_path):
 def test_backfill_and_dlq(spark, tmp_path):
     out = _mod("backfill_and_dlq").main(spark, SF_DIR, str(tmp_path))
     assert out["events"] == 1000 and out["dlq"] == 0
+    # the poisoned second run parks the whole feed, replay restores it
+    assert out["parked"] == 1000
+    assert out["replayed"] == 1000 and out["replay_keys"] > 0
 
 
 def test_training_data_pipeline(spark):
