@@ -1406,6 +1406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # --- LLM-pipeline: dedup ---
     "text_clean_corpus": _doc(corpus.clean_corpus),
+    "dedup_paragraphs": _doc(corpus.paragraph_dedup),
     "dedup_exact_keep_min": _doc(ldedup.exact_dedup),
     "dedup_ngram_jaccard": _doc(ldedup.ngram_jaccard_pairs),
     "dedup_minhash_lsh": _doc(minhash.near_duplicates),
@@ -1882,6 +1883,7 @@ ORDER BY doc_id""",
     "sample_n_per_group": f"""WITH picked AS ({sampling.sample_n_per_stratum_oracle_cte(5, "lang")})
 SELECT * FROM picked ORDER BY doc_id""",
     "text_clean_corpus": corpus.clean_corpus_oracle(),
+    "dedup_paragraphs": corpus.paragraph_dedup_oracle(),
     "dedup_exact_groups": ldedup.EXACT_DUP_ORACLE,
     "dedup_exact_keep_min": ldedup.EXACT_DEDUP_ORACLE,
     "dedup_ngram_jaccard": ldedup.ngram_jaccard_oracle(),

@@ -258,6 +258,102 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+PARA_TOKENS = 12
+
+
+def paragraph_dedup(
+    documents: DataFrame, seg_tokens: int = PARA_TOKENS
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup, first occurrence wins — the
+    RefinedWeb/Dolma pass that strips boilerplate paragraphs repeated
+    across pages while keeping each document's unique remainder.
+
+    The synthetic corpus has no newlines, so 'paragraph' here is a
+    fixed ``seg_tokens``-token segmentation (real corpora split on
+    newline boundaries; only the splitter differs). A segment's
+    canonical owner is the globally smallest (doc_id, position) — a
+    total order, so survivorship is deterministic. Output per document:
+    segment counts and the md5 of the kept text (chr(1)-joined
+    segments, order preserved).
+
+    Scale shape: segment explode is scan-stage; ONE shuffle partitions
+    by segment text for the first-occurrence row_number (boilerplate
+    mega-groups stream through row_number — no per-group
+    materialization), one more for the per-doc regroup. No joins."""
+    from pyspark.sql import Window
+
+    segs = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) "
+        f"/ {seg_tokens}.0) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), "
+        f"i * {seg_tokens} + 1, {seg_tokens})))"
+    )
+    exploded = (
+        spread(documents)
+        .select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+        .filter(F.col("seg") != "")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    flagged = exploded.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    kept_segs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("is_first"), F.struct("pos", "seg"))
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("is_first").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\x01",
+                    F.transform(kept_segs, lambda x: x["seg"]),
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_dropped"),
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def paragraph_dedup_oracle(seg_tokens: int = PARA_TOKENS) -> str:
+    return f"""
+WITH segs AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(
+           words[g.i * {seg_tokens} + 1 : (g.i + 1) * {seg_tokens}],
+           ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       LATERAL unnest(generate_series(
+         0, CAST(CEIL(len(words) / {seg_tokens}.0) AS INT) - 1)) AS g(i)
+),
+flagged AS (
+  SELECT doc_id, pos, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+           AS is_first
+  FROM segs WHERE seg <> ''
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN is_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN is_first THEN seg END,
+                               chr(1) ORDER BY pos), '')) AS clean_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def pii_scan(documents: DataFrame) -> DataFrame:
     """Span-level PII scan + scrub: per-document match counts for each
     pattern class and the md5 of the fully scrubbed text — the

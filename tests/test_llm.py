@@ -878,6 +878,44 @@ class TestSampling:
             assert r["n"] == min(5, sizes[r["lang"]])
 
 
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_md5_pins(self, spark):
+        """Global paragraph dedup: the boilerplate segment shared by
+        both docs survives only in the (doc_id, pos)-smallest owner;
+        the kept-text md5 is the chr(1)-join of surviving segments."""
+        import hashlib
+
+        from rigatoni_spark.llm import corpus
+
+        seg_a = " ".join(f"a{i}" for i in range(12))  # shared boilerplate
+        seg_b = " ".join(f"b{i}" for i in range(12))
+        seg_c = " ".join(f"c{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [
+                (0, f"{seg_a} {seg_b}"),
+                (1, f"{seg_a} {seg_c}"),  # seg_a duplicated from doc 0
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in corpus.paragraph_dedup(docs).collect()
+        }
+        assert (rows[0]["n_segments"], rows[0]["n_kept"]) == (2, 2)
+        assert (rows[1]["n_segments"], rows[1]["n_kept"]) == (2, 1)
+        assert rows[1]["n_dropped"] == 1
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        assert rows[0]["clean_md5"] == md5(seg_a + "\x01" + seg_b)
+        assert rows[1]["clean_md5"] == md5(seg_c)  # only the unique seg
+        # within one doc, a repeated segment also dedups (pos order)
+        solo = spark.createDataFrame(
+            [(5, f"{seg_b} {seg_b}")], "doc_id bigint, text string"
+        )
+        r = corpus.paragraph_dedup(solo).collect()[0]
+        assert (r["n_segments"], r["n_kept"]) == (2, 1)
+        assert r["clean_md5"] == md5(seg_b)
+
+
 class TestContamination:
     def test_benchmark_docs_excluded_from_training_side(self, documents):
         from rigatoni_spark.llm import contamination
