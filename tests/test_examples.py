@@ -71,3 +71,12 @@ def test_backfill_and_dlq(spark, tmp_path):
 def test_training_data_pipeline(spark):
     out = _mod("training_data_pipeline").main(spark, SF_DIR)
     assert 0 < out["clean"] < out["input"]
+
+
+def test_tokenizer_pipeline(spark):
+    out = _mod("tokenizer_pipeline").main(spark, SF_DIR)
+    assert out["merges"] == 8
+    assert out["tokens"] > 0
+    # vocab is bounded: base alphabet + at most one new symbol/merge
+    assert out["vocab"] <= 26 + 10 + 8
+    assert out["sources_audited"] > 0
