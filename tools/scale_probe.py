@@ -377,6 +377,36 @@ def probe_text_gates(spark, sf_dir: str) -> None:
         )
 
 
+def probe_bpe(spark, sf_dir: str) -> None:
+    """Round-9 BPE loop under the 10x amplified corpus. bpe_learn's
+    per-round cost is bound by the DISTINCT-WORD vocab, not the corpus
+    (the corpus is word-counted exactly once up front), so learn wall
+    should grow far sub-linearly in corpus size; encode/fertility are
+    scan-shaped (nested folds fused into the scan) and should track
+    corpus size ~linearly with a scheduling floor."""
+    import time as _t
+
+    from rigatoni_spark.llm import textstats
+
+    docs, big = _amplified_docs(spark, sf_dir)
+    for label, corpus in (("1x", docs), ("10x", big)):
+        t0 = _t.time()
+        merges = textstats.bpe_learn(corpus, 8)
+        print(
+            f"RESULT bpe_learn corpus={label}: {_t.time() - t0:.1f}s "
+            f"merges={len(merges)}",
+            flush=True,
+        )
+        _timed(
+            f"bpe_fertility corpus={label}",
+            lambda c=corpus, m=merges: textstats.bpe_fertility(c, m),
+        )
+        _timed(
+            f"bpe_encode corpus={label}",
+            lambda c=corpus, m=merges: textstats.bpe_encode(c, m),
+        )
+
+
 def probe_admission_compact(spark, sf_dir: str) -> None:
     """Post-compaction streaming-admission wall (SCALE.md row).
 
@@ -604,7 +634,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "text_gates", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "text_gates", "bpe", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -624,6 +654,8 @@ def main() -> None:
         probe_incremental_vec(spark, args.sf_dir)
     if args.which in ("text_gates", "all"):
         probe_text_gates(spark, args.sf_dir)
+    if args.which in ("bpe", "all"):
+        probe_bpe(spark, args.sf_dir)
     if args.which in ("admission_compact", "all"):
         probe_admission_compact(spark, args.sf_dir)
     if args.which in ("pq", "all"):
