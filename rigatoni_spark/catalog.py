@@ -1184,25 +1184,39 @@ _BPE_MERGES = 8
 _BPE_SAMPLE_MOD = 10
 
 
+# the learn loop is deterministic per (sf_dir, n_merges); memoize so a
+# sweep executing all three BPE entries (learn/encode/fertility) runs
+# the 8-round driver loop once, not three times
+_BPE_MERGE_CACHE: dict[tuple[str, int], list[dict]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[dict]:
+    key = (sf_dir, _BPE_MERGES)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = textstats.bpe_learn(
+            tables.load_table(spark, sf_dir, "documents"), _BPE_MERGES
+        )
+    return _BPE_MERGE_CACHE[key]
+
+
 def _q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load_table(spark, sf_dir, "documents")
     return textstats.bpe_learn_table(
-        tables.load_table(spark, sf_dir, "documents"), _BPE_MERGES
+        docs, merges=_bpe_merges(spark, sf_dir)
     )
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
-    merges = textstats.bpe_learn(docs, _BPE_MERGES)
     return textstats.bpe_encode(
-        docs.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0), merges
+        docs.filter(F.col("doc_id") % _BPE_SAMPLE_MOD == 0),
+        _bpe_merges(spark, sf_dir),
     )
 
 
 def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
-    return textstats.bpe_fertility(
-        docs, textstats.bpe_learn(docs, _BPE_MERGES)
-    )
+    return textstats.bpe_fertility(docs, _bpe_merges(spark, sf_dir))
 
 
 def _doc(fn) -> Callable[[SparkSession, str], DataFrame]:
@@ -1218,8 +1232,11 @@ def _q_quality_logit_file_weights(
     import os
     import tempfile
 
+    # per-call unique dir: a fixed shared path would race concurrent
+    # sweeps (one overwrite deleting files under another's read) and
+    # collide across users on a shared host
     path = os.path.join(
-        tempfile.gettempdir(), "rigatoni_qlf_weights.parquet"
+        tempfile.mkdtemp(prefix="rigatoni_qlf_"), "weights.parquet"
     )
     textstats.write_qlf_weights(spark, path)
     return textstats.quality_logit(

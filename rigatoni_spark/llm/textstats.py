@@ -448,6 +448,7 @@ def quality_logit(
     dim: int = QLF_DIM,
     bias: int = QLF_BIAS,
     weights_path: str | None = None,
+    weights_dim: int | None = None,
 ) -> DataFrame:
     """Model-based quality filtering — the fastText-classifier gate
     shape every public pretraining pipeline runs (CCNet / GPT-3's
@@ -473,12 +474,15 @@ def quality_logit(
 
     ``weights_path`` swaps the literal stand-in vector for a TRAINED
     artifact: a (bucket int, weight long) parquet table (the shape a
-    fastText/DCLM-style classifier exports; see ``write_qlf_weights``).
-    ``dim`` is inferred as max(bucket)+1 and the lookup becomes a
-    broadcast hash join on the bucket id — at real fastText dims
-    (2M buckets ≈ 16 MB) that broadcast is cheap while a 2M-element
-    array literal would bloat every task's plan. Buckets absent from
-    the artifact weigh 0 (fastText's implicit-zero rows)."""
+    fastText/DCLM-style classifier exports; see ``write_qlf_weights``)
+    and the lookup becomes a broadcast hash join on the bucket id — at
+    real fastText dims (2M buckets ≈ 16 MB) that broadcast is cheap
+    while a 2M-element array literal would bloat every task's plan.
+    Buckets absent from the artifact weigh 0 (fastText's implicit-zero
+    rows). The hash modulus for a file artifact is ``weights_dim`` when
+    given; a SPARSE artifact whose top buckets are all zero MUST pass
+    it (the max(bucket)+1 fallback would shrink the modulus and remap
+    every feature)."""
     weights_df = None
     if weights_path is not None:
         spark = documents.sparkSession
@@ -486,7 +490,16 @@ def quality_logit(
             F.col("bucket").cast("int").alias("bucket"),
             F.col("weight").cast("bigint").alias("wt"),
         )
-        dim = int(weights_df.agg(F.max("bucket")).collect()[0][0]) + 1
+        if weights_dim is not None:
+            dim = int(weights_dim)
+        else:
+            top = weights_df.agg(F.max("bucket")).collect()[0][0]
+            if top is None:
+                raise ValueError(
+                    f"weight artifact {weights_path} is empty; a gate "
+                    "with no weights scores nothing"
+                )
+            dim = int(top) + 1
     toks = _tokens()
     unis = toks
     bis = F.when(
@@ -724,9 +737,14 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
     return merges
 
 
-def bpe_learn_table(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_learn_table(
+    documents: DataFrame,
+    n_merges: int = 8,
+    merges: list[dict] | None = None,
+) -> DataFrame:
     """``bpe_learn`` as a DataFrame (merge_rank, left_sym, right_sym,
-    merged, n_occurrences) for the oracle-checked catalog entry."""
+    merged, n_occurrences) for the oracle-checked catalog entry.
+    Pass precomputed ``merges`` to skip re-running the learn loop."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -743,16 +761,9 @@ def bpe_learn_table(documents: DataFrame, n_merges: int = 8) -> DataFrame:
             StructField("n_occurrences", LongType()),
         ]
     )
-    rows = [
-        (
-            m["merge_rank"],
-            m["left_sym"],
-            m["right_sym"],
-            m["merged"],
-            m["n_occurrences"],
-        )
-        for m in bpe_learn(documents, n_merges)
-    ]
+    if merges is None:
+        merges = bpe_learn(documents, n_merges)
+    rows = [tuple(m[f.name] for f in schema.fields) for m in merges]
     return documents.sparkSession.createDataFrame(rows, schema).orderBy(
         "merge_rank"
     )
@@ -826,6 +837,11 @@ def bpe_fertility(documents: DataFrame, merges: list[dict]) -> DataFrame:
             F.length("text").alias("n_chars"),
             n_toks.alias("n_toks"),
         )
+        # fertility is defined over TOKENIZABLE docs: a doc with zero
+        # non-empty tokens contributes no denominator (and the oracle's
+        # per-word join naturally drops it) — exclude it from the
+        # numerator counts too so both engines agree
+        .filter(F.col("n_toks") > 0)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -899,7 +915,17 @@ vocab_0 AS MATERIALIZED (
   WHERE len(syms) >= 2
   GROUP BY 1, 2
 ),
-best_{r} AS MATERIALIZED (SELECT l, r2, n FROM pairs_{r} ORDER BY n DESC, l, r2 LIMIT 1),
+best_{r} AS MATERIALIZED (
+  -- sentinel fallback keeps the chain alive when the corpus exhausts
+  -- mergeable pairs before round {r} (pairs_{r} empty means no word
+  -- has >= 2 symbols, so the sentinel can never match and vocab_{r}
+  -- passes through unchanged — mirroring bpe_learn's early break)
+  SELECT * FROM
+    (SELECT l, r2, n FROM pairs_{r} ORDER BY n DESC, l, r2 LIMIT 1)
+  UNION ALL
+  SELECT chr(1) AS l, chr(1) AS r2, CAST(0 AS BIGINT) AS n
+  WHERE NOT EXISTS (SELECT 1 FROM pairs_{r})
+),
 pos_{r} AS MATERIALIZED (
   SELECT v.word, v.cnt, g.i, v.syms[g.i] AS sym,
          (g.i < len(v.syms) AND v.syms[g.i] = b.l
@@ -935,7 +961,7 @@ def bpe_learn_oracle(n_merges: int = 8) -> str:
     rows = "\n  UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym, "
         f"r2 AS right_sym, l || r2 AS merged, "
-        f"CAST(n AS BIGINT) AS n_occurrences FROM best_{r}"
+        f"CAST(n AS BIGINT) AS n_occurrences FROM best_{r} WHERE n > 0"
         for r in range(1, n_merges + 1)
     )
     return (

@@ -86,7 +86,13 @@ def _lease_holder_alive(base: str) -> int | None:
     try:
         with open(path) as fh:
             pid = int(json.load(fh)["pid"])
-    except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+    except (
+        FileNotFoundError,
+        ValueError,
+        KeyError,
+        TypeError,  # e.g. {"pid": null} — malformed means stale
+        json.JSONDecodeError,
+    ):
         return None
     try:
         os.kill(pid, 0)  # signal 0: existence probe, nothing delivered
@@ -157,7 +163,9 @@ def compact_sink_output(
     if pid is not None:
         raise RuntimeError(
             f"a pipeline (driver pid {pid}) holds the lease on this "
-            "sink; stop it before compacting"
+            "sink; stop it before compacting (if no pipeline is "
+            f"actually running — e.g. the pid was reused — delete "
+            f"{os.path.join(base, _LEASE)} and retry)"
         )
     marker = os.path.join(base, _MARKER)
     if os.path.exists(marker):
@@ -202,10 +210,12 @@ def _run(spark: SparkSession, cfg: S3SinkConfig, cid: int) -> dict:
     for f in _object_files(base, ext):
         if os.path.basename(f).startswith(prefix):
             os.remove(f)
-    # snapshot the exact old object set the rewrite is about to read:
-    # _finish deletes ONLY these files, so a batch flushed by a racing
-    # writer after this point survives (its rows are simply not part of
-    # this compaction)
+    # snapshot the old object set: _finish deletes ONLY these files, so
+    # a batch flushed by a racing writer after this point is never
+    # DELETED. (The rewrite's lazy read globs at execution time, so a
+    # file landing between this listing and the read could be rewritten
+    # AND kept — duplicated rows, not lost ones. The lease is the
+    # primary guard; this snapshot is the no-data-loss backstop.)
     snapshot = [os.path.relpath(f, base) for f in _object_files(base, ext)]
     typed = _typed_envelope(read_sink_output(spark, cfg))
     keys = write_batch(typed, cfg, batch_id=cid)

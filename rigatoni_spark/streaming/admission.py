@@ -540,7 +540,12 @@ class AdmissionStream:
             self._finish_compaction(name)
         if bucketize is None and self._committed_partitions("index"):
             floor = self._floor("index")
-            if floor >= 0:
+            meta = self._bucketed_meta()
+            if meta is not None and meta["floor"] == floor:
+                # already bucketized at this floor (e.g. a routine
+                # compact() that merged nothing) — skip the rewrite
+                bucketize = False
+            elif floor >= 0:
                 n_idx = (
                     self.spark.read.parquet(self._tree("index"))
                     .filter(F.col("ingest_batch") <= floor)

@@ -316,10 +316,15 @@ class Pipeline:
         spark.read.parquet(dlq_dir) or Pipeline.replay_dlq()."""
         import os
 
+        # "__none__" marks the scope-less single-query case DISTINCTLY
+        # from a query literally named "default"; path separators in a
+        # scope are flattened so the entry always sits exactly one
+        # level deep (replay_dlq walks query=*/batch_id=*)
+        label = (
+            scope.replace(os.sep, "_") if scope is not None else "__none__"
+        )
         dest = os.path.join(
-            self.dlq_dir,
-            f"query={scope or 'default'}",
-            f"batch_id={batch_id}",
+            self.dlq_dir, f"query={label}", f"batch_id={batch_id}"
         )
         dlq = batch_df.withColumn(
             "dlq_error", F.lit(str(err)[:500])
@@ -471,31 +476,42 @@ class Pipeline:
         )
         # liveness lease under the sink root: compact_sink_output
         # refuses to run while this driver is alive (the enforcement
-        # half of its run-with-the-pipeline-stopped contract)
+        # half of its run-with-the-pipeline-stopped contract). Written
+        # before the queries spawn and CLEARED if spawning fails —
+        # a long-lived driver (notebook/REPL) whose start() raised
+        # must not hold the sink hostage.
         from rigatoni_spark.sinks.compact import write_sink_lease
 
         write_sink_lease(self.sink.base_uri)
-
-        level = self.config.watch_level
-        if level is WatchLevel.COLLECTION:
-            # O2: per-collection fan-out with isolated checkpoints
-            for coll in self.config.collections:
-                key = resume_token_key(level, self.config.database, coll)
-                q = _start_query(
-                    key.replace(":", "_"),
-                    stream.filter(F.col("collection") == coll),
-                    {coll},
+        try:
+            level = self.config.watch_level
+            if level is WatchLevel.COLLECTION:
+                # O2: per-collection fan-out with isolated checkpoints
+                for coll in self.config.collections:
+                    key = resume_token_key(level, self.config.database, coll)
+                    q = _start_query(
+                        key.replace(":", "_"),
+                        stream.filter(F.col("collection") == coll),
+                        {coll},
+                    )
+                    self._queries.append(q)
+            else:
+                key = resume_token_key(level, self.config.database, None)
+                self._queries.append(
+                    _start_query(
+                        key.replace(":", "_").replace("*", "all"),
+                        stream,
+                        set(self.config.collections or []),
+                    )
                 )
-                self._queries.append(q)
-        else:
-            key = resume_token_key(level, self.config.database, None)
-            self._queries.append(
-                _start_query(
-                    key.replace(":", "_").replace("*", "all"),
-                    stream,
-                    set(self.config.collections or []),
-                )
-            )
+        except BaseException:
+            for q in self._queries:
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001 — best-effort unwind
+                    pass
+            self._clear_lease()
+            raise
         self.metrics.set_gauge(M.PIPELINE_STATUS, 1.0)
         self.metrics.set_gauge(
             M.ACTIVE_COLLECTIONS, float(len(self.config.collections) or 1)
@@ -581,9 +597,11 @@ class Pipeline:
             return []
 
         entries: list[tuple[str, int, str]] = []
+        strays: list[str] = []
         for qdir in sorted(os.listdir(self.dlq_dir)):
             m = re.fullmatch(r"query=(.+)", qdir)
             if not m:
+                strays.append(qdir)
                 continue
             scope = m.group(1)
             for bdir in sorted(os.listdir(os.path.join(self.dlq_dir, qdir))):
@@ -596,6 +614,15 @@ class Pipeline:
                             os.path.join(self.dlq_dir, qdir, bdir),
                         )
                     )
+                else:
+                    strays.append(os.path.join(qdir, bdir))
+        if strays:
+            # loud, not silent: an unrecognized entry would otherwise
+            # strand parked events while replay reports success
+            raise ValueError(
+                f"unrecognized entries under DLQ {self.dlq_dir}: "
+                f"{strays} — expected query=<scope>/batch_id=<n>"
+            )
         entries.sort(key=lambda e: (e[0], e[1]))
 
         all_keys: list[str] = []
@@ -615,7 +642,7 @@ class Pipeline:
                     self.sink,
                     batch_id=batch_id,
                     n_events=n,
-                    staging_scope=None if scope == "default" else scope,
+                    staging_scope=None if scope == "__none__" else scope,
                 )
             )
             shutil.rmtree(path)

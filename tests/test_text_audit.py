@@ -326,18 +326,85 @@ def test_quality_logit_file_weights_match_literal(spark, docs, tmp_path):
     plan = fil._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # sparse artifact: missing buckets weigh 0, shifting scores but
-    # never dropping features from the count
+    # sparse artifact: missing buckets weigh 0 (fastText implicit-zero
+    # rows) and never drop features from the count. weights_dim pins
+    # the hash modulus — WITHOUT it a sparse artifact whose top buckets
+    # are zero would shrink the modulus and remap every feature
     sparse = [
         (j, w)
         for j, w in enumerate(textstats.qlf_weights())
         if j % 2 == 0
     ]
     spark.createDataFrame(
-        sparse + [(textstats.QLF_DIM - 1, 0)], "bucket int, weight long"
+        sparse, "bucket int, weight long"
     ).write.mode("overwrite").parquet(path)
     got = {
         r["doc_id"]: r["n_features"]
-        for r in textstats.quality_logit(docs, weights_path=path).collect()
+        for r in textstats.quality_logit(
+            docs, weights_path=path, weights_dim=textstats.QLF_DIM
+        ).collect()
     }
     assert got == {r["doc_id"]: r["n_features"] for r in lit}
+    # an empty artifact is a loud error, not a silently scoreless gate
+    spark.createDataFrame(
+        [], "bucket int, weight long"
+    ).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="empty"):
+        textstats.quality_logit(docs, weights_path=path)
+
+
+def test_bpe_oracle_survives_pair_exhaustion(spark):
+    """A corpus that runs out of mergeable pairs before n_merges: the
+    Spark loop breaks early, and the generated oracle's sentinel
+    fallback must keep the vocab chain alive (NOT collapse to empty) so
+    learn/encode/fertility all stay hash-equal."""
+    import duckdb
+
+    texts = ["ab ab cd", "ab cd"]
+    df = _bpe_docs(spark, texts)
+    merges = textstats.bpe_learn(df, 8)
+    assert len(merges) == 2  # (a,b) then (c,d); round 3 has no pairs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'src')" for i, t in enumerate(texts)
+        )
+        + ") t(doc_id, text, source)"
+    )
+    want = con.execute(textstats.bpe_learn_oracle(8)).fetchall()
+    got = [
+        (
+            m["merge_rank"],
+            m["left_sym"],
+            m["right_sym"],
+            m["merged"],
+            m["n_occurrences"],
+        )
+        for m in merges
+    ]
+    assert got == [tuple(r) for r in want]
+    # encode oracle still emits the full stream (joins a LIVE vocab)
+    enc = [
+        (r["doc_id"], r["pos"], r["token"], r["token_id"])
+        for r in textstats.bpe_encode(df, merges).collect()
+    ]
+    enc_want = [
+        tuple(r) for r in con.execute(textstats.bpe_encode_oracle(8)).fetchall()
+    ]
+    assert enc == enc_want and len(enc) == 5  # ab ab cd / ab cd
+    # fertility: both engines over tokenizable docs only
+    df_src = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    )
+    fert = [
+        tuple(r)
+        for r in textstats.bpe_fertility(df_src, merges).collect()
+    ]
+    fert_want = [
+        tuple(r)
+        for r in con.execute(textstats.bpe_fertility_oracle(8)).fetchall()
+    ]
+    assert fert == fert_want
