@@ -85,9 +85,12 @@ def main() -> None:
     # whose bursts were measured to swing single runs by up to 2x)
     run_spine()
     run_spine()
-    spine_sec = min(run_spine(), run_spine(), run_spine())
-    timings["cdc_spine_write"] = round(spine_sec, 3)
-    events_per_sec = n_in / spine_sec
+    # three steady-state samples now; three MORE land one-per-pass
+    # inside the per-query loop below, so repeats are separated by
+    # whole catalog passes (~minutes) — a steal burst that stretches
+    # back-to-back runs (the r8 66.5K false alarm, settled by the
+    # round-9 interleaved A/B in BENCH_AB_r09.json) can't span them all
+    spine_samples = [run_spine(), run_spine(), run_spine()]
 
     # --- streaming e2e: micro-batched pipeline, events/sec ---------------
     # (the figure comparable to the reference's claimed 10K-100K
@@ -184,6 +187,11 @@ def main() -> None:
             sec = round(time.monotonic() - t0, 3)
             if pass_i == 0 or sec < timings[name]:
                 timings[name] = sec
+        spine_samples.append(run_spine())  # pass-separated repeat
+
+    spine_sec = min(spine_samples)
+    timings["cdc_spine_write"] = round(spine_sec, 3)
+    events_per_sec = n_in / spine_sec
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -208,6 +216,7 @@ def main() -> None:
     detail["streaming_runs_sec_by_batch_size"] = {
         str(bs): [round(s, 3) for s in runs] for bs, runs in stream_runs.items()
     }
+    detail["spine_runs_sec"] = [round(s, 3) for s in spine_samples]
     detail["notes"] = {
         # round-8 A/B verdict on the +47% r06->r07 text_repetition_stats
         # delta (implementation unchanged since r06): three interleaved
