@@ -1184,15 +1184,39 @@ _BPE_MERGES = 8
 _BPE_SAMPLE_MOD = 10
 
 
-# the learn loop is deterministic per (sf_dir, n_merges); memoize so a
-# sweep executing all three BPE entries (learn/encode/fertility) runs
-# the 8-round driver loop once, not three times
-_BPE_MERGE_CACHE: dict[tuple[str, int], list[dict]] = {}
+# the learn loop is deterministic per (sf_dir, n_merges, corpus
+# fingerprint); memoize so a sweep executing all three BPE entries
+# (learn/encode/fertility) runs the driver loop once, not three times.
+# The fingerprint (documents.parquet mtime+size) invalidates the cache
+# when the testdata is regenerated under the same path mid-session.
+_BPE_MERGE_CACHE: dict[tuple[str, int, tuple], list[dict]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+            return tuple(
+                (os.path.basename(p), os.path.getmtime(p), os.path.getsize(p))
+                for p in parts
+            )
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:
+        return ()
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> list[dict]:
-    key = (sf_dir, _BPE_MERGES)
+    key = (sf_dir, _BPE_MERGES, _corpus_fingerprint(sf_dir))
     if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE.clear()  # bounded: at most one live entry per key shape
         _BPE_MERGE_CACHE[key] = textstats.bpe_learn(
             tables.load_table(spark, sf_dir, "documents"), _BPE_MERGES
         )

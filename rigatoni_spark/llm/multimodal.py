@@ -420,7 +420,12 @@ def resize_images(
         caps = detect_codecs() if not deterministic_fake else {}
         for pdf in batches:
             if not deterministic_fake:
-                _require_codecs(pdf["media_type"], caps)
+                # resize is image-only (the filter below prunes other
+                # types) — gate on the image codec specifically, never
+                # on e.g. the always-true audio capability, so a stray
+                # non-image row fails with CodecNotAvailable instead of
+                # a raw PIL error
+                _require_codecs(["image"] * len(pdf), caps)
                 rows = {k.name: [] for k in out_schema.fields}
                 for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                     w, h, nw, nh, nb = _real_resize(bytes(p))

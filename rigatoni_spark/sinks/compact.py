@@ -59,21 +59,42 @@ def write_sink_lease(base_uri: str) -> str | None:
     """Drop a liveness lease under the sink root (called by
     Pipeline.start). The lease carries the owning driver's pid so
     compaction can distinguish 'pipeline running' from 'pipeline
-    crashed and left a stale file'. Filesystem sinks only (the only
-    kind wired here); returns the lease path or None."""
+    crashed and left a stale file'. Refuses when a DIFFERENT live
+    process already holds the lease — two pipelines sharing a sink
+    root would otherwise silently void each other's
+    stopped-pipeline compaction contract (the second stop() would
+    clear the first's lease). Filesystem sinks only (the only kind
+    wired here); returns the lease path or None."""
     base = base_uri.replace("file:", "")
     if not base.startswith("/"):
         return None
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, _LEASE)
+    holder = _lease_holder_alive(base)
+    if holder is not None and holder != os.getpid():
+        raise RuntimeError(
+            f"another pipeline (driver pid {holder}) already holds the "
+            f"lease on this sink root ({base_uri}); two pipelines must "
+            "not share a sink root (if no pipeline is actually running "
+            f"— e.g. the pid was reused — delete {path} and retry)"
+        )
     _atomic_write(path, json.dumps({"pid": os.getpid()}))
     return path
 
 
 def clear_sink_lease(base_uri: str) -> None:
-    """Remove the lease (Pipeline.stop / await_backfill)."""
+    """Remove the lease (Pipeline.stop / await_backfill) — but only
+    when it carries this process's pid, so a foreign pipeline's live
+    lease is never cleared from another driver."""
     base = base_uri.replace("file:", "")
     path = os.path.join(base, _LEASE)
+    try:
+        with open(path) as fh:
+            pid = json.load(fh).get("pid")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    if pid is not None and pid != os.getpid():
+        return
     try:
         os.remove(path)
     except FileNotFoundError:

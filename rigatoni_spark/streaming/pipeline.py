@@ -314,12 +314,18 @@ class Pipeline:
         its own batch_id sequence starting at 0) from overwriting each
         other's dead-lettered events. A DLQ consumer replays with
         spark.read.parquet(dlq_dir) or Pipeline.replay_dlq()."""
+        import json
         import os
 
         # "__none__" marks the scope-less single-query case DISTINCTLY
         # from a query literally named "default"; path separators in a
         # scope are flattened so the entry always sits exactly one
-        # level deep (replay_dlq walks query=*/batch_id=*)
+        # level deep (replay_dlq walks query=*/batch_id=*). The dir
+        # name is DISPLAY-only: the authoritative scope rides in a
+        # _scope.json sidecar (underscore prefix = invisible to the
+        # parquet reader), so a scope containing a separator — or a
+        # collection literally named "__none__" — replays under its
+        # true staging identity, not the sanitized label.
         label = (
             scope.replace(os.sep, "_") if scope is not None else "__none__"
         )
@@ -330,6 +336,11 @@ class Pipeline:
             "dlq_error", F.lit(str(err)[:500])
         )
         dlq.write.mode("overwrite").parquet(dest)
+        sidecar = os.path.join(dest, "_scope.json")
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"scope": scope}, fh)
+        os.replace(tmp, sidecar)
         n = self.spark.read.parquet(dest).count()
         with self._lock:
             self.stats.dlq_batches += 1
@@ -582,6 +593,7 @@ class Pipeline:
         Refuses to run while the pipeline is live: a replaying batch_id
         could collide with the owning query's in-flight staging.
         """
+        import json
         import os
         import re
         import shutil
@@ -627,6 +639,16 @@ class Pipeline:
 
         all_keys: list[str] = []
         for scope, batch_id, path in entries:
+            # authoritative scope from the sidecar when present (the
+            # dir label is sanitized — separators flattened, None
+            # encoded as "__none__" — and thus lossy); fall back to
+            # the label round-trip only for pre-sidecar entries
+            sidecar = os.path.join(path, "_scope.json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    true_scope = json.load(fh)["scope"]
+            else:
+                true_scope = None if scope == "__none__" else scope
             parked = self.spark.read.parquet(path)
             n = parked.count()
             if n == 0:
@@ -642,7 +664,7 @@ class Pipeline:
                     self.sink,
                     batch_id=batch_id,
                     n_events=n,
-                    staging_scope=None if scope == "__none__" else scope,
+                    staging_scope=true_scope,
                 )
             )
             shutil.rmtree(path)

@@ -11,6 +11,7 @@ import os
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from rigatoni_spark.config import (
     ChangeStreamConfig,
@@ -706,4 +707,54 @@ class TestDeadLetterQueue:
         assert not any(
             os.listdir(os.path.join(dlq_dir, d))
             for d in os.listdir(dlq_dir)
+        ) if os.listdir(dlq_dir) else True
+
+    def test_dlq_scope_sidecar_replays_true_staging_identity(
+        self, spark, dirs, tmp_path, monkeypatch
+    ):
+        """ADVICE r9: the sanitized query= dir label is lossy (path
+        separators flattened, None encoded as "__none__"), so the
+        authoritative scope rides in a _scope.json sidecar and replay
+        must use IT — a scope containing os.sep, or a collection
+        literally named "__none__", replays under its original staging
+        identity; legacy sidecar-less entries fall back to the label."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        dlq_dir = str(tmp_path / "dlq")
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(
+            spark, PipelineConfig(), sink, src, ckpt, dlq_dir=dlq_dir
+        )
+        df = spark.range(3).toDF("x")
+        p._to_dlq(df, 0, RuntimeError("boom"), scope="a" + os.sep + "b")
+        p._to_dlq(df, 1, RuntimeError("boom"), scope="__none__")
+        p._to_dlq(df, 2, RuntimeError("boom"), scope=None)
+        # dir labels are sanitized and one level deep; sidecars present
+        assert sorted(os.listdir(dlq_dir)) == ["query=__none__", "query=a_b"]
+        assert os.path.exists(
+            os.path.join(dlq_dir, "query=a_b", "batch_id=0", "_scope.json")
+        )
+        # the DLQ stays readable as one parquet tree (sidecar invisible)
+        assert spark.read.parquet(dlq_dir).count() == 9
+        # legacy entry: no sidecar -> label round-trip
+        legacy = os.path.join(dlq_dir, "query=legacy", "batch_id=7")
+        df.withColumn("dlq_error", F.lit("boom")).write.parquet(legacy)
+
+        captured = []
+
+        def capture(df, cfg, batch_id=None, staging_scope=None, **kw):
+            captured.append((batch_id, staging_scope))
+            return []
+
+        monkeypatch.setattr(P, "write_batch", capture)
+        p.replay_dlq()
+        assert sorted(captured) == [
+            (0, "a" + os.sep + "b"),  # true scope, not the flattened label
+            (1, "__none__"),  # literal name survives, not decoded to None
+            (2, None),  # scope-less stays scope-less
+            (7, "legacy"),  # sidecar-less legacy falls back to the label
+        ]
+        assert not any(
+            os.listdir(os.path.join(dlq_dir, d)) for d in os.listdir(dlq_dir)
         ) if os.listdir(dlq_dir) else True

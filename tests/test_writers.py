@@ -645,6 +645,47 @@ class TestSinkCompaction:
         res = compact_sink_output(spark, cfg, compaction_id=32)
         assert res["keys"], "stale lease must not block compaction"
 
+    def test_foreign_live_lease_is_neither_stolen_nor_cleared(
+        self, tmp_path
+    ):
+        """ADVICE r9: two pipelines sharing a sink root must not void
+        each other's stopped-pipeline contract — write_sink_lease
+        refuses while a DIFFERENT live pid holds the lease, and
+        clear_sink_lease only removes a lease carrying THIS process's
+        pid. Once the foreign holder dies, the stale lease is
+        reclaimable by a new write."""
+        import subprocess
+
+        from rigatoni_spark.sinks.compact import (
+            clear_sink_lease,
+            write_sink_lease,
+        )
+
+        base_uri = str(tmp_path)
+        lease = tmp_path / "_rigatoni_pipeline.lease"
+        child = subprocess.Popen(["sleep", "60"])
+        try:
+            lease.write_text('{"pid": %d}' % child.pid)
+            with pytest.raises(RuntimeError, match="another pipeline"):
+                write_sink_lease(base_uri)
+            clear_sink_lease(base_uri)
+            assert lease.exists(), "foreign LIVE lease was cleared"
+        finally:
+            child.kill()
+            child.wait()
+        # holder dead -> stale lease reclaimable; own lease clears
+        write_sink_lease(base_uri)
+        import json as _json
+
+        assert _json.loads(lease.read_text())["pid"] == os.getpid()
+        clear_sink_lease(base_uri)
+        assert not lease.exists()
+        # re-entrant same-pid write (pipeline restart) is allowed
+        write_sink_lease(base_uri)
+        write_sink_lease(base_uri)
+        clear_sink_lease(base_uri)
+        assert not lease.exists()
+
     def test_finish_only_deletes_snapshotted_files(
         self, spark, change_events, tmp_path
     ):
