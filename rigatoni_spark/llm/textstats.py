@@ -442,6 +442,97 @@ def write_qlf_weights(
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def _qlf_feats_expr():
+    """Hashed unigram+bigram feature array — the ONE feature pipeline
+    shared verbatim by the gate (``quality_logit``) and the trainer
+    (``train_qlf_weights``): train/serve skew here would silently
+    mis-score every document."""
+    toks = _tokens()
+    unis = toks
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return F.concat(unis, bis)
+
+
+def _qlf_bucket(dim: int):
+    """md5-hash a feature string (column ``f``) into [0, dim)."""
+    h = F.conv(
+        F.substring(F.md5(F.col("f").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (h % dim).cast("int")
+
+
+def train_qlf_weights(
+    labeled: DataFrame,
+    dim: int = QLF_DIM,
+    alpha: int = 1,
+    scale: int = 1000,
+) -> list[int]:
+    """Train the quality gate's weight vector in-engine, closing the
+    train -> artifact -> gate loop (round-9 ask #4): the output list
+    feeds ``write_qlf_weights`` and the resulting parquet is exactly
+    what ``quality_logit(weights_path=..., weights_dim=dim)`` consumes.
+
+    Method: per-bucket naive-Bayes log-count ratio (Wang & Manning
+    2012, "Baselines and Bigrams" — the NBSVM feature weight; the
+    standard closed-form linear baseline fastText-style gates are
+    measured against)::
+
+        w_j = floor(scale * log( ((pos_j + a) / (pos_tot + a*dim))
+                               / ((neg_j + a) / (neg_tot + a*dim)) ))
+
+    over the SAME hashed unigram+bigram buckets the gate scores with
+    (``_qlf_feats_expr`` / ``_qlf_bucket`` are shared, so there is no
+    train/serve feature skew by construction). Closed-form, so the
+    result is deterministic and hand-pinnable — no optimizer seed.
+
+    ``labeled`` needs columns ``text`` and ``label`` (1 = keep-class
+    exemplar, 0 = drop-class). Distributed shape: one explode + one
+    map-side-combined (bucket -> pos/neg count) agg — a single shuffle
+    of at most ``dim`` groups; the bounded (≤ dim rows) count table is
+    collected and the log-odds computed in-driver (the same
+    driver-held-bounded-artifact shape as the k-means centroids and
+    the BPE merge table). Laplace ``alpha`` keeps unseen buckets
+    finite; buckets absent from BOTH classes get weight 0 via the same
+    smoothing."""
+    import math
+
+    counts = (
+        labeled.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.explode(_qlf_feats_expr()).alias("f"),
+        )
+        .select("label", _qlf_bucket(dim).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("label").alias("pos"),
+            F.sum(1 - F.col("label")).alias("neg"),
+        )
+        .collect()
+    )
+    pos = {r["bucket"]: int(r["pos"]) for r in counts}
+    neg = {r["bucket"]: int(r["neg"]) for r in counts}
+    pos_tot = sum(pos.values()) + alpha * dim
+    neg_tot = sum(neg.values()) + alpha * dim
+    return [
+        math.floor(
+            scale
+            * math.log(
+                ((pos.get(j, 0) + alpha) / pos_tot)
+                / ((neg.get(j, 0) + alpha) / neg_tot)
+            )
+        )
+        for j in range(dim)
+    ]
+
+
 def quality_logit(
     documents: DataFrame,
     threshold_x10k: int = 0,
@@ -500,35 +591,19 @@ def quality_logit(
                     "with no weights scores nothing"
                 )
             dim = int(top) + 1
-    toks = _tokens()
-    unis = toks
-    bis = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    feats = F.concat(unis, bis)
-    h = F.conv(
-        F.substring(F.md5(F.col("f").cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
     exploded = spread(documents).select(
-        "doc_id", F.explode(feats).alias("f")
+        "doc_id", F.explode(_qlf_feats_expr()).alias("f")
     )
+    bucket = _qlf_bucket(dim)
     if weights_df is not None:
         scored = (
-            exploded.select(
-                "doc_id", (h % dim).cast("int").alias("bucket")
-            )
+            exploded.select("doc_id", bucket.alias("bucket"))
             .join(F.broadcast(weights_df), "bucket", "left")
             .select("doc_id", F.coalesce(F.col("wt"), F.lit(0)).alias("wt"))
         )
     else:
         warr = F.array(*[F.lit(w) for w in qlf_weights(dim)])
-        wt = F.element_at(warr, (h % dim).cast("int") + 1)
+        wt = F.element_at(warr, bucket + 1)
         scored = exploded.select("doc_id", wt.alias("wt"))
     return (
         scored
@@ -668,7 +743,83 @@ def _merge_fold_expr(inner: str, left: str, right: str, lvl: int) -> str:
 _CHARS_EXPR = "filter(split({col}, ''), c -> c <> '')"
 
 
-def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
+# Above this many distinct words the merge loop stays distributed (one
+# small Spark job per round over the persisted vocab); at or below it
+# the vocab is collected ONCE and every merge round folds in-driver —
+# SentencePiece's shape. Real vocabularies need 10^3-10^4 merges, and
+# one Spark job + driver round-trip per merge round means thousands of
+# sequential jobs whose scheduling overhead dwarfs the work; the
+# distinct-word table is bounded (heaps law: ~vocabulary size, not
+# corpus size), so the driver loop is the 100 TB default for any
+# realistic threshold. Same guarded-bounded-collect pattern as
+# AdmissionStream.BUCKETIZE_MIN_ROWS.
+BPE_DRIVER_VOCAB_MAX_ROWS = 1_000_000
+
+
+def _bpe_apply_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver twin of ``_merge_fold_expr``: greedy left fold — the
+    freshly merged symbol never re-matches as the left element of the
+    same pair within the round ("a a a" under (a,a) -> [aa, a])."""
+    out: list[str] = []
+    merged = left + right
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+def _bpe_learn_driver(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[dict]:
+    """In-driver merge loop over the collected (word, count) vocab —
+    bitwise-identical results to the distributed loop: each round's
+    winner is max by (count, then SMALLEST left, SMALLEST right
+    symbol), matching ``orderBy(n desc, l, r).limit(1)`` under Spark's
+    default UTF8_BINARY collation (Python str comparison is the same
+    code-point order); merge application is the same greedy fold."""
+    vocab: list[tuple[list[str], int]] = [
+        (list(word), cnt) for word, cnt in word_counts
+    ]
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (l, r), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {
+                "merge_rank": rank,
+                "left_sym": l,
+                "right_sym": r,
+                "merged": l + r,
+                "n_occurrences": int(n),
+            }
+        )
+        vocab = [
+            (
+                _bpe_apply_merge(syms, l, r)
+                if len(syms) >= 2
+                else syms,
+                cnt,
+            )
+            for syms, cnt in vocab
+        ]
+    return merges
+
+
+def bpe_learn(
+    documents: DataFrame,
+    n_merges: int = 8,
+    driver_vocab_max_rows: int = BPE_DRIVER_VOCAB_MAX_ROWS,
+) -> list[dict]:
     """Tokenizer induction, the full loop: iterate ``n_merges`` rounds
     of count -> pick -> merge over the distinct-word frequency table
     (Sennrich et al. 2016) and return the ordered merge table — the
@@ -679,14 +830,22 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
     (occurrence count, left symbol, right symbol) — a total order — and
     merge application is the greedy left fold of ``_merge_fold_expr``.
 
-    Distributed shape per round: one scan-stage pair explode over the
-    vocab (NOT the corpus — the corpus is word-counted exactly once
-    up front, the only full-data shuffle), one map-side-combined count
-    agg, a 1-row collect, and a fold projection. The vocab is persisted
-    each round and the previous round unpersisted, so lineage stays
-    one round deep — at 100 TB the vocab (distinct words) is orders of
-    magnitude smaller than the corpus and the loop cost is
-    ``n_merges`` small jobs."""
+    Two tiers on the same corpus-scanned-once vocab (the corpus is
+    word-counted exactly once up front, the only full-data shuffle):
+
+    - vocab row count ≤ ``driver_vocab_max_rows`` (the realistic case —
+      distinct words grow ~Heaps-law-sublinearly, not with the corpus):
+      collect the bounded (word, count) table ONCE and fold ALL merge
+      rounds in-driver. Total Spark jobs: 2 (count + collect),
+      independent of ``n_merges`` — a 32k-merge vocabulary no longer
+      schedules 32k sequential jobs.
+    - above the threshold: the distributed loop — per round, one
+      scan-stage pair explode over the persisted vocab, one
+      map-side-combined count agg, a 1-row collect, and a fold
+      projection; the previous round's vocab is unpersisted so lineage
+      stays one round deep.
+
+    Both tiers produce identical merge tables (pinned in pytest)."""
     words = (
         spread(documents)
         .select(F.explode(_tokens()).alias("word"))
@@ -694,11 +853,37 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    words_persisted = False
+    if driver_vocab_max_rows > 0:
+        # persist: the count probe and the collect (or the distributed
+        # loop's first vocab materialization) must not re-scan the corpus
+        words = words.persist()
+        words_persisted = True
+        if words.count() <= driver_vocab_max_rows:
+            try:
+                rows = words.collect()
+            finally:
+                words.unpersist()
+            return _bpe_learn_driver(
+                [(r["word"], int(r["cnt"])) for r in rows], n_merges
+            )
+    # localCheckpoint per round: persist alone does NOT truncate
+    # lineage, so the greedy fold nests one level deeper per round and
+    # the analyzed plan / generated code grow with the round count — a
+    # 32-round loop OOMed the JVM heap in codegen (measured r10; r9
+    # only ever ran 8 rounds). Truncating keeps every round's plan one
+    # fold deep; the vocab is bounded so the materialized copy is tiny.
+    # (Same pattern and caveat as duplicate_clusters: local checkpoints
+    # are executor-local — on a multi-node cluster the driver tier
+    # above is the realistic path anyway.)
     vocab = words.select(
         "word",
         "cnt",
         F.expr(_CHARS_EXPR.format(col="word")).alias("syms"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    if words_persisted:
+        words.unpersist()
+        words_persisted = False
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):
         pair = F.expr(
@@ -727,13 +912,9 @@ def bpe_learn(documents: DataFrame, n_merges: int = 8) -> list[dict]:
                 "n_occurrences": n,
             }
         )
-        nxt = vocab.withColumn(
+        vocab = vocab.withColumn(
             "syms", F.expr(_merge_fold_expr("syms", l, r, rank))
-        ).persist()
-        nxt.count()  # materialize before dropping the parent
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+        ).localCheckpoint(eager=True)  # materialize + truncate lineage
     return merges
 
 

@@ -29,15 +29,26 @@ def dedup_by_key(
     key_cols: list[str] | None = None,
     order_col: str = "resume_token",
     keep: str = "first",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Keep one event per key, deterministically.
 
     ``order_col`` defaults to ``resume_token`` (monotone stream
     position). Cast to a sortable form: our tokens are stringified
     integers, so order by the numeric cast.
-    """
+
+    ``num_partitions`` bounds the shuffle width: a micro-batch of a few
+    hundred rows must not pay a spark.sql.shuffle.partitions-wide
+    reduce stage (32 task launches ≈ 150 ms measured per batch — pure
+    latency-floor overhead). The explicit hash repartition on the key
+    columns satisfies the aggregation's clustering requirement, so
+    Catalyst plans NO second exchange; survivors are unchanged. Leave
+    None (batch analytics) to keep the default map-side-partial +
+    |keys|-row exchange shape."""
     if key_cols is None:
         key_cols = ["collection", "document_key"]
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, *key_cols)
     ordering = F.col(order_col).cast("bigint") if order_col == "resume_token" else F.col(order_col)
     if keep == "last":
         pick = F.max_by

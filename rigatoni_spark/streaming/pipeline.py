@@ -116,6 +116,16 @@ class Pipeline:
         self.dlq_dir = dlq_dir.replace("file:", "") if dlq_dir else None
         self.stats = PipelineStats()
         self.metrics = M.MetricsRegistry()
+        # per-batch commit log (monotonic commit wall, events, batch
+        # processing seconds) — the raw series behind end-to-end
+        # latency measurement (arrival -> sink-commit percentiles in
+        # bench.py) and lag alerting. Bounded: a 5-second-trigger
+        # pipeline takes ~7 months to fill 4M entries.
+        from collections import deque
+
+        self.batch_commits: deque[tuple[float, int, float]] = deque(
+            maxlen=4_000_000
+        )
         self._queries: list = []
         self._lock = threading.Lock()
         self._invalidated: str | None = None
@@ -157,8 +167,17 @@ class Pipeline:
         state = state if state is not None else self._default_state
         batch_df = self._transform(batch_df)
         if self.config.dedup_by_key:
-            # G3: per-batch dedup, the reference's HashSet semantics
-            batch_df = dedup_by_key(batch_df)
+            # G3: per-batch dedup, the reference's HashSet semantics.
+            # Shuffle width sized to the batch (previous batch's n,
+            # floored at the configured batch size): a 100-event
+            # micro-batch must not pay a 32-task reduce stage — at the
+            # reference's default config that stage alone was ~150 ms
+            # of pure per-trigger latency floor. Large batches scale
+            # the width back up at _TARGET_ROWS_PER_FILE granularity.
+            hint = max(state.last_n or 0, self.config.batch_size)
+            batch_df = dedup_by_key(
+                batch_df, num_partitions=max(1, -(-hint // 5_000))
+            )
 
         # ONE Spark job per micro-batch in steady state: the probe
         # (count + invalidate detection (F3) + per-collection group
@@ -435,7 +454,9 @@ class Pipeline:
         self.metrics.inc(M.EVENTS_PROCESSED, n)
         self.metrics.inc(M.BATCHES_WRITTEN)
         self.metrics.set_gauge(M.BATCH_SIZE, n)
-        self.metrics.set_gauge(M.BATCH_DURATION, time.monotonic() - t0)
+        now = time.monotonic()
+        self.metrics.set_gauge(M.BATCH_DURATION, now - t0)
+        self.batch_commits.append((now, n, now - t0))
 
     # -- lifecycle --------------------------------------------------------
 

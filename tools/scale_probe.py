@@ -407,6 +407,183 @@ def probe_bpe(spark, sf_dir: str) -> None:
         )
 
 
+def probe_bpe_merges(spark, sf_dir: str) -> None:
+    """Round-10 ask #3 evidence: at a realistic merge count the
+    bounded-vocab driver tier's Spark job count stays O(1) while the
+    distributed tier schedules O(n_merges) sequential jobs. Runs the
+    driver tier at n_merges=256 (counting jobs via a job group) and
+    the distributed tier at n_merges=32 (its per-round cost is flat —
+    multiply out for 256)."""
+    import time as _t
+
+    from rigatoni_spark import tables
+    from rigatoni_spark.llm import textstats
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sc = spark.sparkContext
+
+    def _run(group: str, fn):
+        sc.setJobGroup(group, group)
+        try:
+            t0 = _t.time()
+            out = fn()
+            wall = _t.time() - t0
+        finally:
+            sc.setJobGroup(None, None)
+        return out, wall, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    merges, wall, jobs = _run(
+        "bpe_drv256", lambda: textstats.bpe_learn(docs, 256)
+    )
+    print(
+        f"RESULT bpe_learn driver-tier n_merges=256: {wall:.1f}s "
+        f"spark_jobs={jobs} merges={len(merges)}",
+        flush=True,
+    )
+    dist, dwall, djobs = _run(
+        "bpe_dist32",
+        lambda: textstats.bpe_learn(docs, 32, driver_vocab_max_rows=0),
+    )
+    assert dist == merges[:32], "tier divergence at n_merges=32"
+    print(
+        f"RESULT bpe_learn distributed-tier n_merges=32: {dwall:.1f}s "
+        f"spark_jobs={djobs} (per-round ~{dwall / 32:.2f}s, "
+        f"extrapolated 256 rounds ~{dwall * 8:.0f}s) tiers_agree=True",
+        flush=True,
+    )
+
+
+def _amplified_docs_n(spark, sf_dir: str, copies_n: int):
+    """Arbitrary-factor corpus amplification (the alphabet-rotation
+    trick caps at 26 copies): every token gets a copy-distinct suffix,
+    so no two copies share a single token — near-dup mass and shingle
+    vocab grow linearly — while WITHIN-copy near-dup structure is
+    preserved verbatim (same docs, same mutual shingles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if copies_n == 1:
+        return docs
+    copies = spark.range(copies_n).select(F.col("id").alias("copy"))
+    amp_path = (
+        tempfile.mkdtemp(prefix=f"scale_docs{copies_n}x_") + "/docs.parquet"
+    )
+    (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") * copies_n + F.col("copy")).alias("doc_id"),
+            F.expr(
+                "array_join(transform(split(text, ' '), "
+                "w -> concat(w, 'q', CAST(copy AS STRING))), ' ')"
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(amp_path)
+    )
+    return spark.read.parquet(amp_path)
+
+
+def probe_100x(spark, sf_dir: str) -> None:
+    """Round-10 ask #5: push the superlinear-risk operators from 10x
+    to ~100x and fit wall-vs-N. Three corpus sizes a decade apart so
+    the growth EXPONENT is readable from the two ratios (linear-ish:
+    wall ratio ~ corpus ratio; quadratic would show ~100x per decade).
+    """
+    import math
+
+    from rigatoni_spark.llm import dedup as ldedup
+    from rigatoni_spark.llm import simhash
+
+    walls: dict[str, dict[int, float]] = {}
+    for n in (1, 10, 100):
+        big = _amplified_docs_n(spark, sf_dir, n)
+        rows = big.count()
+        print(f"RESULT 100x corpus {n}x: {rows} docs", flush=True)
+        for label, fn in (
+            ("simhash_neardups", lambda d=big: simhash.near_duplicates(d)),
+            (
+                "clusters_doubling",
+                lambda d=big: ldedup.duplicate_clusters(d, doubling=True),
+            ),
+        ):
+            t0 = time.time()
+            out_n = fn().count()
+            wall = time.time() - t0
+            walls.setdefault(label, {})[n] = wall
+            print(
+                f"RESULT {label} {n}x: {wall:.1f}s rows={out_n}",
+                flush=True,
+            )
+    for label, per in walls.items():
+        if len(per) == 3:
+            # growth exponent between decades: log10(wall ratio)
+            e1 = math.log10(max(per[10] / per[1], 1e-9))
+            e2 = math.log10(max(per[100] / per[10], 1e-9))
+            print(
+                f"RESULT {label} growth exponents: "
+                f"1x->10x {e1:.2f}, 10x->100x {e2:.2f} "
+                f"(1.0 = linear, 2.0 = quadratic)",
+                flush=True,
+            )
+
+
+def probe_admission_compact_100x(spark, sf_dir: str) -> None:
+    """s6 admission post-compaction at ~100x (round-10 ask #5): build
+    gate state from the 100x corpus across 4 committed micro-batches,
+    compact+bucketize, then time one admission micro-batch — the
+    steady-state per-batch fee whose flatness-vs-corpus SCALE.md
+    claims."""
+    import glob as _glob
+    import shutil
+
+    from rigatoni_spark.streaming.admission import AdmissionStream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text")
+        .cache()
+    )
+    n_inc = inc.count()
+    for n in (10, 100):
+        big = _amplified_docs_n(spark, sf_dir, n)
+        root = tempfile.mkdtemp(prefix="adm_compact100_")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i in range(4):
+            stage = os.path.join(root, f"_stage_{i}")
+            (
+                big.filter(F.col("doc_id") % 4 == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        g = AdmissionStream(
+            spark,
+            src,
+            os.path.join(root, "state"),
+            os.path.join(root, "ckpt"),
+            max_bucket=50,
+        ).start()
+        g.process_all_available()
+        g.stop()
+        g.compact(bucketize=True, n_buckets=16)
+        t0 = time.time()
+        g._admit(inc, 4)
+        print(
+            f"RESULT admission_compact_100x corpus={n}x "
+            f"({big.count()} docs, inc={n_inc}): {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    inc.unpersist()
+
+
 def probe_admission_compact(spark, sf_dir: str) -> None:
     """Post-compaction streaming-admission wall (SCALE.md row).
 
@@ -634,7 +811,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "text_gates", "bpe", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -656,8 +833,14 @@ def main() -> None:
         probe_text_gates(spark, args.sf_dir)
     if args.which in ("bpe", "all"):
         probe_bpe(spark, args.sf_dir)
+    if args.which in ("bpe_merges", "all"):
+        probe_bpe_merges(spark, args.sf_dir)
     if args.which in ("admission_compact", "all"):
         probe_admission_compact(spark, args.sf_dir)
+    if args.which == "hundredx":  # too heavy for "all"
+        probe_100x(spark, args.sf_dir)
+    if args.which == "admission_compact_100x":  # too heavy for "all"
+        probe_admission_compact_100x(spark, args.sf_dir)
     if args.which in ("pq", "all"):
         probe_pq(spark, args.sf_dir)
     if args.which in ("binary", "all"):
