@@ -593,6 +593,26 @@ class Pipeline:
     def is_running(self) -> bool:
         return any(q.isActive for q in self._queries)
 
+    def latency_summary(self) -> dict[str, float]:
+        """Per-batch processing-latency percentiles from the commit
+        log (the operational half of the reference's published latency
+        envelope, docs/architecture.md:387-391) — also published as
+        ``rigatoni_batch_duration_seconds{quantile=...}`` summary
+        gauges so one Prometheus scrape carries them. Empty dict until
+        the first batch commits. End-to-end arrival→commit latency
+        additionally includes the trigger wait — measured externally
+        by bench.py's ``measure_latency``; this summary is the
+        processing component the pipeline can observe by itself."""
+        procs = sorted(p for _, _, p in self.batch_commits)
+        if not procs:
+            return {}
+        out: dict[str, float] = {"batches": float(len(procs))}
+        for q in (0.5, 0.9, 0.99):
+            v = procs[min(len(procs) - 1, int(q * len(procs)))]
+            out[f"p{int(q * 100)}"] = v
+            self.metrics.set_gauge(M.BATCH_DURATION, v, quantile=str(q))
+        return out
+
     # -- dead-letter replay ------------------------------------------------
 
     def replay_dlq(self) -> list[str]:

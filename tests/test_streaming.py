@@ -490,6 +490,28 @@ class TestMetricsPrecision:
         # float gauges render repr() full precision
         assert "0.123456789012345" in text
 
+    def test_latency_summary_percentiles_and_gauges(self, spark, dirs):
+        """latency_summary: batch-processing percentiles from the
+        commit log, published as quantile-labeled duration gauges."""
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        _feed(src, "b.parquet", 300, 200)
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(
+            spark, PipelineConfig(batch_timeout_secs=1.0), sink, src, ckpt
+        ).start()
+        assert p.latency_summary() == {}  # nothing committed yet
+        p.process_all_available()
+        p.stop()
+        s = p.latency_summary()
+        assert s["batches"] >= 1
+        assert 0 < s["p50"] <= s["p90"] <= s["p99"]
+        from rigatoni_spark.streaming import metrics as M
+
+        text = p.metrics.render_prometheus()
+        assert 'rigatoni_batch_duration_seconds{quantile="0.5"}' in text
+        assert p.metrics.get(M.BATCH_DURATION, quantile="0.99") == s["p99"]
+
 
 class TestDeadLetterQueue:
     def test_poisoned_batch_routes_to_dlq_and_stream_continues(
