@@ -304,8 +304,12 @@ def main() -> None:
     # config (batch 500 / 50 ms timeout, performance.md:36-49) — see
     # measure_latency for the method.
     latency = {
+        # feed drifts 0.65 s per cycle against the 5 s trigger, so 10
+        # files sample the full trigger phase (6.5 s > one cycle) —
+        # the p50 then reflects the uniform-arrival trigger wait, not
+        # whatever phase the first file happened to land on
         "reference_default": measure_latency(
-            spark, table, 100, 5.0, n_files=10, feed_interval=5.3
+            spark, table, 100, 5.0, n_files=10, feed_interval=5.65
         ),
         "reference_production": measure_latency(
             spark, table, 500, 0.05, n_files=24, feed_interval=0.4
