@@ -59,7 +59,18 @@ def measure_latency(
     rows_per_file = batch_size
     # clamp to the table: a small-SF events table must not feed empty
     # slices (they would desynchronize the count-based attribution)
-    n_files = min(n_files, max(1, table.num_rows // rows_per_file - 2))
+    n_files = min(n_files, table.num_rows // rows_per_file - 2)
+    if n_files < 1:
+        return {
+            "batch_size": batch_size,
+            "batch_timeout_secs": timeout_secs,
+            "n_events": 0,
+            "p50_ms": None,
+            "p99_ms": None,
+            "max_ms": None,
+            "batch_proc_p50_ms": None,
+            "skipped": "events table too small for this batch size",
+        }
     uniq = table.set_column(
         table.schema.get_field_index("user_id"),
         "user_id",
@@ -92,19 +103,24 @@ def measure_latency(
             single_file_per_group=False,
         )
         p = Pipeline(spark, cfg, sink, src, ckpt).start()
-        n_warm = 2
-        for i in range(n_warm):
-            feed(i)
-        p.process_all_available()
-        warm_events = sum(n for _, n, _ in p.batch_commits)
-        feeds = []  # (feed_wall, rows)
-        for i in range(n_warm, n_warm + n_files):
-            feeds.append((feed(i), rows_per_file))
-            time.sleep(feed_interval)
-        p.process_all_available()
-        commits = list(p.batch_commits)
-        progress = [q.recentProgress for q in p._queries]
-        p.stop()
+        try:
+            n_warm = 2
+            for i in range(n_warm):
+                feed(i)
+            p.process_all_available()
+            warm_events = sum(n for _, n, _ in p.batch_commits)
+            feeds = []  # (feed_wall, rows)
+            for i in range(n_warm, n_warm + n_files):
+                feeds.append((feed(i), rows_per_file))
+                time.sleep(feed_interval)
+            p.process_all_available()
+            commits = list(p.batch_commits)
+            progress = [q.recentProgress for q in p._queries]
+        finally:
+            # stop BEFORE the rmtree below: deleting the source /
+            # checkpoint dirs under a live query would error it and
+            # leak a wedged stream into the rest of the bench run
+            p.stop()
     finally:
         shutil.rmtree(stream_root, ignore_errors=True)
 

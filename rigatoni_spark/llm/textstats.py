@@ -480,18 +480,26 @@ def train_qlf_weights(
     feeds ``write_qlf_weights`` and the resulting parquet is exactly
     what ``quality_logit(weights_path=..., weights_dim=dim)`` consumes.
 
-    Method: per-bucket naive-Bayes log-count ratio (Wang & Manning
-    2012, "Baselines and Bigrams" — the NBSVM feature weight; the
-    standard closed-form linear baseline fastText-style gates are
-    measured against)::
+    Method: per-bucket CENTERED naive-Bayes log-count ratio (the
+    Wang & Manning 2012 "Baselines and Bigrams" NBSVM feature weight,
+    with the class-prior term removed)::
 
-        w_j = floor(scale * log( ((pos_j + a) / (pos_tot + a*dim))
-                               / ((neg_j + a) / (neg_tot + a*dim)) ))
+        w_j = floor(scale * log( (pos_j + a) / (neg_j + a) ))
 
     over the SAME hashed unigram+bigram buckets the gate scores with
     (``_qlf_feats_expr`` / ``_qlf_bucket`` are shared, so there is no
     train/serve feature skew by construction). Closed-form, so the
     result is deterministic and hand-pinnable — no optimizer seed.
+
+    Centering is what honors the artifact's implicit-zero contract:
+    a bucket absent from BOTH classes weighs EXACTLY 0 (log(a/a)),
+    even on imbalanced training data — the uncentered NBSVM form
+    would give every unseen bucket the constant class prior
+    log(neg_tot/pos_tot), silently scoring all-novel-vocabulary
+    documents by training-set imbalance alone. The excluded prior is
+    a per-feature constant; fold it into ``quality_logit(bias=)`` if
+    the deployment wants calibrated class odds rather than a ranking
+    gate.
 
     ``labeled`` needs columns ``text`` and ``label`` (1 = keep-class
     exemplar, 0 = drop-class). Distributed shape: one explode + one
@@ -499,9 +507,7 @@ def train_qlf_weights(
     of at most ``dim`` groups; the bounded (≤ dim rows) count table is
     collected and the log-odds computed in-driver (the same
     driver-held-bounded-artifact shape as the k-means centroids and
-    the BPE merge table). Laplace ``alpha`` keeps unseen buckets
-    finite; buckets absent from BOTH classes get weight 0 via the same
-    smoothing."""
+    the BPE merge table)."""
     import math
 
     counts = (
@@ -519,15 +525,10 @@ def train_qlf_weights(
     )
     pos = {r["bucket"]: int(r["pos"]) for r in counts}
     neg = {r["bucket"]: int(r["neg"]) for r in counts}
-    pos_tot = sum(pos.values()) + alpha * dim
-    neg_tot = sum(neg.values()) + alpha * dim
     return [
         math.floor(
             scale
-            * math.log(
-                ((pos.get(j, 0) + alpha) / pos_tot)
-                / ((neg.get(j, 0) + alpha) / neg_tot)
-            )
+            * math.log((pos.get(j, 0) + alpha) / (neg.get(j, 0) + alpha))
         )
         for j in range(dim)
     ]
@@ -755,6 +756,11 @@ _CHARS_EXPR = "filter(split({col}, ''), c -> c <> '')"
 # AdmissionStream.BUCKETIZE_MIN_ROWS.
 BPE_DRIVER_VOCAB_MAX_ROWS = 1_000_000
 
+# Distributed-tier lineage-truncation window: nested greedy folds are
+# safe to this depth (measured), and truncating only every Nth round
+# keeps the materialized vocab copies N× fewer.
+_BPE_CKPT_EVERY = 8
+
 
 def _bpe_apply_merge(syms: list[str], left: str, right: str) -> list[str]:
     """Driver twin of ``_merge_fold_expr``: greedy left fold — the
@@ -867,15 +873,20 @@ def bpe_learn(
             return _bpe_learn_driver(
                 [(r["word"], int(r["cnt"])) for r in rows], n_merges
             )
-    # localCheckpoint per round: persist alone does NOT truncate
-    # lineage, so the greedy fold nests one level deeper per round and
-    # the analyzed plan / generated code grow with the round count — a
-    # 32-round loop OOMed the JVM heap in codegen (measured r10; r9
-    # only ever ran 8 rounds). Truncating keeps every round's plan one
-    # fold deep; the vocab is bounded so the materialized copy is tiny.
-    # (Same pattern and caveat as duplicate_clusters: local checkpoints
-    # are executor-local — on a multi-node cluster the driver tier
-    # above is the realistic path anyway.)
+    # localCheckpoint every _BPE_CKPT_EVERY rounds: persist alone does
+    # NOT truncate lineage, so the greedy fold nests one level deeper
+    # per round and the analyzed plan / generated code grow with the
+    # round count — a 32-round always-nested loop OOMed the JVM heap
+    # in codegen (measured r10; r9 only ever ran 8 rounds, which is
+    # safe — hence the truncation window of 8). Checkpointing only
+    # every 8th round bounds fold depth AND keeps the number of
+    # materialized vocab copies 8x lower; superseded checkpoint blocks
+    # are freed when the ContextCleaner collects the dropped DataFrame
+    # (GC-tied lifetime — the same accepted trade as the family's lazy
+    # localCheckpoints, see SCALE.md; a persist here would pin a
+    # CacheManager entry per round instead). Local checkpoints are
+    # executor-local — on a multi-node cluster the driver tier above
+    # is the realistic path anyway.
     vocab = words.select(
         "word",
         "cnt",
@@ -914,7 +925,9 @@ def bpe_learn(
         )
         vocab = vocab.withColumn(
             "syms", F.expr(_merge_fold_expr("syms", l, r, rank))
-        ).localCheckpoint(eager=True)  # materialize + truncate lineage
+        )
+        if rank % _BPE_CKPT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 

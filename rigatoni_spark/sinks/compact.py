@@ -42,6 +42,7 @@ import glob
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,48 +56,78 @@ _MARKER = "_sink_compaction"
 _LEASE = "_rigatoni_pipeline.lease"
 
 
-def write_sink_lease(base_uri: str) -> str | None:
+# Default owner token for bare write/clear calls: process-scoped, so
+# callers that don't manage their own token keep the old
+# one-pipeline-per-process behavior. Pipelines pass a per-instance
+# token — two Pipelines in ONE driver process must not void each
+# other's lease any more than two processes may.
+_PROCESS_TOKEN = uuid.uuid4().hex
+
+
+def _read_lease(base: str) -> dict | None:
+    path = os.path.join(base, _LEASE)
+    try:
+        with open(path) as fh:
+            lease = json.load(fh)
+        return lease if isinstance(lease, dict) else None
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def write_sink_lease(base_uri: str, token: str | None = None) -> str | None:
     """Drop a liveness lease under the sink root (called by
-    Pipeline.start). The lease carries the owning driver's pid so
+    Pipeline.start). The lease carries the owning driver's pid (so
     compaction can distinguish 'pipeline running' from 'pipeline
-    crashed and left a stale file'. Refuses when a DIFFERENT live
-    process already holds the lease — two pipelines sharing a sink
-    root would otherwise silently void each other's
-    stopped-pipeline compaction contract (the second stop() would
-    clear the first's lease). Filesystem sinks only (the only kind
-    wired here); returns the lease path or None."""
+    crashed and left a stale file') plus an owner token. Refuses when
+    a DIFFERENT live owner already holds the lease — whether another
+    process or another Pipeline instance in THIS process — because
+    two pipelines sharing a sink root would silently void each
+    other's stopped-pipeline compaction contract (the second stop()
+    would clear the first's lease). Filesystem sinks only (the only
+    kind wired here); returns the lease path or None."""
     base = base_uri.replace("file:", "")
     if not base.startswith("/"):
         return None
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, _LEASE)
+    token = token if token is not None else _PROCESS_TOKEN
     holder = _lease_holder_alive(base)
-    if holder is not None and holder != os.getpid():
-        raise RuntimeError(
-            f"another pipeline (driver pid {holder}) already holds the "
-            f"lease on this sink root ({base_uri}); two pipelines must "
-            "not share a sink root (if no pipeline is actually running "
-            f"— e.g. the pid was reused — delete {path} and retry)"
+    if holder is not None:
+        lease = _read_lease(base) or {}
+        held_token = lease.get("token")
+        same_owner = holder == os.getpid() and (
+            held_token is None or held_token == token
         )
-    _atomic_write(path, json.dumps({"pid": os.getpid()}))
+        if not same_owner:
+            raise RuntimeError(
+                f"another pipeline (driver pid {holder}) already holds "
+                f"the lease on this sink root ({base_uri}); two "
+                "pipelines must not share a sink root (if no pipeline "
+                "is actually running — e.g. the pid was reused — "
+                f"delete {path} and retry)"
+            )
+    _atomic_write(path, json.dumps({"pid": os.getpid(), "token": token}))
     return path
 
 
-def clear_sink_lease(base_uri: str) -> None:
+def clear_sink_lease(base_uri: str, token: str | None = None) -> None:
     """Remove the lease (Pipeline.stop / await_backfill) — but only
-    when it carries this process's pid, so a foreign pipeline's live
-    lease is never cleared from another driver."""
+    when it carries this owner's pid+token, so a foreign pipeline's
+    live lease is never cleared, from another driver OR from another
+    Pipeline in the same process."""
     base = base_uri.replace("file:", "")
-    path = os.path.join(base, _LEASE)
-    try:
-        with open(path) as fh:
-            pid = json.load(fh).get("pid")
-    except (FileNotFoundError, json.JSONDecodeError):
+    lease = _read_lease(base)
+    if lease is None:
         return
+    token = token if token is not None else _PROCESS_TOKEN
+    pid = lease.get("pid")
+    held_token = lease.get("token")
     if pid is not None and pid != os.getpid():
         return
+    if held_token is not None and held_token != token:
+        return
     try:
-        os.remove(path)
+        os.remove(os.path.join(base, _LEASE))
     except FileNotFoundError:
         pass
 

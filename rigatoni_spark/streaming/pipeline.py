@@ -129,6 +129,12 @@ class Pipeline:
         self._queries: list = []
         self._lock = threading.Lock()
         self._invalidated: str | None = None
+        # per-instance sink-lease owner token: two Pipelines in one
+        # driver process must not be able to clear each other's lease
+        # (pid alone cannot tell them apart)
+        import uuid
+
+        self._lease_token = uuid.uuid4().hex
         # S2 auto-discovery parity (pipeline.rs:1344-1353): at Database/
         # Deployment level the live watch picks up collections created
         # mid-stream; the file source gets that for free (collection is
@@ -168,16 +174,24 @@ class Pipeline:
         batch_df = self._transform(batch_df)
         if self.config.dedup_by_key:
             # G3: per-batch dedup, the reference's HashSet semantics.
-            # Shuffle width sized to the batch (previous batch's n,
-            # floored at the configured batch size): a 100-event
-            # micro-batch must not pay a 32-task reduce stage — at the
-            # reference's default config that stage alone was ~150 ms
-            # of pure per-trigger latency floor. Large batches scale
-            # the width back up at _TARGET_ROWS_PER_FILE granularity.
-            hint = max(state.last_n or 0, self.config.batch_size)
-            batch_df = dedup_by_key(
-                batch_df, num_partitions=max(1, -(-hint // 5_000))
-            )
+            # In steady state the shuffle width is sized to the batch
+            # (previous batch's n, floored at the configured batch
+            # size): a 100-event micro-batch must not pay a 32-task
+            # reduce stage — at the reference's default config that
+            # stage alone was ~150 ms of pure per-trigger latency
+            # floor. Large batches scale the width back up at
+            # _TARGET_ROWS_PER_FILE granularity. The FIRST batch has
+            # no trusted size hint (a backfill drain can be arbitrarily
+            # large — maxFilesPerTrigger bounds files, not rows), so it
+            # keeps the session-default width rather than cramming an
+            # unknown batch through a near-1-partition shuffle.
+            if state.last_n is None:
+                batch_df = dedup_by_key(batch_df)
+            else:
+                hint = max(state.last_n, self.config.batch_size)
+                batch_df = dedup_by_key(
+                    batch_df, num_partitions=max(1, -(-hint // 5_000))
+                )
 
         # ONE Spark job per micro-batch in steady state: the probe
         # (count + invalidate detection (F3) + per-collection group
@@ -514,7 +528,7 @@ class Pipeline:
         # must not hold the sink hostage.
         from rigatoni_spark.sinks.compact import write_sink_lease
 
-        write_sink_lease(self.sink.base_uri)
+        write_sink_lease(self.sink.base_uri, token=self._lease_token)
         try:
             level = self.config.watch_level
             if level is WatchLevel.COLLECTION:
@@ -578,7 +592,7 @@ class Pipeline:
     def _clear_lease(self) -> None:
         from rigatoni_spark.sinks.compact import clear_sink_lease
 
-        clear_sink_lease(self.sink.base_uri)
+        clear_sink_lease(self.sink.base_uri, token=self._lease_token)
 
     def stop(self) -> PipelineStats:
         """O3: graceful shutdown — finish in-flight batches, stop."""

@@ -502,19 +502,28 @@ def test_train_qlf_weights_pin_and_artifact_gate_roundtrip(spark, tmp_path):
         for f in feats(text):
             d = pos if label else neg
             d[bucket(f)] = d.get(bucket(f), 0) + 1
-    pos_tot = sum(pos.values()) + dim
-    neg_tot = sum(neg.values()) + dim
     want = [
         math.floor(
-            1000
-            * math.log(
-                ((pos.get(j, 0) + 1) / pos_tot)
-                / ((neg.get(j, 0) + 1) / neg_tot)
-            )
+            1000 * math.log((pos.get(j, 0) + 1) / (neg.get(j, 0) + 1))
         )
         for j in range(dim)
     ]
     assert ws == want
+    # implicit-zero contract: buckets unseen in BOTH classes weigh
+    # exactly 0, even on imbalanced data — train on a lopsided fixture
+    # with a tiny dim... rather, directly: any bucket untouched above
+    # must be 0 (the centered form guarantees it)
+    unseen = [j for j in range(dim) if j not in pos and j not in neg]
+    for j in unseen:
+        assert ws[j] == 0
+    lopsided = spark.createDataFrame(
+        [("aaa bbb", 0)] * 5 + [("ccc", 1)], "text string, label int"
+    )
+    ws2 = textstats.train_qlf_weights(lopsided, dim=dim)
+    touched = {bucket(f) for f in ["aaa", "bbb", "aaa bbb", "ccc"]}
+    for j in range(dim):
+        if j not in touched:
+            assert ws2[j] == 0, "unseen bucket must weigh 0 on imbalance"
 
     # artifact round trip: the trained parquet drives the gate
     path = str(tmp_path / "trained_weights.parquet")

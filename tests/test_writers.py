@@ -724,3 +724,35 @@ class TestSinkCompaction:
         assert racer.exists(), "snapshot-bounded delete removed a racer"
         for rel in old:
             assert not (tmp_path / rel).exists()
+
+    def test_same_process_second_pipeline_cannot_void_lease(self, tmp_path):
+        """Two Pipelines in ONE driver process (same pid) must not void
+        each other's lease either: the per-owner token distinguishes
+        them where the pid cannot — B's start refuses while A holds the
+        root, and a clear with B's token leaves A's lease in place."""
+        import json as _json
+
+        from rigatoni_spark.sinks.compact import (
+            clear_sink_lease,
+            write_sink_lease,
+        )
+
+        base_uri = str(tmp_path)
+        lease = tmp_path / "_rigatoni_pipeline.lease"
+        write_sink_lease(base_uri, token="pipeline-a")
+        with pytest.raises(RuntimeError, match="another pipeline"):
+            write_sink_lease(base_uri, token="pipeline-b")
+        clear_sink_lease(base_uri, token="pipeline-b")
+        assert lease.exists(), "B's clear removed A's live lease"
+        assert _json.loads(lease.read_text())["token"] == "pipeline-a"
+        # A re-entrant write by the SAME owner is allowed (restart)
+        write_sink_lease(base_uri, token="pipeline-a")
+        clear_sink_lease(base_uri, token="pipeline-a")
+        assert not lease.exists()
+        # malformed-but-valid-JSON lease (non-object) is stale, and
+        # clear must not crash on it (AttributeError regression)
+        lease.write_text('[1]')
+        clear_sink_lease(base_uri)
+        write_sink_lease(base_uri, token="pipeline-c")
+        clear_sink_lease(base_uri, token="pipeline-c")
+        assert not lease.exists()
