@@ -80,3 +80,12 @@ def test_tokenizer_pipeline(spark):
     # vocab is bounded: base alphabet + at most one new symbol/merge
     assert out["vocab"] <= 26 + 10 + 8
     assert out["sources_audited"] > 0
+
+
+def test_quality_gate_training(spark):
+    out = _mod("quality_gate_training").main(spark, SF_DIR)
+    assert out["pos"] > 0 and out["neg"] > 0
+    assert 0 < out["nonzero_buckets"]
+    assert 0 < out["kept"] < out["total"]
+    # the trained gate must separate the classes it was trained on
+    assert out["separates"] is True
