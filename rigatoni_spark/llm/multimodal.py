@@ -425,7 +425,8 @@ def resize_images(
                 # on e.g. the always-true audio capability, so a stray
                 # non-image row fails with CodecNotAvailable instead of
                 # a raw PIL error
-                _require_codecs(["image"] * len(pdf), caps)
+                if len(pdf):
+                    _require_codecs(["image"], caps)
                 rows = {k.name: [] for k in out_schema.fields}
                 for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                     w, h, nw, nh, nb = _real_resize(bytes(p))

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import threading
 import time
+import uuid
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -121,8 +123,6 @@ class Pipeline:
         # latency measurement (arrival -> sink-commit percentiles in
         # bench.py) and lag alerting. Bounded: a 5-second-trigger
         # pipeline takes ~7 months to fill 4M entries.
-        from collections import deque
-
         self.batch_commits: deque[tuple[float, int, float]] = deque(
             maxlen=4_000_000
         )
@@ -132,8 +132,6 @@ class Pipeline:
         # per-instance sink-lease owner token: two Pipelines in one
         # driver process must not be able to clear each other's lease
         # (pid alone cannot tell them apart)
-        import uuid
-
         self._lease_token = uuid.uuid4().hex
         # S2 auto-discovery parity (pipeline.rs:1344-1353): at Database/
         # Deployment level the live watch picks up collections created
