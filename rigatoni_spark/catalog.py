@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from rigatoni_spark import tables
 from rigatoni_spark.llm import contamination, corpus, mixing, sampling
 from rigatoni_spark.llm import dedup as ldedup
-from rigatoni_spark.llm import minhash, multimodal, pq, simhash, textstats, vectors
+from rigatoni_spark.llm import minhash, multimodal, ngram_lm, pq, simhash, textstats, vectors
 from rigatoni_spark.operators.materialize import (
     MATERIALIZE_ORACLE_BODY,
     SCD2_ORACLE_BODY,
@@ -1606,6 +1606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_topk": _emb(pq.ivfpq_topk),
     # corpus-model text quality + audit surface
     "text_rarity_scores": _doc(textstats.rarity_scores),
+    # stupid-backoff trigram LM: train head, per-doc surprisal, CCNet gate
+    "text_lm_trigrams": _doc(ngram_lm.lm_top_trigrams),
+    "text_lm_surprisal": _doc(ngram_lm.lm_surprisal),
+    "text_lm_gate": _doc(ngram_lm.lm_gate),
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
@@ -2044,6 +2048,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "dedup_pq_buckets": pq.pq_bucket_dedup_oracle(),
     "sim_ivfpq_topk": pq.ivfpq_topk_oracle(),
     "text_rarity_scores": textstats.RARITY_ORACLE,
+    "text_lm_trigrams": ngram_lm.lm_top_trigrams_oracle(),
+    "text_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
+    "text_lm_gate": ngram_lm.LM_GATE_ORACLE,
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),

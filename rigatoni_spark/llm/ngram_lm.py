@@ -1,0 +1,291 @@
+"""N-gram language model with stupid backoff: train + perplexity-style
+document scoring — the CCNet-shaped LM quality filter (Wenzek et al.
+2020 train a KenLM and gate crawl documents by perplexity bands; Brants
+et al. 2007 "Large Language Models in Machine Translation" define
+stupid backoff as the count-ratio score that needs no discounting and
+therefore distributes as pure aggregation).
+
+The reference engine has no LM surface; this extends the
+training-data-pipeline family (SURVEY.md "beyond-reference" section)
+alongside rarity_scores (the unigram special case, textstats.py).
+
+Everything is integer-exact (``div`` on scaled int64, never ``/``), the
+repo's cross-engine-hashing rule: a float log-prob differs in the last
+ulp between libm implementations, while count ratios scaled by 1e6
+hash identically in Spark and DuckDB. With corpus counts up to ~1e12
+(100 TB of text) the largest intermediate is count*1_000_000 < 1e18,
+inside int64.
+
+Distributed shape (100 TB story):
+- gram construction is scan-fused: one ``transform(sequence(...))``
+  over the token array builds (token, prev, prev2) structs per
+  position — zero joins, zero windows, no shuffle before the count
+  aggs (each map-side combined).
+- the three count tables are Zipf-headed; ``prune_min`` drops the long
+  tail so a trained model broadcasts (the production deployment: train
+  once, broadcast-score everything). Self-scoring at test scale leaves
+  pruning off so the DuckDB oracle is a literal transcription.
+- scoring is three left joins keyed by gram; AQE broadcasts the count
+  tables at test scale and handles head-token skew (skew-join split)
+  at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rigatoni_spark.tables import spread
+
+# score scale: ratios land in [0, 1e6]; backoff multiplies by 0.4 once
+# (bigram path) or twice (unigram path), expressed as *4 div 10 and
+# *16 div 100 so both engines evaluate identical integer arithmetic
+SCALE = 1_000_000
+
+
+def _position_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, t, t1, t2) per token position: t1/t2 are the previous
+    one/two tokens, NULL at document starts (the natural backoff: the
+    first token scores through the unigram path, the second through
+    the bigram path). Scan-fused — no window, no self-join."""
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' '))), i -> struct("
+        "  split(text, ' ')[i - 1] AS t,"
+        "  if(i > 1, split(text, ' ')[i - 2], null) AS t1,"
+        "  if(i > 2, split(text, ' ')[i - 3], null) AS t2))"
+    )
+    return (
+        spread(documents)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.t", "g.t1", "g.t2")
+    )
+
+
+def lm_count_tables(
+    documents: DataFrame, prune_min: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train: the (trigram, bigram, unigram) count tables, each carrying
+    its backoff-context total so scoring is a single join per order.
+
+    ``prune_min`` keeps only grams seen at least that often — the knob
+    that bounds model size at 100 TB (KenLM's pruning); context totals
+    are computed BEFORE pruning so pruned-model scores remain true
+    count ratios of the full corpus.
+    """
+    rows = _position_rows(documents)
+    tri = (
+        rows.filter(F.col("t2").isNotNull())
+        .groupBy("t2", "t1", "t")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tri_ctx = (
+        rows.filter(F.col("t2").isNotNull())
+        .groupBy("t2", "t1")
+        .agg(F.count(F.lit(1)).alias("cx3"))
+    )
+    bi = (
+        rows.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    bi_ctx = (
+        rows.filter(F.col("t1").isNotNull())
+        .groupBy("t1")
+        .agg(F.count(F.lit(1)).alias("cx2"))
+    )
+    uni = rows.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    if prune_min > 1:
+        tri = tri.filter(F.col("c3") >= prune_min)
+        bi = bi.filter(F.col("c2") >= prune_min)
+        uni = uni.filter(F.col("c1") >= prune_min)
+    return (
+        tri.join(tri_ctx, ["t2", "t1"]),
+        bi.join(bi_ctx, ["t1"]),
+        uni,
+    )
+
+
+def lm_top_trigrams(documents: DataFrame, k: int = 30) -> DataFrame:
+    """The trained model's head: top-k trigrams with their context
+    totals and stupid-backoff score — what an LM artifact export would
+    materialize first."""
+    tri, _, _ = lm_count_tables(documents)
+    return (
+        tri.select(
+            "t2",
+            "t1",
+            "t",
+            "c3",
+            "cx3",
+            F.expr(f"c3 * {SCALE} div cx3").alias("score_x1m"),
+        )
+        .orderBy(F.col("c3").desc(), "t2", "t1", "t")
+        .limit(k)
+    )
+
+
+def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
+    """Score every document under the corpus LM: per-position stupid
+    backoff (trigram ratio; else 0.4 * bigram ratio; else 0.16 *
+    unigram frequency), averaged per document. High score = fluent
+    under the corpus model; the CCNet gate drops the tails.
+
+    Self-scoring (train and score on the same corpus, like
+    rarity_scores) keeps the unigram path total-count-backed — no OOV
+    floor needed. A train/test split scores through the same joins
+    with an added +1 smoothing on the unigram miss.
+    """
+    rows = _position_rows(documents)
+    tri, bi, uni = lm_count_tables(documents, prune_min=prune_min)
+    total = rows.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        rows.join(tri, ["t2", "t1", "t"], "left")
+        .join(bi, ["t1", "t"], "left")
+        .join(uni, ["t"], "left")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN c3 IS NOT NULL THEN c3 * {SCALE} div cx3 "
+                f"WHEN c2 IS NOT NULL THEN (4 * (c2 * {SCALE} div cx2)) div 10 "
+                f"ELSE (16 * (coalesce(c1, 0) * {SCALE} div n_total)) div 100 "
+                "END"
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.expr(f"sum(s) div count(1)").alias("lm_score_x1m"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_gate(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity banding: bucket every document against
+    the corpus-mean LM score (integer mean, broadcast 1-row join) —
+    'head' scores at/above the mean (fluent), 'tail' below half the
+    mean (likely junk: boilerplate, non-language, mojibake), 'middle'
+    between. A production pipeline keeps head+middle; the catalog row
+    returns the full banding so the oracle checks every boundary."""
+    scores = lm_surprisal(documents)
+    mean = scores.agg(
+        F.expr("sum(lm_score_x1m) div count(1)").alias("corpus_mean")
+    )
+    return (
+        scores.join(F.broadcast(mean))
+        .select(
+            "doc_id",
+            "lm_score_x1m",
+            F.expr(
+                "CASE WHEN lm_score_x1m >= corpus_mean THEN 'head' "
+                "WHEN lm_score_x1m * 2 >= corpus_mean THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- DuckDB oracle SQL -------------------------------------------------
+
+_ROWS_CTE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+rows_ AS (
+  SELECT doc_id, g['t'] AS t, g['t1'] AS t1, g['t2'] AS t2
+  FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+      i -> {'t': w[i],
+            't1': CASE WHEN i > 1 THEN w[i-1] END,
+            't2': CASE WHEN i > 2 THEN w[i-2] END})) AS g
+    FROM toks
+  )
+)
+"""
+
+_COUNTS_CTES = """
+tri AS (
+  SELECT t2, t1, t, COUNT(*) AS c3 FROM rows_
+  WHERE t2 IS NOT NULL GROUP BY t2, t1, t
+),
+tri_ctx AS (
+  SELECT t2, t1, COUNT(*) AS cx3 FROM rows_
+  WHERE t2 IS NOT NULL GROUP BY t2, t1
+),
+bi AS (
+  SELECT t1, t, COUNT(*) AS c2 FROM rows_
+  WHERE t1 IS NOT NULL GROUP BY t1, t
+),
+bi_ctx AS (
+  SELECT t1, COUNT(*) AS cx2 FROM rows_ WHERE t1 IS NOT NULL GROUP BY t1
+),
+uni AS (SELECT t, COUNT(*) AS c1 FROM rows_ GROUP BY t),
+total AS (SELECT COUNT(*) AS n_total FROM rows_)
+"""
+
+_SURPRISAL_CTES = (
+    _ROWS_CTE
+    + ","
+    + _COUNTS_CTES
+    + f""",
+scored AS (
+  SELECT r.doc_id,
+    CASE WHEN tri.c3 IS NOT NULL THEN (tri.c3 * {SCALE}) // tc.cx3
+         WHEN bi.c2 IS NOT NULL THEN (4 * ((bi.c2 * {SCALE}) // bc.cx2)) // 10
+         ELSE (16 * ((COALESCE(uni.c1, 0) * {SCALE}) // total.n_total)) // 100
+    END AS s
+  FROM rows_ r
+  LEFT JOIN tri ON r.t2 = tri.t2 AND r.t1 = tri.t1 AND r.t = tri.t
+  LEFT JOIN tri_ctx tc ON r.t2 = tc.t2 AND r.t1 = tc.t1
+  LEFT JOIN bi ON r.t1 = bi.t1 AND r.t = bi.t
+  LEFT JOIN bi_ctx bc ON r.t1 = bc.t1
+  LEFT JOIN uni ON r.t = uni.t
+  CROSS JOIN total
+),
+doc_scores AS (
+  SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm_score_x1m
+  FROM scored GROUP BY doc_id
+)
+"""
+)
+
+
+def lm_top_trigrams_oracle(k: int = 30) -> str:
+    return (
+        _ROWS_CTE
+        + ","
+        + _COUNTS_CTES
+        + f"""
+SELECT tri.t2, tri.t1, tri.t, tri.c3, tc.cx3,
+       CAST((tri.c3 * {SCALE}) // tc.cx3 AS BIGINT) AS score_x1m
+FROM tri JOIN tri_ctx tc ON tri.t2 = tc.t2 AND tri.t1 = tc.t1
+ORDER BY tri.c3 DESC, tri.t2, tri.t1, tri.t LIMIT {k}
+"""
+    )
+
+
+LM_SURPRISAL_ORACLE = (
+    _SURPRISAL_CTES
+    + """
+SELECT doc_id, n_scored, lm_score_x1m FROM doc_scores ORDER BY doc_id
+"""
+)
+
+
+LM_GATE_ORACLE = (
+    _SURPRISAL_CTES
+    + """,
+corpus AS (
+  SELECT CAST(SUM(lm_score_x1m) // COUNT(*) AS BIGINT) AS corpus_mean
+  FROM doc_scores
+)
+SELECT doc_id, lm_score_x1m,
+  CASE WHEN lm_score_x1m >= corpus_mean THEN 'head'
+       WHEN lm_score_x1m * 2 >= corpus_mean THEN 'middle'
+       ELSE 'tail' END AS band
+FROM doc_scores CROSS JOIN corpus ORDER BY doc_id
+"""
+)

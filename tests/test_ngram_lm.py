@@ -1,0 +1,98 @@
+"""Stupid-backoff trigram LM: hand-computed pins on a 2-doc corpus
+(every count small enough to verify on paper), plus the pruning knob
+and the corpus-scale plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from rigatoni_spark.llm import ngram_lm
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # d0: a b a b c   d1: a b a
+    # unigrams a:4 b:3 c:1 (N=8); bigrams (a,b):3 (b,a):2 (b,c):1,
+    # contexts a:3 b:3; trigrams (a,b,a):2 (b,a,b):1 (a,b,c):1,
+    # contexts (a,b):3 (b,a):1
+    return spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b a")], "doc_id bigint, text string"
+    )
+
+
+def test_count_tables(tiny):
+    tri, bi, uni = ngram_lm.lm_count_tables(tiny)
+    tri_rows = {
+        (r["t2"], r["t1"], r["t"]): (r["c3"], r["cx3"]) for r in tri.collect()
+    }
+    assert tri_rows == {
+        ("a", "b", "a"): (2, 3),
+        ("b", "a", "b"): (1, 1),
+        ("a", "b", "c"): (1, 3),
+    }
+    bi_rows = {(r["t1"], r["t"]): (r["c2"], r["cx2"]) for r in bi.collect()}
+    assert bi_rows == {
+        ("a", "b"): (3, 3),
+        ("b", "a"): (2, 3),
+        ("b", "c"): (1, 3),
+    }
+    uni_rows = {r["t"]: r["c1"] for r in uni.collect()}
+    assert uni_rows == {"a": 4, "b": 3, "c": 1}
+
+
+def test_top_trigrams_order_and_score(tiny):
+    rows = ngram_lm.lm_top_trigrams(tiny).collect()
+    assert [(r["t2"], r["t1"], r["t"]) for r in rows] == [
+        ("a", "b", "a"),  # c3=2 first
+        ("a", "b", "c"),  # c3=1 ties break on (t2, t1, t)
+        ("b", "a", "b"),
+    ]
+    assert rows[0]["score_x1m"] == 2 * ngram_lm.SCALE // 3  # 666666
+    assert rows[2]["score_x1m"] == ngram_lm.SCALE  # 1/1
+
+
+def test_surprisal_hand_pin(tiny):
+    # d0: 80000 (uni a) + 400000 (bi a->b) + 666666 (tri aba)
+    #     + 1000000 (tri bab) + 333333 (tri abc) = 2479999 // 5
+    # d1: 80000 + 400000 + 666666 = 1146666 // 3
+    rows = {r["doc_id"]: r for r in ngram_lm.lm_surprisal(tiny).collect()}
+    assert (rows[0]["n_scored"], rows[0]["lm_score_x1m"]) == (5, 495999)
+    assert (rows[1]["n_scored"], rows[1]["lm_score_x1m"]) == (3, 382222)
+
+
+def test_gate_bands(tiny):
+    # corpus mean = (495999 + 382222) // 2 = 439110:
+    # d0 >= mean -> head; d1 in [mean/2, mean) -> middle
+    rows = {r["doc_id"]: r["band"] for r in ngram_lm.lm_gate(tiny).collect()}
+    assert rows == {0: "head", 1: "middle"}
+
+
+def test_prune_min_backs_off(tiny):
+    # prune_min=2 drops every trigram except (a,b,a) and every bigram
+    # except (a,b)/(b,a); positions that lost their trigram fall to the
+    # bigram path, e.g. d0 pos4 'b' after (b,a): trigram (b,a,b) pruned
+    # -> 0.4 * c2(a,b)/cx2(a) ... context totals stay full-corpus
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_lm.lm_surprisal(tiny, prune_min=2).collect()
+    }
+    # d0: 80000 (uni a, c1=4 survives) + 400000 (bi a->b)
+    #     + 666666 (tri aba survives) + 266666 (bi b->a? no: pos4 is
+    #     'b' with t1='a': bi (a,b) c2=3 cx2=3 -> 400000*0.4? no —
+    #     bigram path is 0.4 * ratio = (4*1000000)//10 = 400000)
+    #     + pos5 'c': tri abc pruned, bi (b,c) pruned, uni c pruned ->
+    #     (16 * ((0 * SCALE) // 8)) // 100 = 0
+    assert rows[0]["lm_score_x1m"] == (80000 + 400000 + 666666 + 400000 + 0) // 5
+    assert rows[1]["lm_score_x1m"] == (80000 + 400000 + 666666) // 3
+
+
+def test_corpus_run_shapes(spark):
+    from rigatoni_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = ngram_lm.lm_surprisal(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["lm_score_x1m"] >= 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
