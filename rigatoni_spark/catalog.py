@@ -791,6 +791,24 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram LM scoring documents AS THEY ARRIVE: count tables
+    trained on the static corpus, stream-static left joins score each
+    streamed document, per-doc scores maintained complete-mode — the
+    CCNet crawl-ingest deployment (train offline, gate online).
+    Drained over the bounded corpus with train==stream it equals
+    text_lm_surprisal, so the same oracle hash-checks this path."""
+    static_docs = tables.load_table(spark, sf_dir, "documents")
+    return _drain_to_memory_table(
+        ngram_lm.lm_surprisal_stream(
+            _documents_stream(spark, sf_dir), static_docs
+        ),
+        "stream_lm",
+        ["doc_id"],
+        output_mode="complete",
+    )
+
+
 def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination running IN-STREAM: training documents stream in,
     their distinct n-grams broadcast-join the STATIC benchmark gram
@@ -1610,6 +1628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_trigrams": _doc(ngram_lm.lm_top_trigrams),
     "text_lm_surprisal": _doc(ngram_lm.lm_surprisal),
     "text_lm_gate": _doc(ngram_lm.lm_gate),
+    "s7_stream_lm_surprisal": _q_stream_lm_surprisal,
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
@@ -2051,6 +2070,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_lm_trigrams": ngram_lm.lm_top_trigrams_oracle(),
     "text_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_gate": ngram_lm.LM_GATE_ORACLE,
+    "s7_stream_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),

@@ -47,17 +47,19 @@ def _position_rows(documents: DataFrame) -> DataFrame:
     """(doc_id, t, t1, t2) per token position: t1/t2 are the previous
     one/two tokens, NULL at document starts (the natural backoff: the
     first token scores through the unigram path, the second through
-    the bigram path). Scan-fused — no window, no self-join."""
+    the bigram path). Scan-fused — no window, no self-join. Streaming
+    inputs skip spread(): repartitioning a micro-batch is wasted
+    shuffle (the stream source already sets batch parallelism)."""
     grams = F.expr(
         "transform(sequence(1, size(split(text, ' '))), i -> struct("
         "  split(text, ' ')[i - 1] AS t,"
         "  if(i > 1, split(text, ' ')[i - 2], null) AS t1,"
         "  if(i > 2, split(text, ' ')[i - 3], null) AS t2))"
     )
-    return (
-        spread(documents)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .select("doc_id", "g.t", "g.t1", "g.t2")
+    if not documents.isStreaming:
+        documents = spread(documents)
+    return documents.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.t", "g.t1", "g.t2"
     )
 
 
@@ -135,9 +137,21 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     floor needed. A train/test split scores through the same joins
     with an added +1 smoothing on the unigram miss.
     """
-    rows = _position_rows(documents)
-    tri, bi, uni = lm_count_tables(documents, prune_min=prune_min)
-    total = rows.agg(F.count(F.lit(1)).alias("n_total"))
+    return _score_rows(
+        _position_rows(documents), documents, prune_min=prune_min
+    ).orderBy("doc_id")
+
+
+def _score_rows(
+    rows: DataFrame, train_docs: DataFrame, prune_min: int = 1
+) -> DataFrame:
+    """Score position rows (batch OR streaming) against a model trained
+    on ``train_docs`` (always batch): the train-offline / score-online
+    split. Unordered per-doc output — callers order or window it."""
+    tri, bi, uni = lm_count_tables(train_docs, prune_min=prune_min)
+    total = _position_rows(train_docs).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
     scored = (
         rows.join(tri, ["t2", "t1", "t"], "left")
         .join(bi, ["t1", "t"], "left")
@@ -153,14 +167,23 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
             ).alias("s"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_scored"),
-            F.expr(f"sum(s) div count(1)").alias("lm_score_x1m"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr("sum(s) div count(1)").alias("lm_score_x1m"),
     )
+
+
+def lm_surprisal_stream(
+    stream_docs: DataFrame, train_docs: DataFrame
+) -> DataFrame:
+    """LM scoring IN-STREAM: documents arrive on a stream and score
+    against the count tables of a STATIC training corpus via
+    stream-static left joins — the production crawl-ingest topology
+    (train the LM once on the reference corpus, score every incoming
+    document; CCNet's exact deployment). Complete-mode per-doc agg;
+    drained over the bounded corpus with train==stream it equals
+    lm_surprisal, so the same oracle hash-checks the streaming path."""
+    return _score_rows(_position_rows(stream_docs), train_docs)
 
 
 def lm_gate(documents: DataFrame) -> DataFrame:
