@@ -182,7 +182,12 @@ def lm_surprisal_stream(
     (train the LM once on the reference corpus, score every incoming
     document; CCNet's exact deployment). Complete-mode per-doc agg;
     drained over the bounded corpus with train==stream it equals
-    lm_surprisal, so the same oracle hash-checks the streaming path."""
+    lm_surprisal, so the same oracle hash-checks the streaming path.
+
+    ``stream_docs`` may also be a BATCH DataFrame — the same joins
+    score a held-out slice against a model trained on the rest
+    (train/test perplexity evaluation); output is unordered either
+    way."""
     return _score_rows(_position_rows(stream_docs), train_docs)
 
 

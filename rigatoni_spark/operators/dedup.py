@@ -44,10 +44,21 @@ def dedup_by_key(
     columns satisfies the aggregation's clustering requirement, so
     Catalyst plans NO second exchange; survivors are unchanged. Leave
     None (batch analytics) to keep the default map-side-partial +
-    |keys|-row exchange shape."""
+    |keys|-row exchange shape.
+
+    ``num_partitions=1`` goes further: ``coalesce(1)`` instead of a
+    1-partition shuffle. SinglePartition satisfies ANY clustering
+    requirement, so the aggregation fuses into the scan stage — zero
+    exchanges, zero shuffle files, one task, no stage boundary. This
+    is the steady-state streaming path at the reference's default and
+    production batch sizes (100/500 rows), where the whole micro-batch
+    is one task's worth of work anyway; survivors are unchanged
+    (aggregation semantics don't depend on partitioning)."""
     if key_cols is None:
         key_cols = ["collection", "document_key"]
-    if num_partitions is not None:
+    if num_partitions == 1:
+        df = df.coalesce(1)
+    elif num_partitions is not None:
         df = df.repartition(num_partitions, *key_cols)
     ordering = F.col(order_col).cast("bigint") if order_col == "resume_token" else F.col(order_col)
     if keep == "last":

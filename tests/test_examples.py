@@ -89,3 +89,14 @@ def test_quality_gate_training(spark):
     assert 0 < out["kept"] < out["total"]
     # the trained gate must separate the classes it was trained on
     assert out["separates"] is True
+
+
+def test_lm_perplexity_gate(spark):
+    out = _mod("lm_perplexity_gate").main(spark, SF_DIR)
+    assert out["total"] == sum(out["bands"].values())
+    # the banding must actually split the corpus (mean sits inside the
+    # score distribution, so head is non-empty and not everything)
+    assert 0 < out["kept"] <= out["total"]
+    assert out["bands"].get("head", 0) > 0
+    assert out["held_out_docs"] > 0
+    assert out["held_out_mean"] >= 0

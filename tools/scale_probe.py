@@ -377,6 +377,28 @@ def probe_text_gates(spark, sf_dir: str) -> None:
         )
 
 
+def probe_ngram_lm(spark, sf_dir: str) -> None:
+    """Round-10 trigram LM under the 10x amplified corpus. Gram
+    construction is scan-fused (linear); the count tables grow with
+    DISTINCT grams (the alphabet-rotated copies share no vocabulary, so
+    this probe is the adversarial worst case: model size grows 10x with
+    the corpus instead of saturating like a natural Zipf vocabulary);
+    scoring is three shuffle joins on gram keys. Expect ~linear wall —
+    superlinear would mean a join or agg lost its partial-agg shape."""
+    from rigatoni_spark.llm import ngram_lm
+
+    docs, big = _amplified_docs(spark, sf_dir)
+    for label, corpus in (("1x", docs), ("10x", big)):
+        _timed(
+            f"lm_surprisal corpus={label}",
+            lambda c=corpus: ngram_lm.lm_surprisal(c),
+        )
+        _timed(
+            f"lm_gate corpus={label}",
+            lambda c=corpus: ngram_lm.lm_gate(c),
+        )
+
+
 def probe_bpe(spark, sf_dir: str) -> None:
     """Round-9 BPE loop under the 10x amplified corpus. bpe_learn's
     per-round cost is bound by the DISTINCT-WORD vocab, not the corpus
@@ -813,7 +835,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -837,6 +859,8 @@ def main() -> None:
         probe_bpe(spark, args.sf_dir)
     if args.which in ("bpe_merges", "all"):
         probe_bpe_merges(spark, args.sf_dir)
+    if args.which in ("ngram_lm", "all"):
+        probe_ngram_lm(spark, args.sf_dir)
     if args.which in ("admission_compact", "all"):
         probe_admission_compact(spark, args.sf_dir)
     if args.which == "hundredx":  # too heavy for "all"
