@@ -756,3 +756,66 @@ class TestSinkCompaction:
         write_sink_lease(base_uri, token="pipeline-c")
         clear_sink_lease(base_uri, token="pipeline-c")
         assert not lease.exists()
+
+
+class TestCrashMidRenameReplay:
+    def test_replay_after_crash_between_staging_and_rename(
+        self, spark, change_events, tmp_path, monkeypatch
+    ):
+        """R3 at-least-once contract at the writer: a crash PARTWAY
+        through the staged->final rename pass (some objects landed,
+        staging left behind, offsets never committed) must be fully
+        healed by replaying the same batch — deterministic key stems
+        make the rewrite idempotent (landed objects are overwritten,
+        none are orphaned) and mode('overwrite') staging discards the
+        crashed attempt's leftovers."""
+        import shutil as _shutil
+
+        import rigatoni_spark.sinks.writers as writers_mod
+
+        cfg = lambda root: S3SinkConfig(  # noqa: E731
+            bucket=str(root),
+            format=SerializationFormat.JSON,
+            compression=CompressionCodec.GZIP,
+            partition_strategy=PartitionStrategy.COLLECTION_BASED,
+        )
+
+        def snapshot(root):
+            out = {}
+            for p in glob.glob(os.path.join(root, "**"), recursive=True):
+                if os.path.isfile(p):
+                    with gzip.open(p, "rt") as fh:
+                        body = sorted(fh.read().splitlines())
+                    out[os.path.relpath(p, root)] = body
+            return out
+
+        # reference: the never-crashed run
+        clean_root = tmp_path / "clean"
+        clean_keys = sorted(write_batch(change_events, cfg(clean_root), batch_id=7))
+        want = snapshot(str(clean_root))
+
+        # crashed run: die after the FIRST final-key rename
+        crash_root = tmp_path / "crash"
+        real_move = _shutil.move
+        moved = {"n": 0}
+
+        def dying_move(src, dst, *a, **kw):
+            if moved["n"] >= 1:
+                raise OSError("simulated crash mid-rename")
+            moved["n"] += 1
+            return real_move(src, dst, *a, **kw)
+
+        monkeypatch.setattr(writers_mod.shutil, "move", dying_move)
+        with pytest.raises(OSError, match="simulated crash"):
+            write_batch(change_events, cfg(crash_root), batch_id=7)
+        monkeypatch.setattr(writers_mod.shutil, "move", real_move)
+        # crash state: exactly one landed object + a leftover staging dir
+        assert moved["n"] == 1
+        assert glob.glob(os.path.join(str(crash_root), "_staging_*"))
+
+        # replay (what the restarted stream does: offsets were never
+        # committed, so the same batch_id re-runs)
+        replay_keys = sorted(write_batch(change_events, cfg(crash_root), batch_id=7))
+        assert replay_keys == clean_keys
+        got = snapshot(str(crash_root))
+        assert got == want  # same keys, same bytes; no orphans, no staging
