@@ -1629,6 +1629,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_surprisal": _doc(ngram_lm.lm_surprisal),
     "text_lm_gate": _doc(ngram_lm.lm_gate),
     "s7_stream_lm_surprisal": _q_stream_lm_surprisal,
+    # incremental training: two disjoint-half models merged by count
+    # sum == one whole-corpus train, which is what the oracle computes
+    "text_lm_incremental": _doc(ngram_lm.lm_top_trigrams_incremental),
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
@@ -2071,6 +2074,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_gate": ngram_lm.LM_GATE_ORACLE,
     "s7_stream_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
+    "text_lm_incremental": ngram_lm.lm_top_trigrams_oracle(),
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),

@@ -317,3 +317,76 @@ SELECT doc_id, lm_score_x1m,
 FROM doc_scores CROSS JOIN corpus ORDER BY doc_id
 """
 )
+
+
+def lm_merge_counts(
+    a: tuple[DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental training: merge two trained models by summing counts
+    per gram — n-gram count tables are exactly mergeable (unlike a
+    discounted/normalized LM, stupid backoff stores raw counts, so
+    corpus-increment training is union + sum, never a full retrain).
+    At 100 TB this is the nightly-crawl shape: train on the increment
+    only, merge with the persisted model — one |model|-sized shuffle,
+    the corpus is never rescanned.
+
+    Context totals are NOT merged row-wise (a gram present in only one
+    side would keep only that side's replicated context total even
+    when the other side contributes other grams to the same context);
+    they are recomputed from the merged gram counts via the identity
+    cx3(a,b) == sum_t c3(a,b,t) — a window over the context keys, the
+    same shuffle the merge already pays. (This identity only holds for
+    UNPRUNED models; merge before pruning, like KenLM interpolation.)
+    """
+    from pyspark.sql import Window
+
+    def _merge(
+        x: DataFrame, y: DataFrame, keys: list[str], cnt: str, ctx: str | None
+    ) -> DataFrame:
+        merged = (
+            x.drop(*([ctx] if ctx else []))
+            .unionByName(y.drop(*([ctx] if ctx else [])))
+            .groupBy(*keys)
+            .agg(F.sum(cnt).alias(cnt))
+        )
+        if ctx is None:
+            return merged
+        return merged.withColumn(
+            ctx, F.sum(cnt).over(Window.partitionBy(*keys[:-1]))
+        )
+
+    return (
+        _merge(a[0], b[0], ["t2", "t1", "t"], "c3", "cx3"),
+        _merge(a[1], b[1], ["t1", "t"], "c2", "cx2"),
+        _merge(a[2], b[2], ["t"], "c1", None),
+    )
+
+
+def lm_top_trigrams_incremental(
+    documents: DataFrame, split_mod: int = 2, k: int = 30
+) -> DataFrame:
+    """Catalog harness for the merge rule: train two models on disjoint
+    corpus halves, merge, report the merged model head — equal by
+    construction to training once on the whole corpus, which is what
+    the oracle computes (a cross-engine proof that merge == retrain)."""
+    parts = [
+        documents.filter(F.col("doc_id") % split_mod == i)
+        for i in range(split_mod)
+    ]
+    tables = lm_count_tables(parts[0])
+    for p in parts[1:]:
+        tables = lm_merge_counts(tables, lm_count_tables(p))
+    tri = tables[0]
+    return (
+        tri.select(
+            "t2",
+            "t1",
+            "t",
+            "c3",
+            "cx3",
+            F.expr(f"c3 * {SCALE} div cx3").alias("score_x1m"),
+        )
+        .orderBy(F.col("c3").desc(), "t2", "t1", "t")
+        .limit(k)
+    )

@@ -96,3 +96,32 @@ def test_corpus_run_shapes(spark):
     assert all(r["lm_score_x1m"] >= 0 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_merge_counts_equals_retrain(tiny):
+    # split by doc: (a,b,c) exists ONLY in d0's model, but d1 still
+    # contributes (a,b,a) to the (a,b) context — the merged cx3 must be
+    # the FULL context total (3), not d0's replicated 2 (the row-wise
+    # merge bug this test pins)
+    d0 = tiny.filter("doc_id = 0")
+    d1 = tiny.filter("doc_id = 1")
+    merged = ngram_lm.lm_merge_counts(
+        ngram_lm.lm_count_tables(d0), ngram_lm.lm_count_tables(d1)
+    )
+    whole = ngram_lm.lm_count_tables(tiny)
+    for got_df, want_df, keys in zip(
+        merged, whole, (["t2", "t1", "t"], ["t1", "t"], ["t"])
+    ):
+        got = {
+            tuple(r[k] for k in keys): tuple(
+                r[c] for c in sorted(set(got_df.columns) - set(keys))
+            )
+            for r in got_df.collect()
+        }
+        want = {
+            tuple(r[k] for k in keys): tuple(
+                r[c] for c in sorted(set(want_df.columns) - set(keys))
+            )
+            for r in want_df.collect()
+        }
+        assert got == want
