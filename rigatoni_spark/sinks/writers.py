@@ -361,7 +361,21 @@ def _write_persisted(
     }
     keys: list[str] = []
     avro_jobs: list[tuple[str, str, CompressionCodec]] = []
-    for dirpath in sorted(glob.glob(os.path.join(staging, "**/"), recursive=True)):
+    # single os.walk instead of recursive glob + per-dir glob: the
+    # rename pass sits on the per-trigger latency path (measured
+    # 50-75 ms of the foreachBatch body at deep Hive layouts with the
+    # double traversal — tools/latency_breakdown.py), and one walk
+    # visits each dirent exactly once
+    staged_dirs: list[tuple[str, list[str]]] = []
+    for walk_dir, _subdirs, walk_files in os.walk(staging):
+        part_files = sorted(
+            os.path.join(walk_dir, f)
+            for f in walk_files
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        if part_files:
+            staged_dirs.append((walk_dir, part_files))
+    for dirpath, files in sorted(staged_dirs):
         parts = [p for p in os.path.relpath(dirpath, staging).split(os.sep) if "=" in p]
         # partitionBy Hive-escapes special chars in dir names (%XX, e.g.
         # 'a/b' -> 'a%2Fb'); unescape so the group_times lookup (keyed by
@@ -372,13 +386,6 @@ def _write_persisted(
             for p in parts
         }
         if "_pc" not in kv:
-            continue
-        files = sorted(
-            f
-            for f in glob.glob(os.path.join(dirpath, f"part-*"))
-            if not f.endswith(".crc")
-        )
-        if not files:
             continue
         coll = kv["_pc"]
         event_time = group_times.get(coll)
