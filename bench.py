@@ -427,6 +427,27 @@ def main() -> None:
         "improves batch-100 streaming ~15% at median-of-pass-mins; "
         "remaining per-trigger floor is engine-fixed (see latency "
         "section durationMs breakdown)",
+        # round-10 follow-up: dedup at num_partitions=1 now uses
+        # coalesce(1) (SinglePartition satisfies the agg clustering ->
+        # zero exchanges, agg fused into the scan stage). Interleaved
+        # A/B vs the 1-partition-shuffle checkout, 3 passes x min-of-2
+        # at batch 100, 2026-08-16: HEAD wins 3/3 passes
+        # (median-of-pass-mins 7.09 -> 6.74 s, min-of-all 7.05 -> 5.81
+        # s). Raw runs in BENCH_AB_r10.json.
+        "streaming_dedup_coalesce1": "coalesce(1) dedup removes the "
+        "per-trigger exchange: 3/3 interleaved passes faster (~5% "
+        "median, ~18% min); raw runs in BENCH_AB_r10.json",
+        # round-10 addBatch decomposition (tools/latency_breakdown.py,
+        # production config): the foreachBatch body is ~92% the ONE
+        # staged-write Spark action, ~2 ms Observation probe, ~30 ms
+        # staged->final rename after the single-os.walk rewrite
+        # (50-75 ms before). Engine glue above the body (addBatch minus
+        # body, walCommit/offsets) tracks the steal band (24 ms in the
+        # recorded-good band).
+        "addBatch_decomposition": "foreachBatch body = staged-write "
+        "Spark action (~92%) + ~2 ms probe + ~30 ms single-walk "
+        "rename; remaining floor is the JVM job itself "
+        "(tools/latency_breakdown.py)",
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
