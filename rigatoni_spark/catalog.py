@@ -1642,6 +1642,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_hour": lambda spark, sf_dir: advanced.rolling_window_stats(
         tables.load_table(spark, sf_dir, "events")
     ),
+    # time-series similarity search (the PAPERS.md EDBT'19/REPOSE
+    # shape): fixed-length integer profiles + peak-hour blocking
+    "events_user_profiles": lambda spark, sf_dir: (
+        advanced.user_activity_profiles(
+            tables.load_table(spark, sf_dir, "events")
+        )
+    ),
+    "events_similar_users": lambda spark, sf_dir: (
+        advanced.similar_user_pairs(
+            tables.load_table(spark, sf_dir, "events")
+        )
+    ),
     "events_funnel4": lambda spark, sf_dir: advanced.funnel(
         tables.load_table(spark, sf_dir, "events"),
         ("signup", "view", "click", "purchase"),
@@ -2080,6 +2092,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "sim_pq_recall": pq.pq_recall_oracle(),
     "events_funnel": advanced.funnel_oracle(),
     "events_rolling_hour": advanced.rolling_window_oracle(),
+    "events_user_profiles": advanced.user_profiles_oracle(),
+    "events_similar_users": advanced.similar_users_oracle(),
     "events_funnel4": advanced.funnel_oracle(
         ("signup", "view", "click", "purchase")
     ),

@@ -1087,3 +1087,114 @@ FROM src JOIN with_std USING (key)
 WHERE abs(v::HUGEINT * n - s) * 100 // std_n >= {min_z_x100}
 ORDER BY key, z_x100 DESC, event_id
 """
+
+
+# --- time-series similarity: user activity profiles ---------------------
+# The distributed time-series-similarity-search shape (EDBT 2019 /
+# REPOSE ICDE 2021 reference points): each user's event history is
+# summarized to a fixed-length integer profile vector (24 hourly bins),
+# candidate pairs are BLOCKED on a cheap invariant (the peak-activity
+# hour — similar profiles share it), and the exact integer dot product
+# ranks pairs within blocks. At 100 TB the blocking key bounds the
+# quadratic term to within-block pairs (24-way partition of users);
+# heavier skew routes through the same sign-LSH bucketing the embedding
+# family uses (llm/vectors.py) — a profile IS a 24-dim embedding.
+
+_PROFILE_HOURS = 24
+
+
+def _profile_exprs() -> list[str]:
+    return [
+        f"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        for h in range(_PROFILE_HOURS)
+    ]
+
+
+def _peak_hour_expr() -> str:
+    """Smallest hour holding the max count — identical CASE chain in
+    both engines, so ties break identically."""
+    g = "GREATEST(" + ", ".join(f"h{h}" for h in range(_PROFILE_HOURS)) + ")"
+    cases = " ".join(
+        f"WHEN h{h} = {g} THEN {h}" for h in range(_PROFILE_HOURS)
+    )
+    return f"CASE {cases} END"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    body = " + ".join(
+        f"{a}.h{h} * {b}.h{h}" for h in range(_PROFILE_HOURS)
+    )
+    return f"CAST({body} AS BIGINT)"
+
+
+def user_activity_profiles(events: DataFrame) -> DataFrame:
+    """Per-user 24-bin hourly activity profile + peak hour: one
+    conditional-sum aggregation (scan-fused, map-side combined, one
+    shuffle on user_id)."""
+    from pyspark.sql import functions as F
+
+    profiled = events.groupBy("user_id").agg(
+        *[
+            F.expr(e).alias(f"h{h}")
+            for h, e in enumerate(_profile_exprs())
+        ]
+    )
+    return profiled.selectExpr(
+        "*", _peak_hour_expr() + " AS peak_hour"
+    ).orderBy("user_id")
+
+
+def similar_user_pairs(events: DataFrame, k: int = 30) -> DataFrame:
+    """Top-k most-similar user pairs by exact integer profile dot
+    product, blocked on shared peak hour. The block join is an
+    equi-join (no cross product); within-block pairs are ordered
+    (u1 < u2) so each pair appears once."""
+    prof = user_activity_profiles(events)
+    a = prof.alias("a")
+    b = prof.alias("b")
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    return (
+        a.join(
+            b,
+            on=[
+                F.expr("a.peak_hour = b.peak_hour"),
+                F.expr("a.user_id < b.user_id"),
+            ],
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.peak_hour").alias("peak_hour"),
+            F.expr(_dot_expr("a", "b")).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "u1", "u2")
+        .limit(k)
+    )
+
+
+def _profile_cols_sql() -> str:
+    return ", ".join(
+        f"{e} AS h{h}" for h, e in enumerate(_profile_exprs())
+    )
+
+
+def user_profiles_oracle() -> str:
+    return f"""
+WITH prof AS (
+  SELECT user_id, {_profile_cols_sql()} FROM events GROUP BY user_id)
+SELECT *, {_peak_hour_expr()} AS peak_hour FROM prof ORDER BY user_id
+"""
+
+
+def similar_users_oracle(k: int = 30) -> str:
+    cols = _profile_cols_sql()
+    return f"""
+WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
+peak AS (SELECT *, {_peak_hour_expr()} AS peak_hour FROM prof)
+SELECT a.user_id AS u1, b.user_id AS u2, a.peak_hour AS peak_hour,
+       {_dot_expr('a', 'b')} AS dot
+FROM peak a JOIN peak b
+  ON a.peak_hour = b.peak_hour AND a.user_id < b.user_id
+ORDER BY dot DESC, u1, u2 LIMIT {k}
+"""

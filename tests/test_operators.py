@@ -703,3 +703,40 @@ def test_hll_distinct_by_groups_match_global_discipline(spark):
     # estimates land within the ~3% rse band of true cardinalities
     assert abs(grouped["a"]["estimate_x1e6"] / 1e6 - 1000) < 1000 * 0.15
     assert abs(grouped["b"]["estimate_x1e6"] / 1e6 - 2000) < 2000 * 0.15
+
+
+class TestUserProfileSimilarity:
+    def test_profiles_and_pairs_hand_pinned(self, spark):
+        from rigatoni_spark.operators.advanced import (
+            similar_user_pairs,
+            user_activity_profiles,
+        )
+
+        # u1: 2 events @h3, 1 @h5 | u2: 1 @h3, 1 @h5 | u3: peak @h7
+        # u4: tie h3==h5 -> peak must break to the SMALLER hour (3)
+        rows = [
+            (1, "2024-01-01 03:10:00"), (1, "2024-01-01 03:20:00"),
+            (1, "2024-01-01 05:00:00"),
+            (2, "2024-01-02 03:30:00"), (2, "2024-01-02 05:30:00"),
+            (3, "2024-01-01 07:00:00"), (3, "2024-01-02 07:30:00"),
+            (4, "2024-01-03 03:00:00"), (4, "2024-01-03 05:01:00"),
+        ]
+        events = spark.createDataFrame(
+            [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+            "event_id bigint, user_id bigint, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+
+        prof = {r["user_id"]: r for r in user_activity_profiles(events).collect()}
+        assert (prof[1]["h3"], prof[1]["h5"], prof[1]["peak_hour"]) == (2, 1, 3)
+        assert prof[2]["peak_hour"] == 3  # tie h3==h5==1 -> smaller hour
+        assert prof[3]["peak_hour"] == 7
+        assert prof[4]["peak_hour"] == 3  # tie broken to smaller hour
+
+        pairs = similar_user_pairs(events).collect()
+        # u3 peaks at h7 -> blocked away from the others entirely
+        assert all(3 not in (r["u1"], r["u2"]) for r in pairs)
+        got = {(r["u1"], r["u2"]): r["dot"] for r in pairs}
+        # dots: (1,2)=2*1+1*1=3, (1,4)=2*1+1*1=3, (2,4)=1+1=2
+        assert got == {(1, 2): 3, (1, 4): 3, (2, 4): 2}
+        # deterministic order: dot desc, then u1, u2
+        assert [(r["u1"], r["u2"]) for r in pairs] == [(1, 2), (1, 4), (2, 4)]
