@@ -399,6 +399,36 @@ def probe_ngram_lm(spark, sf_dir: str) -> None:
         )
 
 
+def probe_ngram_lm_100x(spark, sf_dir: str) -> None:
+    """LM surprisal at 1x/10x/100x (decades apart, like probe_100x):
+    the scoring join is the superlinear-risk step — the amplified
+    corpus grows the model WITH the corpus (per-copy token suffixing =
+    disjoint vocabularies, the worst case), so a super-linear exponent
+    here would mean the join or an agg lost its partial-agg/broadcast
+    shape."""
+    import math
+
+    from rigatoni_spark.llm import ngram_lm
+
+    walls: dict[int, float] = {}
+    for n in (1, 10, 100):
+        big = _amplified_docs_n(spark, sf_dir, n)
+        t0 = time.time()
+        cnt = ngram_lm.lm_surprisal(big).count()
+        walls[n] = time.time() - t0
+        print(
+            f"RESULT lm_surprisal corpus={n}x: {walls[n]:.1f}s rows={cnt}",
+            flush=True,
+        )
+    e1 = math.log10(max(walls[10] / walls[1], 1e-9))
+    e2 = math.log10(max(walls[100] / walls[10], 1e-9))
+    print(
+        f"RESULT lm_surprisal exponents: 1x->10x {e1:.2f}, "
+        f"10x->100x {e2:.2f} (1.0 = linear)",
+        flush=True,
+    )
+
+
 def probe_bpe(spark, sf_dir: str) -> None:
     """Round-9 BPE loop under the 10x amplified corpus. bpe_learn's
     per-round cost is bound by the DISTINCT-WORD vocab, not the corpus
@@ -835,7 +865,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "sketches", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -861,6 +891,8 @@ def main() -> None:
         probe_bpe_merges(spark, args.sf_dir)
     if args.which in ("ngram_lm", "all"):
         probe_ngram_lm(spark, args.sf_dir)
+    if args.which == "ngram_lm_100x":  # too heavy for "all"
+        probe_ngram_lm_100x(spark, args.sf_dir)
     if args.which in ("admission_compact", "all"):
         probe_admission_compact(spark, args.sf_dir)
     if args.which == "hundredx":  # too heavy for "all"
