@@ -1632,6 +1632,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental training: two disjoint-half models merged by count
     # sum == one whole-corpus train, which is what the oracle computes
     "text_lm_incremental": _doc(ngram_lm.lm_top_trigrams_incremental),
+    # the pruned-model path (the 100 TB broadcast deployment): grams
+    # under the count floor fall through to lower backoff orders
+    "text_lm_surprisal_pruned": lambda spark, sf_dir: (
+        ngram_lm.lm_surprisal(
+            tables.load_table(spark, sf_dir, "documents"), prune_min=2
+        )
+    ),
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
@@ -2087,6 +2094,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_lm_gate": ngram_lm.LM_GATE_ORACLE,
     "s7_stream_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_incremental": ngram_lm.lm_top_trigrams_oracle(),
+    "text_lm_surprisal_pruned": ngram_lm.lm_surprisal_oracle(prune_min=2),
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),

@@ -233,10 +233,17 @@ rows_ AS (
 )
 """
 
-_COUNTS_CTES = """
+def _counts_ctes(prune_min: int = 1) -> str:
+    """Count-table CTEs; ``prune_min`` > 1 drops rare grams with a
+    HAVING on tri/bi/uni while the CONTEXT totals stay full-corpus —
+    the exact semantics of the Spark path's prune_min."""
+    having = (
+        f" HAVING COUNT(*) >= {prune_min}" if prune_min > 1 else ""
+    )
+    return f"""
 tri AS (
   SELECT t2, t1, t, COUNT(*) AS c3 FROM rows_
-  WHERE t2 IS NOT NULL GROUP BY t2, t1, t
+  WHERE t2 IS NOT NULL GROUP BY t2, t1, t{having}
 ),
 tri_ctx AS (
   SELECT t2, t1, COUNT(*) AS cx3 FROM rows_
@@ -244,20 +251,24 @@ tri_ctx AS (
 ),
 bi AS (
   SELECT t1, t, COUNT(*) AS c2 FROM rows_
-  WHERE t1 IS NOT NULL GROUP BY t1, t
+  WHERE t1 IS NOT NULL GROUP BY t1, t{having}
 ),
 bi_ctx AS (
   SELECT t1, COUNT(*) AS cx2 FROM rows_ WHERE t1 IS NOT NULL GROUP BY t1
 ),
-uni AS (SELECT t, COUNT(*) AS c1 FROM rows_ GROUP BY t),
+uni AS (SELECT t, COUNT(*) AS c1 FROM rows_ GROUP BY t{having}),
 total AS (SELECT COUNT(*) AS n_total FROM rows_)
 """
 
-_SURPRISAL_CTES = (
-    _ROWS_CTE
-    + ","
-    + _COUNTS_CTES
-    + f""",
+
+_COUNTS_CTES = _counts_ctes()
+
+def _surprisal_ctes(prune_min: int = 1) -> str:
+    return (
+        _ROWS_CTE
+        + ","
+        + _counts_ctes(prune_min)
+        + f""",
 scored AS (
   SELECT r.doc_id,
     CASE WHEN tri.c3 IS NOT NULL THEN (tri.c3 * {SCALE}) // tc.cx3
@@ -295,16 +306,20 @@ ORDER BY tri.c3 DESC, tri.t2, tri.t1, tri.t LIMIT {k}
     )
 
 
-LM_SURPRISAL_ORACLE = (
-    _SURPRISAL_CTES
-    + """
+def lm_surprisal_oracle(prune_min: int = 1) -> str:
+    return (
+        _surprisal_ctes(prune_min)
+        + """
 SELECT doc_id, n_scored, lm_score_x1m FROM doc_scores ORDER BY doc_id
 """
-)
+    )
+
+
+LM_SURPRISAL_ORACLE = lm_surprisal_oracle()
 
 
 LM_GATE_ORACLE = (
-    _SURPRISAL_CTES
+    _surprisal_ctes()
     + """,
 corpus AS (
   SELECT CAST(SUM(lm_score_x1m) // COUNT(*) AS BIGINT) AS corpus_mean
