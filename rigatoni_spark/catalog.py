@@ -497,6 +497,32 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User activity profiles maintained ONLINE: the 24-bin
+    conditional-sum aggregation runs complete-mode over the event
+    stream (additive — micro-batch order cannot matter), the peak-hour
+    projection reads the drained table batch-side. Same oracle as the
+    batch twin (events_user_profiles) — the serving side of the
+    time-series-similarity pair: profiles stay current as events
+    arrive; the pair search runs batch-side on the maintained table."""
+    from rigatoni_spark.operators.advanced import _peak_hour_expr, _profile_exprs
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    profiled = sdf.groupBy("user_id").agg(
+        *[
+            F.expr(e).alias(f"h{h}")
+            for h, e in enumerate(_profile_exprs())
+        ]
+    )
+    drained = _drain_to_memory_table(
+        profiled, "stream_profiles", ["user_id"], output_mode="complete"
+    )
+    return drained.selectExpr(
+        "*", _peak_hour_expr() + " AS peak_hour"
+    ).orderBy("user_id")
+
+
 def _q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online HDR histogram maintenance: the stream keeps the
     (shift, top5) bin table — one additive complete-mode aggregation,
@@ -1727,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "user_id",
     ),
     "s7_stream_bloom": _q_stream_bloom,
+    "s7_stream_user_profiles": _q_stream_user_profiles,
 }
 
 
@@ -2168,4 +2195,5 @@ ORDER BY i.key, i.t_ins, d.t_del""",
     "s7_stream_bloom": sketches.bloom_report_oracle(
         "orders", "o_custkey", "customer", "c_custkey"
     ),
+    "s7_stream_user_profiles": advanced.user_profiles_oracle(),
 }
