@@ -1682,6 +1682,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             tables.load_table(spark, sf_dir, "events")
         )
     ),
+    "events_value_motifs": lambda spark, sf_dir: advanced.value_motifs(
+        tables.load_table(spark, sf_dir, "events")
+    ),
     "events_similar_users": lambda spark, sf_dir: (
         advanced.similar_user_pairs(
             tables.load_table(spark, sf_dir, "events")
@@ -2128,6 +2131,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_funnel": advanced.funnel_oracle(),
     "events_rolling_hour": advanced.rolling_window_oracle(),
     "events_user_profiles": advanced.user_profiles_oracle(),
+    "events_value_motifs": advanced.value_motifs_oracle(),
     "events_similar_users": advanced.similar_users_oracle(),
     "events_funnel4": advanced.funnel_oracle(
         ("signup", "view", "click", "purchase")

@@ -1198,3 +1198,70 @@ FROM peak a JOIN peak b
   ON a.peak_hour = b.peak_hour AND a.user_id < b.user_id
 ORDER BY dot DESC, u1, u2 LIMIT {k}
 """
+
+
+def value_motifs(events: DataFrame, w: int = 4, k: int = 20) -> DataFrame:
+    """Time-series motif mining: the most frequent length-``w``
+    delta-sign shapes ('+'/'-'/'=') in each event type's value series.
+    The discrete cousin of matrix-profile motif discovery — sign
+    quantization makes the signature integer-exact cross-engine while
+    preserving shape (rise/fall/flat runs).
+
+    One shuffle + sort per event_type (every lag rides the SAME window
+    spec, so Catalyst plans a single Exchange + Sort); the count agg is
+    map-side combined. At 100 TB the per-key series sort is the bound —
+    the same posture as sessionization, and the partition key
+    (event_type) can be salted by day for very hot types since motifs
+    never span the salt boundary beyond w rows."""
+    sign = (
+        "CASE WHEN d > 0 THEN '+' WHEN d < 0 THEN '-' "
+        "WHEN d = 0 THEN '=' END"
+    )
+    win = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    with_sign = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value") - F.lag("value").over(win)).alias("d"),
+    ).selectExpr("event_type", "ts", "event_id", sign + " AS s")
+    motif = F.concat_ws(
+        "", *[F.lag("s", w - 1 - j).over(win) for j in range(w)]
+    )
+    return (
+        with_sign.select("event_type", motif.alias("motif"))
+        .filter(F.length("motif") == w)  # incomplete head windows drop out
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "event_type", "motif")
+        .limit(k)
+    )
+
+
+def value_motifs_oracle(w: int = 4, k: int = 20) -> str:
+    lags = ", ".join(
+        f"lag(s, {w - 1 - j}) OVER w2 AS s{j}" for j in range(w)
+    )
+    concat = " || ".join(f"s{j}" for j in range(w))
+    return f"""
+WITH deltas AS (
+  SELECT event_type, ts, event_id,
+         value - lag(value) OVER w AS d
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), signs AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN d > 0 THEN '+' WHEN d < 0 THEN '-'
+              WHEN d = 0 THEN '=' END AS s
+  FROM deltas
+), lagged AS (
+  SELECT event_type, {lags}
+  FROM signs
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id)
+), motifs AS (
+  SELECT event_type, {concat} AS motif FROM lagged
+  WHERE {" AND ".join(f"s{j} IS NOT NULL" for j in range(w))}
+)
+SELECT event_type, motif, COUNT(*) AS n
+FROM motifs GROUP BY event_type, motif
+ORDER BY n DESC, event_type, motif LIMIT {k}
+"""

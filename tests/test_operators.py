@@ -740,3 +740,23 @@ class TestUserProfileSimilarity:
         assert got == {(1, 2): 3, (1, 4): 3, (2, 4): 2}
         # deterministic order: dot desc, then u1, u2
         assert [(r["u1"], r["u2"]) for r in pairs] == [(1, 2), (1, 4), (2, 4)]
+
+
+class TestValueMotifs:
+    def test_motifs_hand_pinned(self, spark):
+        from rigatoni_spark.operators.advanced import value_motifs
+
+        # one series: 1,3,2,2,5,4 -> signs +,-,=,+,- -> w=3 motifs:
+        # '+-=', '-=+', '=+-'; head rows (no full window) drop out
+        rows = [(i, "t", f"2024-01-01 00:0{i}:00", v)
+                for i, v in enumerate([1.0, 3.0, 2.0, 2.0, 5.0, 4.0])]
+        events = spark.createDataFrame(
+            rows, "event_id bigint, event_type string, ts string, value double"
+        ).selectExpr(
+            "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+        )
+        got = {
+            (r["event_type"], r["motif"]): r["n"]
+            for r in value_motifs(events, w=3).collect()
+        }
+        assert got == {("t", "+-="): 1, ("t", "-=+"): 1, ("t", "=+-"): 1}
