@@ -97,14 +97,32 @@ class Pipeline:
         self,
         spark: SparkSession,
         config: PipelineConfig,
-        sink: S3SinkConfig,
+        sink: "S3SinkConfig | list[S3SinkConfig] | tuple[S3SinkConfig, ...]",
         source_dir: str,
         checkpoint_dir: str,
         dlq_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.config = config
-        self.sink = sink
+        # sink mirroring: a list fans every batch out to ALL
+        # destinations (e.g. raw JSONL + columnar Parquet — the
+        # lakehouse raw/curated split) in one foreachBatch. The FIRST
+        # sink is primary: its write job carries the Observation probe;
+        # mirrors reuse the resolved group times, so each mirror costs
+        # exactly one more write job, zero probe jobs. Retry wraps the
+        # whole fan-out — deterministic keys make a partial-failure
+        # replay overwrite-idempotent on every sink; a batch that
+        # exhausts retries parks ONCE in the DLQ. Mirrors must use
+        # distinct base_uris (staging isolation and the liveness lease
+        # are per root).
+        self.sinks: list[S3SinkConfig] = (
+            list(sink) if isinstance(sink, (list, tuple)) else [sink]
+        )
+        if not self.sinks:
+            raise ValueError("at least one sink is required")
+        if len({s.base_uri for s in self.sinks}) != len(self.sinks):
+            raise ValueError("mirrored sinks must use distinct base_uris")
+        self.sink = self.sinks[0]
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         # dead-letter destination: when set, a batch whose write
@@ -214,6 +232,18 @@ class Pipeline:
         batch_info: dict = {"n": 0, "colls": set()}
 
         def _write() -> list[str]:
+            # mirrored fan-out scans the (filtered+deduped) batch once:
+            # persist for the duration of this attempt so each mirror's
+            # write job reads the cache, not the source files again
+            if len(self.sinks) > 1:
+                batch_df.persist()
+            try:
+                return _write_all()
+            finally:
+                if len(self.sinks) > 1:
+                    batch_df.unpersist()
+
+        def _write_all() -> list[str]:
             # fresh Observation per attempt: a retried write is a new
             # action and must not read the failed attempt's metrics
             obs = Observation()
@@ -273,9 +303,10 @@ class Pipeline:
                     )
                     gt.update({r["collection"]: r["t"] for r in extra})
                 batch_info["colls"] = set(gt)
+                batch_info["gt"] = gt
                 return gt
 
-            return write_batch(
+            keys = write_batch(
                 observed,
                 self.sink,
                 batch_id=batch_id,
@@ -289,6 +320,21 @@ class Pipeline:
                 n_events=max(state.last_n, self.config.batch_size),
                 staging_scope=state.scope,
             )
+            # mirrors: reuse the primary's resolved group times — one
+            # write job each, no probe. Empty batch -> no mirrors (the
+            # primary already returned []).
+            for mirror in self.sinks[1:]:
+                if not batch_info.get("gt"):
+                    break
+                keys += write_batch(
+                    batch_df,
+                    mirror,
+                    batch_id=batch_id,
+                    group_times=batch_info["gt"],
+                    n_events=max(state.last_n, self.config.batch_size),
+                    staging_scope=state.scope,
+                )
+            return keys
 
         keys = self._retrying_write(
             _write, batch_df, batch_id, scope=state.scope
@@ -422,11 +468,14 @@ class Pipeline:
             group_times = {r["collection"]: r["t"] for r in per_coll}
 
             def _write() -> list[str]:
-                return write_batch(
-                    batch_df, self.sink, batch_id=batch_id,
-                    group_times=group_times, n_events=n,
-                    staging_scope=state.scope,
-                )
+                keys: list[str] = []
+                for s in self.sinks:
+                    keys += write_batch(
+                        batch_df, s, batch_id=batch_id,
+                        group_times=group_times, n_events=n,
+                        staging_scope=state.scope,
+                    )
+                return keys
 
             keys = self._retrying_write(
                 _write, batch_df, batch_id, scope=state.scope
@@ -526,7 +575,8 @@ class Pipeline:
         # must not hold the sink hostage.
         from rigatoni_spark.sinks.compact import write_sink_lease
 
-        write_sink_lease(self.sink.base_uri, token=self._lease_token)
+        for s in self.sinks:
+            write_sink_lease(s.base_uri, token=self._lease_token)
         try:
             level = self.config.watch_level
             if level is WatchLevel.COLLECTION:
@@ -590,7 +640,8 @@ class Pipeline:
     def _clear_lease(self) -> None:
         from rigatoni_spark.sinks.compact import clear_sink_lease
 
-        clear_sink_lease(self.sink.base_uri, token=self._lease_token)
+        for s in self.sinks:
+            clear_sink_lease(s.base_uri, token=self._lease_token)
 
     def stop(self) -> PipelineStats:
         """O3: graceful shutdown — finish in-flight batches, stop."""
@@ -711,15 +762,19 @@ class Pipeline:
             # dlq_error and the partition-discovery columns; no DLQ
             # fallback here — a still-failing replay raises and the
             # entry stays parked for the next attempt
-            keys = self._retrying_write(
-                lambda: write_batch(
-                    parked,
-                    self.sink,
-                    batch_id=batch_id,
-                    n_events=n,
-                    staging_scope=true_scope,
-                )
-            )
+            def _replay_write() -> list[str]:
+                out: list[str] = []
+                for s in self.sinks:  # mirrors replay too
+                    out += write_batch(
+                        parked,
+                        s,
+                        batch_id=batch_id,
+                        n_events=n,
+                        staging_scope=true_scope,
+                    )
+                return out
+
+            keys = self._retrying_write(_replay_write)
             shutil.rmtree(path)
             all_keys.extend(keys)
             with self._lock:
