@@ -100,3 +100,10 @@ def test_lm_perplexity_gate(spark):
     assert out["bands"].get("head", 0) > 0
     assert out["held_out_docs"] > 0
     assert out["held_out_mean"] >= 0
+
+
+def test_mirrored_sinks(spark, tmp_path):
+    out = _mod("mirrored_sinks").main(spark, SF_DIR, str(tmp_path))
+    assert out["events"] > 0
+    assert out["raw_keys"] > 0 and out["curated_keys"] > 0
+    assert out["curated_rows"] == out["events"]
