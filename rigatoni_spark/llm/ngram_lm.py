@@ -50,16 +50,24 @@ def _position_rows(documents: DataFrame) -> DataFrame:
     the bigram path). Scan-fused — no window, no self-join. Streaming
     inputs skip spread(): repartitioning a micro-batch is wasted
     shuffle (the stream source already sets batch parallelism)."""
+    # materialize the token array BEFORE the lambda: a split() call
+    # inside the transform body would re-tokenize the document once per
+    # sequence element (O(n^2) characters per doc); referencing the
+    # projected array keeps gram construction O(n)
     grams = F.expr(
-        "transform(sequence(1, size(split(text, ' '))), i -> struct("
-        "  split(text, ' ')[i - 1] AS t,"
-        "  if(i > 1, split(text, ' ')[i - 2], null) AS t1,"
-        "  if(i > 2, split(text, ' ')[i - 3], null) AS t2))"
+        "transform(sequence(1, size(w)), i -> struct("
+        "  w[i - 1] AS t,"
+        "  if(i > 1, w[i - 2], null) AS t1,"
+        "  if(i > 2, w[i - 3], null) AS t2))"
     )
     if not documents.isStreaming:
         documents = spread(documents)
-    return documents.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", "g.t", "g.t1", "g.t2"
+    return (
+        documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        )
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.t", "g.t1", "g.t2")
     )
 
 
