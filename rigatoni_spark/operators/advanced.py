@@ -1144,16 +1144,37 @@ def user_activity_profiles(events: DataFrame) -> DataFrame:
     ).orderBy("user_id")
 
 
-def similar_user_pairs(events: DataFrame, k: int = 30) -> DataFrame:
+def similar_user_pairs(
+    events: DataFrame, k: int = 30, max_block: int | None = None
+) -> DataFrame:
     """Top-k most-similar user pairs by exact integer profile dot
     product, blocked on shared peak hour. The block join is an
     equi-join (no cross product); within-block pairs are ordered
-    (u1 < u2) so each pair appears once."""
+    (u1 < u2) so each pair appears once.
+
+    ``max_block`` is the family guardrail (same posture as
+    ``containment_pairs``): when any peak-hour block exceeds it, the
+    within-block pair volume is quadratic in that block — raise with
+    the documented escape hatch (sign-LSH bucket the profiles through
+    llm/vectors, a profile being a 24-dim integer embedding) instead of
+    degrading silently. The probe is one ≤24-row aggregate."""
     prof = user_activity_profiles(events)
+    if max_block is not None:
+        worst = (
+            prof.groupBy("peak_hour")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst and worst > max_block:
+            raise ValueError(
+                f"peak-hour block of {worst} users exceeds max_block="
+                f"{max_block}: quadratic within-block pair volume — "
+                "route profiles through llm/vectors sign-LSH bucketing "
+                "(24-dim integer embeddings) or raise max_block"
+            )
     a = prof.alias("a")
     b = prof.alias("b")
-    from pyspark.sql import functions as F  # local: keep module header slim
-
     return (
         a.join(
             b,

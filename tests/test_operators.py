@@ -742,6 +742,20 @@ class TestUserProfileSimilarity:
         assert [(r["u1"], r["u2"]) for r in pairs] == [(1, 2), (1, 4), (2, 4)]
 
 
+    def test_max_block_guardrail(self, spark):
+        from rigatoni_spark.operators.advanced import similar_user_pairs
+
+        rows = [(i, i % 5, "2024-01-01 03:00:00") for i in range(10)]
+        events = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts string"
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        # all 5 users peak at h3 -> one block of 5 > max_block=3
+        with pytest.raises(ValueError, match="max_block"):
+            similar_user_pairs(events, max_block=3)
+        # generous cap passes through
+        assert similar_user_pairs(events, max_block=10).count() == 10
+
+
 class TestValueMotifs:
     def test_motifs_hand_pinned(self, spark):
         from rigatoni_spark.operators.advanced import value_motifs
