@@ -800,6 +800,11 @@ def probe_events(spark, sf_dir: str) -> None:
         .parquet(amp_path)
     )
     big = normalize_ts(spark.read.parquet(amp_path), "ts")
+    from rigatoni_spark.operators.advanced import (
+        similar_user_pairs,
+        value_motifs,
+    )
+
     for label, df in (("base", ev), ("10x", big)):
         _timed(
             f"scd2_history {label} log",
@@ -808,6 +813,17 @@ def probe_events(spark, sf_dir: str) -> None:
         _timed(
             f"gapfill_locf {label} log",
             lambda d=df: time_bucket_gapfill(d),
+        )
+        # round-10 ts ops: motifs are one Exchange+Sort (∝ log);
+        # similar_users' pair volume grows with the 10x user universe
+        # inside 24 peak-hour blocks (the guardrail's regime)
+        _timed(
+            f"value_motifs {label} log",
+            lambda d=df: value_motifs(d),
+        )
+        _timed(
+            f"similar_users {label} log",
+            lambda d=df: similar_user_pairs(d),
         )
 
 
