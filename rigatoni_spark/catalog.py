@@ -1690,6 +1690,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             tables.load_table(spark, sf_dir, "events")
         )
     ),
+    "events_similar_users_lsh": lambda spark, sf_dir: (
+        advanced.similar_user_pairs_lsh(
+            tables.load_table(spark, sf_dir, "events")
+        )
+    ),
     "events_funnel4": lambda spark, sf_dir: advanced.funnel(
         tables.load_table(spark, sf_dir, "events"),
         ("signup", "view", "click", "purchase"),
@@ -2132,6 +2137,7 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_rolling_hour": advanced.rolling_window_oracle(),
     "events_user_profiles": advanced.user_profiles_oracle(),
     "events_value_motifs": advanced.value_motifs_oracle(),
+    "events_similar_users_lsh": advanced.similar_users_lsh_oracle(),
     "events_similar_users": advanced.similar_users_oracle(),
     "events_funnel4": advanced.funnel_oracle(
         ("signup", "view", "click", "purchase")

@@ -1286,3 +1286,62 @@ SELECT event_type, motif, COUNT(*) AS n
 FROM motifs GROUP BY event_type, motif
 ORDER BY n DESC, event_type, motif LIMIT {k}
 """
+
+
+_LSH_BIT_PAIRS = ((0, 12), (6, 18), (3, 15), (9, 21))
+
+
+def similar_user_pairs_lsh(events: DataFrame, k: int = 30) -> DataFrame:
+    """The guardrail's escape hatch, closed: sign-LSH bucketing over
+    the profile vectors replaces peak-hour blocking when blocks run
+    hot. Bucket bits are the signs of fixed opposite-hour contrasts
+    (h0>h12, h6>h18, h3>h15, h9>h21 — morning/evening, etc.), the
+    SimHash shape on the 24-dim integer profile: similar profiles
+    agree on the contrasts and land in the same of 16 buckets, so the
+    quadratic term is bounded by the largest bucket, tunable by adding
+    bits. Deterministic (no RNG), so the DuckDB oracle computes the
+    identical blocking — recall tradeoffs are the operator's
+    semantics, not noise."""
+    bits = " || ".join(
+        f"(CASE WHEN h{a} > h{b} THEN '1' ELSE '0' END)"
+        for a, b in _LSH_BIT_PAIRS
+    )
+    prof = user_activity_profiles(events).selectExpr(
+        "*", f"({bits}) AS bucket"
+    )
+    a = prof.alias("a")
+    b = prof.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.expr("a.bucket = b.bucket"),
+                F.expr("a.user_id < b.user_id"),
+            ],
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("a.bucket").alias("bucket"),
+            F.expr(_dot_expr("a", "b")).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "u1", "u2")
+        .limit(k)
+    )
+
+
+def similar_users_lsh_oracle(k: int = 30) -> str:
+    cols = _profile_cols_sql()
+    bits = " || ".join(
+        f"(CASE WHEN h{a} > h{b} THEN '1' ELSE '0' END)"
+        for a, b in _LSH_BIT_PAIRS
+    )
+    return f"""
+WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
+bucketed AS (SELECT *, ({bits}) AS bucket FROM prof)
+SELECT a.user_id AS u1, b.user_id AS u2, a.bucket AS bucket,
+       {_dot_expr('a', 'b')} AS dot
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.user_id < b.user_id
+ORDER BY dot DESC, u1, u2 LIMIT {k}
+"""

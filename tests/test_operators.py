@@ -774,3 +774,38 @@ class TestValueMotifs:
             for r in value_motifs(events, w=3).collect()
         }
         assert got == {("t", "+-="): 1, ("t", "-=+"): 1, ("t", "=+-"): 1}
+
+
+class TestSimilarUsersLsh:
+    def test_bucketing_and_scaling_vs_exact(self, spark):
+        """The LSH path must (a) only pair users sharing all four
+        sign-contrast bits, (b) keep the exact dot product for the
+        pairs it does emit."""
+        from rigatoni_spark.operators.advanced import (
+            similar_user_pairs_lsh,
+            user_activity_profiles,
+        )
+
+        # u1/u2: morning-heavy (h0>h12...) -> same bucket;
+        # u3: evening-heavy -> different bucket, never paired
+        rows = (
+            [(1, "2024-01-01 00:00:00")] * 3
+            + [(1, "2024-01-01 06:00:00")] * 2
+            + [(2, "2024-01-02 00:30:00")] * 2
+            + [(2, "2024-01-02 06:30:00")] * 1
+            + [(3, "2024-01-01 12:00:00")] * 3
+            + [(3, "2024-01-01 18:00:00")] * 2
+        )
+        events = spark.createDataFrame(
+            [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+            "event_id bigint, user_id bigint, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+        pairs = similar_user_pairs_lsh(events).collect()
+        assert [(r["u1"], r["u2"]) for r in pairs] == [(1, 2)]
+        # exact integer dot: h0 3*2 + h6 2*1 = 8
+        assert pairs[0]["dot"] == 8
+        buckets = {
+            r["user_id"]: None
+            for r in user_activity_profiles(events).collect()
+        }
+        assert set(buckets) == {1, 2, 3}
