@@ -1155,11 +1155,15 @@ def similar_user_pairs(
     ``max_block`` is the family guardrail (same posture as
     ``containment_pairs``): when any peak-hour block exceeds it, the
     within-block pair volume is quadratic in that block — raise with
-    the documented escape hatch (sign-LSH bucket the profiles through
-    llm/vectors, a profile being a 24-dim integer embedding) instead of
-    degrading silently. The probe is one ≤24-row aggregate."""
+    the documented escape hatch (``similar_user_pairs_lsh``, which
+    sign-LSH buckets the same profiles) instead of degrading silently.
+    The probe is one ≤24-row aggregate; the profiles DataFrame is
+    persisted first so the probe and the pair join share ONE events
+    scan (the cached copy stays for Spark's LRU to evict — results are
+    unaffected, and the self-join reads it twice more)."""
     prof = user_activity_profiles(events)
     if max_block is not None:
+        prof = prof.persist()
         worst = (
             prof.groupBy("peak_hour")
             .count()
@@ -1167,11 +1171,12 @@ def similar_user_pairs(
             .first()["m"]
         )
         if worst and worst > max_block:
+            prof.unpersist()
             raise ValueError(
                 f"peak-hour block of {worst} users exceeds max_block="
                 f"{max_block}: quadratic within-block pair volume — "
-                "route profiles through llm/vectors sign-LSH bucketing "
-                "(24-dim integer embeddings) or raise max_block"
+                "route profiles through similar_user_pairs_lsh "
+                "(sign-LSH bucketing) or raise max_block"
             )
     a = prof.alias("a")
     b = prof.alias("b")
@@ -1288,27 +1293,187 @@ ORDER BY n DESC, event_type, motif LIMIT {k}
 """
 
 
-_LSH_BIT_PAIRS = ((0, 12), (6, 18), (3, 15), (9, 21))
+def value_motifs_salted(
+    events: DataFrame, w: int = 4, k: int = 20
+) -> DataFrame:
+    """Day-salted twin of :func:`value_motifs` — breaks the per-key
+    sort bound for hot event types by partitioning the series window
+    on ``(event_type, day)`` instead of ``event_type`` alone, then
+    repairing the seam so the result is identical to the unsalted
+    operator (the catalog pins hash parity against the SAME unsalted
+    oracle).
+
+    Seam repair: a motif anchored in day ``d`` reaches back at most
+    ``w`` rows, so the ``w`` most recent rows of the PRECEDING series
+    are copied into each block as context rows (``ctx``). Context rows
+    supply lag values/signs but never anchor a motif (filtered before
+    the count agg). The preceding-series tail is assembled exactly
+    without any global sort: each block's own last-``w`` rows (a
+    per-block window — data-scale but salted) are forwarded to the
+    next ``w`` EXISTING blocks of that type via the tiny block-
+    sequence table (types × days rows, broadcast), and each target
+    block keeps its ``w`` most recent arrivals. Reach ``w`` suffices
+    for exactness: any ``w`` consecutive existing blocks hold ≥ ``w``
+    rows (each holds ≥ 1), so the true global tail always lies within
+    reach — thin blocks (< ``w`` rows) and empty days both repair
+    correctly, which the unsalted-oracle parity pin checks on real
+    data. Cost shape: the dominant sort is now per ``(event_type,
+    day)`` — at 100 TB a hot type's year of data sorts as ~365
+    independent partitions instead of one — plus candidate-set
+    windows at blocks×w scale (negligible)."""
+    from pyspark.sql import functions as F
+
+    sign = (
+        "CASE WHEN d > 0 THEN '+' WHEN d < 0 THEN '-' "
+        "WHEN d = 0 THEN '=' END"
+    )
+    base = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("blk"),
+    )
+    # per-block tails: the only data-scale window, and it is salted
+    wrev = Window.partitionBy("event_type", "blk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cand = (
+        base.withColumn("_rev", F.row_number().over(wrev))
+        .filter(F.col("_rev") <= w)
+        .drop("_rev")
+    )
+    # block sequence numbers per type: tiny, broadcast both ways
+    wseq = Window.partitionBy("event_type").orderBy("blk")
+    seq = (
+        base.select("event_type", "blk")
+        .distinct()
+        .withColumn("_seq", F.row_number().over(wseq))
+    )
+    # forward each tail row to the next w existing blocks, keep the w
+    # most recent arrivals per target block — the exact global tail
+    offsets = F.array(*[F.lit(o) for o in range(1, w + 1)])
+    wctx = Window.partitionBy("event_type", "_tblk").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tails = (
+        cand.join(F.broadcast(seq), ["event_type", "blk"])
+        .withColumn("_o", F.explode(offsets))
+        .withColumn("_tseq", F.col("_seq") + F.col("_o"))
+        .join(
+            F.broadcast(
+                seq.select(
+                    "event_type",
+                    F.col("blk").alias("_tblk"),
+                    F.col("_seq").alias("_tseq"),
+                )
+            ),
+            ["event_type", "_tseq"],
+        )
+        .withColumn("_r", F.row_number().over(wctx))
+        .filter(F.col("_r") <= w)
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.col("_tblk").alias("blk"),
+        )
+        .withColumn("ctx", F.lit(True))
+    )
+    rows = base.withColumn("ctx", F.lit(False)).unionByName(tails)
+
+    win = Window.partitionBy("event_type", "blk").orderBy("ts", "event_id")
+    with_sign = rows.select(
+        "event_type",
+        "blk",
+        "ctx",
+        "ts",
+        "event_id",
+        (F.col("value") - F.lag("value").over(win)).alias("d"),
+    ).selectExpr("event_type", "blk", "ctx", "ts", "event_id", sign + " AS s")
+    motif = F.concat_ws(
+        "", *[F.lag("s", w - 1 - j).over(win) for j in range(w)]
+    )
+    return (
+        with_sign.select("event_type", "ctx", motif.alias("motif"))
+        .filter(~F.col("ctx"))  # context rows never anchor a motif
+        .filter(F.length("motif") == w)
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "event_type", "motif")
+        .limit(k)
+    )
 
 
-def similar_user_pairs_lsh(events: DataFrame, k: int = 30) -> DataFrame:
+# All 12 opposite-hour contrasts (h vs h+12), ordered so the first
+# four reproduce the original fixed scheme (morning/evening etc.) —
+# n_bits=4 keeps round-10 bucket assignments (and oracle hashes)
+# byte-identical while letting hot datasets widen to up to 12 bits
+# (4096 buckets).
+_LSH_BIT_PAIRS = (
+    (0, 12), (6, 18), (3, 15), (9, 21),
+    (1, 13), (2, 14), (4, 16), (5, 17),
+    (7, 19), (8, 20), (10, 22), (11, 23),
+)
+
+
+def _lsh_bucket_expr(n_bits: int) -> str:
+    if not 1 <= n_bits <= len(_LSH_BIT_PAIRS):
+        raise ValueError(
+            f"n_bits must be in [1, {len(_LSH_BIT_PAIRS)}], got {n_bits}"
+        )
+    return " || ".join(
+        f"(CASE WHEN h{a} > h{b} THEN '1' ELSE '0' END)"
+        for a, b in _LSH_BIT_PAIRS[:n_bits]
+    )
+
+
+def similar_user_pairs_lsh(
+    events: DataFrame,
+    k: int = 30,
+    n_bits: int = 4,
+    max_block: int | None = None,
+) -> DataFrame:
     """The guardrail's escape hatch, closed: sign-LSH bucketing over
     the profile vectors replaces peak-hour blocking when blocks run
     hot. Bucket bits are the signs of fixed opposite-hour contrasts
-    (h0>h12, h6>h18, h3>h15, h9>h21 — morning/evening, etc.), the
-    SimHash shape on the 24-dim integer profile: similar profiles
-    agree on the contrasts and land in the same of 16 buckets, so the
-    quadratic term is bounded by the largest bucket, tunable by adding
-    bits. Deterministic (no RNG), so the DuckDB oracle computes the
-    identical blocking — recall tradeoffs are the operator's
-    semantics, not noise."""
-    bits = " || ".join(
-        f"(CASE WHEN h{a} > h{b} THEN '1' ELSE '0' END)"
-        for a, b in _LSH_BIT_PAIRS
-    )
+    (h0>h12, h6>h18, ... — morning/evening, etc.), the SimHash shape
+    on the 24-dim integer profile: similar profiles agree on the
+    contrasts and land in the same of ``2**n_bits`` buckets, so the
+    quadratic term is bounded by the largest bucket, tunable via
+    ``n_bits`` (1..12 opposite-hour contrasts; default 4 = the
+    original 16-bucket scheme). Deterministic (no RNG), so the DuckDB
+    oracle computes the identical blocking — recall tradeoffs are the
+    operator's semantics, not noise.
+
+    ``max_block`` guards the escape hatch itself (round-11 ask: a hot
+    bucket makes the escape silently quadratic too): the probe is one
+    ≤``2**n_bits``-row aggregate over the persisted profiles; on
+    breach it raises with the actionable fix — add bits. The
+    scale-probe row in SCALE.md shows each added bit roughly halves
+    the worst bucket on the events profile distribution."""
+    bits = _lsh_bucket_expr(n_bits)
     prof = user_activity_profiles(events).selectExpr(
         "*", f"({bits}) AS bucket"
     )
+    if max_block is not None:
+        prof = prof.persist()
+        worst = (
+            prof.groupBy("bucket")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst and worst > max_block:
+            prof.unpersist()
+            raise ValueError(
+                f"sign-LSH bucket of {worst} users exceeds max_block="
+                f"{max_block}: quadratic within-bucket pair volume — "
+                f"raise n_bits (now {n_bits}, max "
+                f"{len(_LSH_BIT_PAIRS)}) to shrink buckets, or raise "
+                "max_block"
+            )
     a = prof.alias("a")
     b = prof.alias("b")
     return (
@@ -1330,12 +1495,9 @@ def similar_user_pairs_lsh(events: DataFrame, k: int = 30) -> DataFrame:
     )
 
 
-def similar_users_lsh_oracle(k: int = 30) -> str:
+def similar_users_lsh_oracle(k: int = 30, n_bits: int = 4) -> str:
     cols = _profile_cols_sql()
-    bits = " || ".join(
-        f"(CASE WHEN h{a} > h{b} THEN '1' ELSE '0' END)"
-        for a, b in _LSH_BIT_PAIRS
-    )
+    bits = _lsh_bucket_expr(n_bits)
     return f"""
 WITH prof AS (SELECT user_id, {cols} FROM events GROUP BY user_id),
 bucketed AS (SELECT *, ({bits}) AS bucket FROM prof)

@@ -775,6 +775,54 @@ class TestValueMotifs:
         }
         assert got == {("t", "+-="): 1, ("t", "-=+"): 1, ("t", "=+-"): 1}
 
+    def test_salted_matches_unsalted_across_seams(self, spark):
+        """Day-salting must be invisible: motifs that SPAN the midnight
+        boundary (and a boundary across an EMPTY day) are repaired by
+        the forwarded context rows (round-11 ask #6)."""
+        from rigatoni_spark.operators.advanced import (
+            value_motifs,
+            value_motifs_salted,
+        )
+
+        # type 'a': 6 rows on day 1, 6 on day 2 -> seam at midnight;
+        # type 'b': day 1 then day 3 (day 2 EMPTY) -> gap seam; the
+        # "previous existing block" resolution must bridge it
+        rows = []
+        vals = [1.0, 3.0, 2.0, 2.0, 5.0, 4.0]
+        for d, day in [(0, "01"), (1, "02")]:
+            for i, v in enumerate(vals):
+                rows.append((len(rows), "a", f"2024-01-{day} 0{i}:00:00", v + d))
+        for d, day in [(0, "01"), (1, "03")]:
+            for i, v in enumerate(vals):
+                rows.append((len(rows), "b", f"2024-01-{day} 0{i}:30:00", v * (d + 1)))
+        # type 'c': THIN blocks (2+2 rows, both < w) then a full day —
+        # context for day 3 must reach through BOTH thin blocks
+        for d, day in [(0, "01"), (1, "02")]:
+            for i, v in enumerate(vals[:2]):
+                rows.append((len(rows), "c", f"2024-01-{day} 0{i}:45:00", v + d))
+        for i, v in enumerate(vals):
+            rows.append((len(rows), "c", f"2024-01-03 0{i}:45:00", v))
+        events = spark.createDataFrame(
+            rows, "event_id bigint, event_type string, ts string, value double"
+        ).selectExpr(
+            "event_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts", "value"
+        )
+        for w in (3, 4):
+            plain = sorted(
+                map(tuple, value_motifs(events, w=w, k=100).collect())
+            )
+            salted = sorted(
+                map(tuple, value_motifs_salted(events, w=w, k=100).collect())
+            )
+            assert salted == plain
+            # sanity: the seam actually contributes motifs — each type
+            # has 12 rows -> 12 - w motifs total (w-1 head rows drop,
+            # +1 boundary delta), only (6-w)*2+... without seam repair
+            per_type = {}
+            for t, _m, n in plain:
+                per_type[t] = per_type.get(t, 0) + n
+            assert per_type == {"a": 12 - w, "b": 12 - w, "c": 10 - w}
+
 
 class TestSimilarUsersLsh:
     def test_bucketing_and_scaling_vs_exact(self, spark):
@@ -809,3 +857,47 @@ class TestSimilarUsersLsh:
             for r in user_activity_profiles(events).collect()
         }
         assert set(buckets) == {1, 2, 3}
+
+    def test_n_bits_widens_buckets_and_guardrail_raises(self, spark):
+        """Round-11 ask #3: the escape hatch itself gets a guardrail.
+        (a) n_bits=4 reproduces the original bucketing; (b) a 5th
+        contrast bit (h1 vs h13) splits users that disagree on it;
+        (c) max_block breach raises with the add-bits remedy."""
+        import pytest
+
+        from rigatoni_spark.operators.advanced import similar_user_pairs_lsh
+
+        # u1/u2: identical on the four default contrasts (morning-
+        # heavy); they DISAGREE on h1-vs-h13 (u1 has the h1 event,
+        # u2 the h13 one)
+        rows = (
+            [(1, "2024-01-01 00:00:00")] * 3
+            + [(1, "2024-01-01 06:00:00")] * 2
+            + [(1, "2024-01-01 01:00:00")]
+            + [(2, "2024-01-02 00:30:00")] * 3
+            + [(2, "2024-01-02 06:30:00")] * 2
+            + [(2, "2024-01-02 13:00:00")]
+        )
+        events = spark.createDataFrame(
+            [(i, u, ts) for i, (u, ts) in enumerate(rows)],
+            "event_id bigint, user_id bigint, ts string",
+        ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+
+        assert [
+            (r["u1"], r["u2"])
+            for r in similar_user_pairs_lsh(events).collect()
+        ] == [(1, 2)]
+        # the extra contrast bit separates them -> bucket splits
+        assert similar_user_pairs_lsh(events, n_bits=5).count() == 0
+        # guardrail: both users share the 4-bit bucket -> block of 2
+        with pytest.raises(ValueError, match="n_bits"):
+            similar_user_pairs_lsh(events, max_block=1)
+        # and widening the scheme is exactly the documented remedy
+        assert (
+            similar_user_pairs_lsh(events, n_bits=5, max_block=1).count()
+            == 0
+        )
+        with pytest.raises(ValueError):
+            similar_user_pairs_lsh(events, n_bits=0)
+        with pytest.raises(ValueError):
+            similar_user_pairs_lsh(events, n_bits=13)
