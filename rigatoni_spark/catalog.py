@@ -8,6 +8,7 @@ runs both sides at sf0.01 and hash-compares.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1665,6 +1666,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             tables.load_table(spark, sf_dir, "documents"), prune_min=2
         )
     ),
+    # the artifact round-trip (round-11 ask #5): train -> lm_save
+    # (parquet) -> lm_load -> score through the LOADED tables; pinned
+    # against the SAME inline-surprisal oracle, so artifact == inline
+    # is checked cross-engine
+    "text_lm_surprisal_artifact": lambda spark, sf_dir: (
+        ngram_lm.lm_surprisal_artifact(
+            tables.load_table(spark, sf_dir, "documents"),
+            spark,
+            tempfile.mkdtemp(prefix="lm_artifact_"),
+        )
+    ),
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),
@@ -1684,6 +1696,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "events_value_motifs": lambda spark, sf_dir: advanced.value_motifs(
         tables.load_table(spark, sf_dir, "events")
+    ),
+    # salted twin checked against the UNSALTED oracle: the day-salt +
+    # seam repair must be invisible in the result (round-11 ask #6)
+    "events_value_motifs_salted": lambda spark, sf_dir: (
+        advanced.value_motifs_salted(
+            tables.load_table(spark, sf_dir, "events")
+        )
     ),
     "events_similar_users": lambda spark, sf_dir: (
         advanced.similar_user_pairs(
@@ -2130,6 +2149,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "s7_stream_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_incremental": ngram_lm.lm_top_trigrams_oracle(),
     "text_lm_surprisal_pruned": ngram_lm.lm_surprisal_oracle(prune_min=2),
+    # artifact path == inline path, same oracle
+    "text_lm_surprisal_artifact": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_source_signatures": textstats.source_signatures_oracle(),
     "text_pii_scan": corpus.pii_scan_oracle(),
     "sim_pq_recall": pq.pq_recall_oracle(),
@@ -2137,6 +2158,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_rolling_hour": advanced.rolling_window_oracle(),
     "events_user_profiles": advanced.user_profiles_oracle(),
     "events_value_motifs": advanced.value_motifs_oracle(),
+    # parity pin: salted twin vs the SAME unsalted SQL
+    "events_value_motifs_salted": advanced.value_motifs_oracle(),
     "events_similar_users_lsh": advanced.similar_users_lsh_oracle(),
     "events_similar_users": advanced.similar_users_oracle(),
     "events_funnel4": advanced.funnel_oracle(

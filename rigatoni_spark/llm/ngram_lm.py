@@ -71,18 +71,13 @@ def _position_rows(documents: DataFrame) -> DataFrame:
     )
 
 
-def lm_count_tables(
-    documents: DataFrame, prune_min: int = 1
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train: the (trigram, bigram, unigram) count tables, each carrying
-    its backoff-context total so scoring is a single join per order.
-
-    ``prune_min`` keeps only grams seen at least that often — the knob
-    that bounds model size at 100 TB (KenLM's pruning); context totals
-    are computed BEFORE pruning so pruned-model scores remain true
-    count ratios of the full corpus.
-    """
-    rows = _position_rows(documents)
+def _count_tables_from_rows(
+    rows: DataFrame, prune_min: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tri, bi, uni, total) from pre-built position rows. ``total``
+    (1 row, n_total) is FOLDED out of the full unigram aggregation —
+    sum(c1) over the unpruned unigram table equals count(rows), so no
+    sixth scan of the corpus is paid for it."""
     tri = (
         rows.filter(F.col("t2").isNotNull())
         .groupBy("t2", "t1", "t")
@@ -104,6 +99,7 @@ def lm_count_tables(
         .agg(F.count(F.lit(1)).alias("cx2"))
     )
     uni = rows.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n_total"))
     if prune_min > 1:
         tri = tri.filter(F.col("c3") >= prune_min)
         bi = bi.filter(F.col("c2") >= prune_min)
@@ -112,7 +108,25 @@ def lm_count_tables(
         tri.join(tri_ctx, ["t2", "t1"]),
         bi.join(bi_ctx, ["t1"]),
         uni,
+        total,
     )
+
+
+def lm_count_tables(
+    documents: DataFrame, prune_min: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train: the (trigram, bigram, unigram) count tables, each carrying
+    its backoff-context total so scoring is a single join per order.
+
+    ``prune_min`` keeps only grams seen at least that often — the knob
+    that bounds model size at 100 TB (KenLM's pruning); context totals
+    are computed BEFORE pruning so pruned-model scores remain true
+    count ratios of the full corpus.
+    """
+    tri, bi, uni, _ = _count_tables_from_rows(
+        _position_rows(documents), prune_min=prune_min
+    )
+    return tri, bi, uni
 
 
 def lm_top_trigrams(documents: DataFrame, k: int = 30) -> DataFrame:
@@ -145,21 +159,45 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     floor needed. A train/test split scores through the same joins
     with an added +1 smoothing on the unigram miss.
     """
-    return _score_rows(
-        _position_rows(documents), documents, prune_min=prune_min
-    ).orderBy("doc_id")
+    rows = _position_rows(documents)
+    if not documents.isStreaming:
+        # self-scoring: the SAME rows feed training (5 count aggs) and
+        # scoring — persist once so tokenize+explode is paid once, not
+        # 6-7 times (round-10 advice). Stays cached for Spark's LRU;
+        # results are unaffected.
+        rows = rows.persist()
+    return _score_rows(rows, rows, prune_min=prune_min).orderBy("doc_id")
 
 
 def _score_rows(
-    rows: DataFrame, train_docs: DataFrame, prune_min: int = 1
+    rows: DataFrame, train_rows: DataFrame, prune_min: int = 1
 ) -> DataFrame:
     """Score position rows (batch OR streaming) against a model trained
-    on ``train_docs`` (always batch): the train-offline / score-online
-    split. Unordered per-doc output — callers order or window it."""
-    tri, bi, uni = lm_count_tables(train_docs, prune_min=prune_min)
-    total = _position_rows(train_docs).agg(
-        F.count(F.lit(1)).alias("n_total")
+    on ``train_rows`` position rows (always batch): the train-offline /
+    score-online split. Unordered per-doc output — callers order or
+    window it. ``train_rows`` is persisted before the count-table
+    fan-out (five aggregations share one tokenize+explode instead of
+    re-deriving it each); n_total folds out of the unigram agg, so no
+    sixth pass."""
+    if not train_rows.isStreaming:
+        train_rows = train_rows.persist()
+    tri, bi, uni, total = _count_tables_from_rows(
+        train_rows, prune_min=prune_min
     )
+    return _score_with_model(rows, tri, bi, uni, total)
+
+
+def _score_with_model(
+    rows: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    total: DataFrame,
+) -> DataFrame:
+    """The scoring joins alone, model-source-agnostic: three left joins
+    keyed by gram + the broadcast 1-row total — identical whether the
+    tables came from inline training or a loaded artifact (lm_load),
+    which is what pins artifact == inline in the catalog."""
     scored = (
         rows.join(tri, ["t2", "t1", "t"], "left")
         .join(bi, ["t1", "t"], "left")
@@ -196,7 +234,9 @@ def lm_surprisal_stream(
     score a held-out slice against a model trained on the rest
     (train/test perplexity evaluation); output is unordered either
     way."""
-    return _score_rows(_position_rows(stream_docs), train_docs)
+    return _score_rows(
+        _position_rows(stream_docs), _position_rows(train_docs)
+    )
 
 
 def lm_gate(documents: DataFrame) -> DataFrame:
@@ -206,7 +246,9 @@ def lm_gate(documents: DataFrame) -> DataFrame:
     mean (likely junk: boilerplate, non-language, mojibake), 'middle'
     between. A production pipeline keeps head+middle; the catalog row
     returns the full banding so the oracle checks every boundary."""
-    scores = lm_surprisal(documents)
+    # scores feed BOTH the corpus-mean agg and the banding join — one
+    # doc-sized cache beats re-running the whole train+score pipeline
+    scores = lm_surprisal(documents).persist()
     mean = scores.agg(
         F.expr("sum(lm_score_x1m) div count(1)").alias("corpus_mean")
     )
@@ -340,6 +382,70 @@ SELECT doc_id, lm_score_x1m,
 FROM doc_scores CROSS JOIN corpus ORDER BY doc_id
 """
 )
+
+
+# --- model artifact: train once, broadcast-score everything ------------
+
+_ARTIFACT_PARTS = ("tri", "bi", "uni", "total")
+
+
+def lm_save(
+    documents: DataFrame, path: str, prune_min: int = 1
+) -> dict[str, str]:
+    """Train on ``documents`` and persist the model as a parquet
+    artifact (tri/bi/uni count tables + the 1-row total) under
+    ``path`` — the same artifact pattern as the quality classifier
+    (textstats.train_qlf_weights -> parquet -> quality_logit). This is
+    the production path the module docstring promises: train ONCE on
+    the reference corpus (with ``prune_min`` bounding artifact size,
+    KenLM posture), then every scoring job loads + broadcast-joins the
+    tables without ever rescanning the training corpus.
+
+    Returns the per-part paths. Writes are plain parquet dir writes
+    (Spark's committer gives atomic-enough publication; for object
+    stores front this with the sink's staged-rename protocol)."""
+    import os
+
+    train_rows = _position_rows(documents).persist()
+    tri, bi, uni, total = _count_tables_from_rows(
+        train_rows, prune_min=prune_min
+    )
+    parts = dict(zip(_ARTIFACT_PARTS, (tri, bi, uni, total)))
+    out = {}
+    for name, df in parts.items():
+        p = os.path.join(path, name)
+        df.write.mode("overwrite").parquet(p)
+        out[name] = p
+    train_rows.unpersist()
+    return out
+
+
+def lm_load(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Load a saved LM artifact: (tri, bi, uni, total) DataFrames
+    straight off parquet — scan-prunable, and small enough post-prune
+    that AQE broadcasts them into the scoring joins."""
+    import os
+
+    return tuple(
+        spark.read.parquet(os.path.join(path, name))
+        for name in _ARTIFACT_PARTS
+    )
+
+
+def lm_surprisal_artifact(
+    documents: DataFrame, spark, path: str, prune_min: int = 1
+) -> DataFrame:
+    """Round-trip harness: train + save the artifact, load it back,
+    and score ``documents`` through the LOADED tables — by
+    construction equal to inline ``lm_surprisal``, which is what the
+    catalog row pins cross-engine (artifact == inline hash parity)."""
+    lm_save(documents, path, prune_min=prune_min)
+    tri, bi, uni, total = lm_load(spark, path)
+    return _score_with_model(
+        _position_rows(documents), tri, bi, uni, total
+    ).orderBy("doc_id")
 
 
 def lm_merge_counts(

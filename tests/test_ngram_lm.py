@@ -125,3 +125,50 @@ def test_merge_counts_equals_retrain(tiny):
             for r in want_df.collect()
         }
         assert got == want
+
+
+def test_artifact_roundtrip_equals_inline(tiny, tmp_path):
+    """lm_save -> lm_load -> score == inline lm_surprisal (the catalog
+    row pins the same equality cross-engine vs the DuckDB oracle)."""
+    inline = sorted(map(tuple, ngram_lm.lm_surprisal(tiny).collect()))
+    via_artifact = sorted(
+        map(
+            tuple,
+            ngram_lm.lm_surprisal_artifact(
+                tiny, tiny.sparkSession, str(tmp_path / "model")
+            ).collect(),
+        )
+    )
+    assert via_artifact == inline
+
+    # the artifact is four self-contained parquet tables: a fresh
+    # lm_load sees the same counts lm_count_tables trains
+    tri, bi, uni, total = ngram_lm.lm_load(
+        tiny.sparkSession, str(tmp_path / "model")
+    )
+    assert total.collect()[0]["n_total"] == 8
+    assert {
+        (r["t2"], r["t1"], r["t"]): (r["c3"], r["cx3"])
+        for r in tri.collect()
+    } == {
+        ("a", "b", "a"): (2, 3),
+        ("b", "a", "b"): (1, 1),
+        ("a", "b", "c"): (1, 3),
+    }
+
+
+def test_artifact_pruned_save(tiny, tmp_path):
+    """prune_min rides into the artifact: rare grams are absent from
+    the saved tables, context totals stay full-corpus."""
+    ngram_lm.lm_save(tiny, str(tmp_path / "m2"), prune_min=2)
+    tri, bi, uni, total = ngram_lm.lm_load(
+        tiny.sparkSession, str(tmp_path / "m2")
+    )
+    tri_rows = {
+        (r["t2"], r["t1"], r["t"]): (r["c3"], r["cx3"])
+        for r in tri.collect()
+    }
+    # only (a,b,a) survives c3>=2; its context total stays 3 (full)
+    assert tri_rows == {("a", "b", "a"): (2, 3)}
+    assert {r["t"]: r["c1"] for r in uni.collect()} == {"a": 4, "b": 3}
+    assert total.collect()[0]["n_total"] == 8
