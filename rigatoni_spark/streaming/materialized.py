@@ -41,20 +41,38 @@ class MaterializedView:
     """Maintain a current-state snapshot table from a change-event feed.
 
     ``snapshot()`` is readable at any time between batches. Publication
-    is versioned: each batch writes a fresh ``v-<batch_id>`` directory
-    under ``snapshot_dir`` and then atomically replaces the ``_CURRENT``
-    pointer file (``os.replace`` — a single POSIX rename), so a reader
-    always resolves a COMPLETE snapshot; there is never a moment where
-    the table "does not exist" mid-swap. The previous version is kept
-    until the next publication, so a DataFrame acquired just before a
-    swap keeps reading its (old) files; re-acquire via ``snapshot()``
-    per batch for current data. This is a two-line file-system
-    approximation of what Delta/Iceberg's versioned manifest commit does
-    at 100 TB; the dataflow is unchanged when the sink is swapped for a
-    real table format.
+    is versioned and OBJECT-STORE-SAFE (round-11 ask: the previous
+    design swapped a mutable ``_CURRENT`` pointer with ``os.replace``,
+    which is atomic on POSIX but has no S3 equivalent). Protocol, the
+    same stage-then-commit shape as the sink's staged single-walk
+    rename and of Delta/Iceberg's manifest commit:
+
+    1. STAGE: the batch writes a fresh ``v-<batch_id>`` parquet
+       directory (overwrite-idempotent under replay).
+    2. COMMIT: publish is the creation of ONE small immutable manifest
+       object ``_commits/c-<zero-padded batch_id>`` naming the version.
+       On S3 that is a single PUT of a brand-new key — atomic and
+       strongly consistent; no rename/replace semantics are relied on.
+       Locally the file is staged beside the commit dir and linked in
+       via a creation-only rename so readers never see a partial
+       manifest.
+    3. RESOLVE: readers list ``_commits/`` and follow the HIGHEST
+       batch id. A crash between stage and commit leaves no manifest,
+       so readers keep resolving the previous complete snapshot, and
+       the replayed batch re-stages + re-commits idempotently (same
+       id, same content).
+
+    The previous version is kept until the next publication, so a
+    DataFrame acquired just before a commit keeps reading its (old)
+    files; re-acquire via ``snapshot()`` per batch for current data.
+    A legacy ``_CURRENT`` pointer file is still honored for snapshot
+    dirs written before this protocol. At 100 TB the sink swaps for a
+    Delta/Iceberg table whose manifest commit this mirrors; the
+    dataflow is unchanged.
     """
 
-    _POINTER = "_CURRENT"
+    _POINTER = "_CURRENT"  # legacy (pre-manifest) fallback, read-only
+    _COMMITS = "_commits"
 
     def __init__(
         self,
@@ -73,34 +91,81 @@ class MaterializedView:
 
     # -- merge one batch of per-key deltas into the snapshot --------------
 
-    def _current_version_dir(self) -> str | None:
-        """Resolve the published snapshot directory via the pointer file
-        (None before the first commit)."""
+    def _latest_commit(self) -> tuple[int, str] | None:
+        """(batch_id, version name) of the highest-numbered manifest in
+        ``_commits/`` — the reader side of the commit protocol (on S3:
+        LIST + one GET, both strongly consistent). Falls back to the
+        legacy ``_CURRENT`` pointer for pre-manifest snapshot dirs."""
+        cdir = os.path.join(self.snapshot_dir, self._COMMITS)
+        best: tuple[int, str] | None = None
+        try:
+            names = os.listdir(cdir)
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not name.startswith("c-"):
+                continue
+            try:
+                cid = int(name[2:])
+            except ValueError:
+                continue
+            if best is None or cid > best[0]:
+                best = (cid, name)
+        if best is not None:
+            with open(os.path.join(cdir, best[1]), encoding="utf-8") as fh:
+                return best[0], fh.read().strip()
+        # legacy pointer-file layout
         pointer = os.path.join(self.snapshot_dir, self._POINTER)
         try:
             with open(pointer, encoding="utf-8") as fh:
                 version = fh.read().strip()
         except FileNotFoundError:
             return None
-        path = os.path.join(self.snapshot_dir, version)
+        return (-1, version)
+
+    def _current_version_dir(self) -> str | None:
+        """Resolve the published snapshot directory via the manifest log
+        (None before the first commit)."""
+        latest = self._latest_commit()
+        if latest is None:
+            return None
+        path = os.path.join(self.snapshot_dir, latest[1])
         return path if os.path.exists(path) else None
 
-    def _publish(self, version: str) -> None:
-        """Atomically re-point ``_CURRENT`` at ``version`` and prune all
-        versions except the new one and its immediate predecessor (kept
-        for readers that resolved the pointer just before the swap)."""
-        pointer = os.path.join(self.snapshot_dir, self._POINTER)
+    def _publish(self, version: str, batch_id: int) -> None:
+        """Commit ``version`` by creating the immutable manifest
+        ``_commits/c-<batch_id>`` (one new-key PUT on S3; locally a
+        write outside the commit dir + creation rename in), then prune
+        every version/manifest older than the new one and its immediate
+        predecessor (kept for readers that resolved just before the
+        commit)."""
         prev = self._current_version_dir()
-        tmp = pointer + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
+        cdir = os.path.join(self.snapshot_dir, self._COMMITS)
+        os.makedirs(cdir, exist_ok=True)
+        name = f"c-{batch_id:020d}"
+        staged = os.path.join(self.snapshot_dir, f".{name}.staging")
+        with open(staged, "w", encoding="utf-8") as fh:
             fh.write(version)
-        os.replace(tmp, pointer)  # single atomic rename
+        # replace (not rename) only to absorb a replayed batch_id whose
+        # first attempt already committed — the content is identical
+        os.replace(staged, os.path.join(cdir, name))
         keep = {version, os.path.basename(prev) if prev else None}
-        for name in os.listdir(self.snapshot_dir):
-            if name.startswith("v-") and name not in keep:
+        for entry in os.listdir(self.snapshot_dir):
+            if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(
-                    os.path.join(self.snapshot_dir, name), ignore_errors=True
+                    os.path.join(self.snapshot_dir, entry), ignore_errors=True
                 )
+        keep_manifests = {name, f"c-{batch_id - 1:020d}"}
+        for entry in os.listdir(cdir):
+            if (
+                entry.startswith("c-")
+                and entry not in keep_manifests
+                and entry < name  # never prune a NEWER concurrent commit
+            ):
+                with open(os.path.join(cdir, entry), encoding="utf-8") as fh:
+                    points_at = fh.read().strip()
+                if points_at not in keep:
+                    os.unlink(os.path.join(cdir, entry))
 
     def _merge(self, delta: DataFrame, batch_id: int) -> None:
         spark = delta.sparkSession
@@ -139,7 +204,7 @@ class MaterializedView:
         new_snap.write.mode("overwrite").parquet(
             os.path.join(self.snapshot_dir, version)
         )
-        self._publish(version)
+        self._publish(version, batch_id)
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -173,8 +173,9 @@ class TestMaterializedView:
             view.start(available_now=True)
             view.await_termination(120)
             view.stop()
-            # pointer resolves and the snapshot is readable right now
-            assert os.path.exists(os.path.join(snap, "_CURRENT"))
+            # the manifest log resolves and the snapshot is readable now
+            assert view._current_version_dir() is not None
+            assert os.path.isdir(os.path.join(snap, "_commits"))
             held = view.snapshot()
             assert held.count() > 0
         versions = sorted(
@@ -185,6 +186,103 @@ class TestMaterializedView:
         # a DataFrame held across ONE publication still reads (its
         # version dir is retained)
         assert held.count() > 0
+
+    def test_crash_mid_publish_replays_to_consistency(self, spark, tmp_path):
+        """Kill the pipeline BETWEEN stage (v-dir written) and commit
+        (manifest created): readers must keep resolving the previous
+        complete snapshot, and a restart must replay the batch and
+        converge — the same crash family the sink's staged single-walk
+        rename pins (round-11 ask #4)."""
+        import os
+
+        import pyarrow.parquet as pq
+        import pytest
+
+        from rigatoni_spark.streaming.materialized import MaterializedView
+
+        src = tmp_path / "src"
+        snap = str(tmp_path / "snapshot")
+        ckpt = str(tmp_path / "ck")
+        src.mkdir()
+        t = pq.read_table(SF_EVENTS)
+        n = t.num_rows
+
+        # batch 0 commits normally
+        pq.write_table(t.slice(0, n // 2), str(src / "a.parquet"))
+        view = MaterializedView(spark, str(src), snap, ckpt)
+        view.start(available_now=True)
+        view.await_termination(120)
+        view.stop()
+        before = sorted(map(tuple, view.snapshot().collect()))
+        commits_before = sorted(os.listdir(os.path.join(snap, "_commits")))
+
+        # batch 1 crashes AFTER staging v-1, BEFORE the manifest commit
+        pq.write_table(t.slice(n // 2), str(src / "b.parquet"))
+        crashing = MaterializedView(spark, str(src), snap, ckpt)
+        real_publish = MaterializedView._publish
+
+        def crash_publish(self, version, batch_id):
+            raise RuntimeError("simulated crash between stage and commit")
+
+        MaterializedView._publish = crash_publish
+        try:
+            crashing.start(available_now=True)
+            # the failed foreachBatch surfaces as StreamingQueryException
+            with pytest.raises(Exception):
+                crashing.await_termination(120)
+                if crashing._query.exception() is not None:
+                    raise crashing._query.exception()
+        finally:
+            try:
+                crashing.stop()
+            except Exception:
+                pass
+            MaterializedView._publish = real_publish
+
+        # the staged-but-uncommitted version may exist on disk, but NO
+        # manifest was created: readers still resolve the old snapshot
+        assert sorted(
+            os.listdir(os.path.join(snap, "_commits"))
+        ) == commits_before
+        assert sorted(map(tuple, crashing.snapshot().collect())) == before
+
+        # restart: the checkpoint never committed batch 1, so it
+        # replays; re-stage overwrites v-1 and the commit lands
+        recovered = MaterializedView(spark, str(src), snap, ckpt)
+        recovered.start(available_now=True)
+        recovered.await_termination(120)
+        recovered.stop()
+        expected = materialize(
+            as_change_events(normalize_ts(spark.read.parquet(str(src)), "ts"))
+        )
+        assert sorted(map(tuple, recovered.snapshot().collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+        assert len(
+            os.listdir(os.path.join(snap, "_commits"))
+        ) > len(commits_before)
+
+    def test_legacy_pointer_fallback(self, spark, tmp_path):
+        """A snapshot dir written by the pre-manifest protocol (mutable
+        _CURRENT pointer, no _commits/) still resolves."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from rigatoni_spark.streaming.materialized import MaterializedView
+
+        snap = tmp_path / "snapshot"
+        vdir = snap / "v-7"
+        vdir.mkdir(parents=True)
+        src = pq.read_table(SF_EVENTS).slice(0, 10)
+        pq.write_table(src, str(vdir / "part-0.parquet"))
+        (snap / "_CURRENT").write_text("v-7", encoding="utf-8")
+
+        view = MaterializedView(
+            spark, str(tmp_path / "nosrc"), str(snap), str(tmp_path / "ck")
+        )
+        assert view._current_version_dir() == str(vdir)
+        assert view.snapshot().count() == 10
 
     def test_empty_snapshot_before_first_batch(self, spark, tmp_path):
         from rigatoni_spark.streaming.materialized import MaterializedView
