@@ -368,6 +368,11 @@ def _write_persisted(
     # visits each dirent exactly once
     staged_dirs: list[tuple[str, list[str]]] = []
     for walk_dir, _subdirs, walk_files in os.walk(staging):
+        # parity with the pre-walk glob traversal, which skipped hidden
+        # entries: never descend into dot-dirs (e.g. a committer's
+        # .staging/_temporary leftovers must not be renamed into final
+        # keys)
+        _subdirs[:] = [d for d in _subdirs if not d.startswith(".")]
         part_files = sorted(
             os.path.join(walk_dir, f)
             for f in walk_files

@@ -115,6 +115,20 @@ class Pipeline:
         # exhausts retries parks ONCE in the DLQ. Mirrors must use
         # distinct base_uris (staging isolation and the liveness lease
         # are per root).
+        #
+        # Partial-failure window (documented, accepted): if the PRIMARY
+        # committed its final keys and a MIRROR then fails terminally,
+        # the whole batch parks in the DLQ — until replay, the primary
+        # is VISIBLE-but-unaccounted (consumers can read data for a
+        # batch the pipeline counts as failed; manifests/metrics say
+        # failed). Replay re-writes the primary too; deterministic key
+        # stems make that an idempotent byte-identical overwrite, so
+        # the window closes with no duplicate or torn data. Recording
+        # per-sink success in the DLQ entry to skip the primary on
+        # replay would shrink the window but forfeit the "replay is
+        # one code path, byte-identical everywhere" invariant the DLQ
+        # tests pin — a consumer needing stronger read isolation
+        # should read via the manifest keys, not the bucket listing.
         self.sinks: list[S3SinkConfig] = (
             list(sink) if isinstance(sink, (list, tuple)) else [sink]
         )
