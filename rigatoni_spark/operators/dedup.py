@@ -20,6 +20,8 @@ watermark (dropDuplicatesWithinWatermark) instead of keeping all keys.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ def dedup_by_key(
     order_col: str = "resume_token",
     keep: str = "first",
     num_partitions: int | None = None,
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Keep one event per key, deterministically.
 
@@ -60,24 +63,50 @@ def dedup_by_key(
         df = df.coalesce(1)
     elif num_partitions is not None:
         df = df.repartition(num_partitions, *key_cols)
-    ordering = F.col(order_col).cast("bigint") if order_col == "resume_token" else F.col(order_col)
-    if keep == "last":
-        pick = F.max_by
-    elif keep == "first":
-        pick = F.min_by
-    else:
+    if keep not in ("first", "last"):
         raise ValueError("keep must be 'first' or 'last'")
     # min_by/max_by aggregation instead of a window row_number: partial
     # aggregation collapses each map partition to one survivor per key
     # BEFORE the exchange, so the shuffle carries |keys| rows instead of
     # |events| rows (and no per-partition sort). Survivor is identical —
     # order_col is a unique monotone position.
-    payload = [c for c in df.columns if c not in key_cols]
-    winner = pick(F.struct(*[F.col(c).alias(c) for c in payload]), ordering)
-    agg = df.groupBy(*key_cols).agg(winner.alias("__w"))
-    return agg.select(
-        *key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload]
-    ).select(*df.columns)
+    # ``columns`` lets a caller with a KNOWN stable schema (the
+    # streaming path — same envelope every trigger) skip the per-batch
+    # df.columns schema fetch, one more py4j round trip off the
+    # per-trigger floor
+    cols = tuple(df.columns) if columns is None else tuple(columns)
+    winner, unpack = _dedup_exprs(cols, tuple(key_cols), order_col, keep)
+    agg = df.groupBy(*key_cols).agg(winner)
+    return agg.select(*key_cols, *unpack).select(*cols)
+
+
+@lru_cache(maxsize=64)
+def _dedup_exprs(
+    columns: tuple[str, ...],
+    key_cols: tuple[str, ...],
+    order_col: str,
+    keep: str,
+) -> tuple:
+    """Build (winner agg expr, payload unpack exprs) ONCE per schema
+    shape. Column objects wrap immutable unresolved expression trees,
+    so they are safely reusable across DataFrames/batches — and on the
+    streaming path this construction is rebuilt EVERY trigger with an
+    identical schema: measured ~160 ms/trigger of pure py4j round
+    trips at the production latency config (tools/latency_breakdown.py,
+    round 11), by far the largest non-Spark-job term in the foreachBatch
+    body. The cache collapses it to a dict hit in steady state."""
+    ordering = (
+        F.col(order_col).cast("bigint")
+        if order_col == "resume_token"
+        else F.col(order_col)
+    )
+    pick = F.max_by if keep == "last" else F.min_by
+    payload = [c for c in columns if c not in key_cols]
+    winner = pick(
+        F.struct(*[F.col(c).alias(c) for c in payload]), ordering
+    ).alias("__w")
+    unpack = tuple(F.col(f"__w.{c}").alias(c) for c in payload)
+    return winner, unpack
 
 
 def latest_by_key(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:

@@ -73,6 +73,16 @@ class _QueryState:
     # one sink base_uri and each restarts batch_id at 0, so the scope
     # keeps concurrent queries' staging dirs disjoint
     scope: str | None = None
+    # cached Observation metric Columns keyed by the known-collection
+    # tuple they were built for: the list is rebuilt only when a new
+    # collection appears, not every trigger (Columns wrap immutable
+    # expression trees — reusable across batches; the per-trigger
+    # rebuild was a measured py4j latency term, latency_breakdown r11)
+    obs_exprs: tuple | None = None
+    # the post-transform batch schema, learned on the first batch: the
+    # stream's envelope is fixed, so later triggers skip the df.columns
+    # schema fetch in dedup_by_key
+    cols: tuple | None = None
 
 
 @dataclass
@@ -218,9 +228,13 @@ class Pipeline:
             if state.last_n is None:
                 batch_df = dedup_by_key(batch_df)
             else:
+                if state.cols is None:
+                    state.cols = tuple(batch_df.columns)
                 hint = max(state.last_n, self.config.batch_size)
                 batch_df = dedup_by_key(
-                    batch_df, num_partitions=max(1, -(-hint // 5_000))
+                    batch_df,
+                    num_partitions=max(1, -(-hint // 5_000)),
+                    columns=state.cols,
                 )
 
         # ONE Spark job per micro-batch in steady state: the probe
@@ -259,37 +273,50 @@ class Pipeline:
 
         def _write_all() -> list[str]:
             # fresh Observation per attempt: a retried write is a new
-            # action and must not read the failed attempt's metrics
+            # action and must not read the failed attempt's metrics —
+            # but the metric COLUMNS only depend on `known`, so they
+            # rebuild only when a new collection appears (per-trigger
+            # reconstruction was a measured py4j latency term)
             obs = Observation()
-            # null-safe: isin() returns NULL for a NULL collection, and
-            # sum(~NULL) would silently count such rows as known —
-            # coalesce so they route through the unknown path (and its
-            # supplemental group-time agg) instead
-            in_known = (
-                F.coalesce(F.col("collection").isin(known), F.lit(False))
-                if known
-                else F.lit(False)
-            )
-            observed = batch_df.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.max(
-                    F.when(
-                        F.col("operation") == OP_INVALIDATE,
-                        # database-level invalidates carry a NULL
-                        # collection — coalesce so detection can't
-                        # miss them
-                        F.coalesce(F.col("collection"), F.lit("*")),
-                    )
-                ).alias("invalidated"),
-                F.sum((~in_known).cast("long")).alias("n_unknown"),
-                *[
-                    F.max(
-                        F.when(F.col("collection") == c, F.col("cluster_time"))
-                    ).alias(f"t{i}")
-                    for i, c in enumerate(known)
-                ],
-            )
+            known_key = tuple(known)
+            if state.obs_exprs is None or state.obs_exprs[0] != known_key:
+                # null-safe: isin() returns NULL for a NULL collection,
+                # and sum(~NULL) would silently count such rows as
+                # known — coalesce so they route through the unknown
+                # path (and its supplemental group-time agg) instead
+                in_known = (
+                    F.coalesce(F.col("collection").isin(known), F.lit(False))
+                    if known
+                    else F.lit(False)
+                )
+                state.obs_exprs = (
+                    known_key,
+                    in_known,
+                    (
+                        F.count(F.lit(1)).alias("n"),
+                        F.max(
+                            F.when(
+                                F.col("operation") == OP_INVALIDATE,
+                                # database-level invalidates carry a
+                                # NULL collection — coalesce so
+                                # detection can't miss them
+                                F.coalesce(F.col("collection"), F.lit("*")),
+                            )
+                        ).alias("invalidated"),
+                        F.sum((~in_known).cast("long")).alias("n_unknown"),
+                        *[
+                            F.max(
+                                F.when(
+                                    F.col("collection") == c,
+                                    F.col("cluster_time"),
+                                )
+                            ).alias(f"t{i}")
+                            for i, c in enumerate(known)
+                        ],
+                    ),
+                )
+            in_known = state.obs_exprs[1]
+            observed = batch_df.observe(obs, *state.obs_exprs[2])
 
             def deferred() -> dict:
                 m = obs.get

@@ -70,8 +70,11 @@ def main() -> None:
         samples[-1]["staged_write_s"] = time.monotonic() - t0
         return out
 
+    pending: dict = {}
+
     def timed_write_batch(df, cfg, **kw):
-        samples.append({})
+        samples.append(dict(pending))
+        pending.clear()
         probe = kw.get("deferred_probe")
         if probe is not None:
 
@@ -92,6 +95,45 @@ def main() -> None:
     import rigatoni_spark.streaming.pipeline as pipeline_mod
 
     pipeline_mod.write_batch = timed_write_batch
+
+    # seam 3: the WHOLE foreachBatch python body — the delta between
+    # this and engine addBatch is pure JVM/py4j glue we can't touch;
+    # the delta between this and write_batch_s is OUR plan-construction
+    # python (transform + dedup + observe wiring)
+    real_foreach = pipeline_mod.Pipeline._foreach_batch
+
+    def timed_foreach(self, batch_df, batch_id, state=None):
+        t0 = time.monotonic()
+        out = real_foreach(self, batch_df, batch_id, state)
+        if samples:
+            samples[-1]["foreach_body_s"] = time.monotonic() - t0
+        return out
+
+    pipeline_mod.Pipeline._foreach_batch = timed_foreach
+
+    # seam 4/5: inside the python body — dedup plan construction and
+    # the post-write accounting
+    real_dedup = pipeline_mod.dedup_by_key
+
+    def timed_dedup(df, *a, **kw):
+        # runs BEFORE this batch's write_batch sample exists — stash
+        # and let timed_write_batch fold it into the new sample
+        t0 = time.monotonic()
+        out = real_dedup(df, *a, **kw)
+        pending["dedup_construct_s"] = time.monotonic() - t0
+        return out
+
+    pipeline_mod.dedup_by_key = timed_dedup
+    real_finish = pipeline_mod.Pipeline._finish_batch
+
+    def timed_finish(self, *a, **kw):
+        t0 = time.monotonic()
+        out = real_finish(self, *a, **kw)
+        if samples:
+            samples[-1]["finish_batch_s"] = time.monotonic() - t0
+        return out
+
+    pipeline_mod.Pipeline._finish_batch = timed_finish
 
     root = tempfile.mkdtemp(prefix="lat_breakdown_")
     src = os.path.join(root, "src")
@@ -144,7 +186,13 @@ def main() -> None:
     wb = med("write_batch_s")
     stg = med("staged_write_s")
     prb = med("probe_s")
+    fb = med("foreach_body_s")
+    dd = med("dedup_construct_s")
+    fin = med("finish_batch_s")
     print(f"steady-state batches: {len(steady)}")
+    print(f"foreach body total  : {fb} ms (plan construction + write_batch)")
+    print(f"  dedup construct   : {dd} ms (python/py4j, pre-write)")
+    print(f"  finish accounting : {fin} ms (post-write)")
     print(f"write_batch total   : {wb} ms")
     print(f"  staged write job  : {stg} ms   (the ONE Spark action)")
     print(f"  probe resolution  : {prb} ms")
@@ -156,6 +204,16 @@ def main() -> None:
         )
         print(f"engine addBatch     : {add} ms (python body above + JVM glue)")
         print(f"engine trigger total: {trig} ms (walCommit/offsets/planning on top)")
+        # full per-component medians: every durationMs key the engine
+        # reports (latestOffset/getBatch/queryPlanning/walCommit/
+        # commitOffsets/...) so the non-addBatch remainder is
+        # attributable too
+        keys = sorted({k for d in durs[2:] for k in d})
+        for key in keys:
+            if key in ("addBatch", "triggerExecution"):
+                continue
+            v = statistics.median(d.get(key, 0) for d in durs[2:])
+            print(f"  {key:<18}: {v} ms")
 
 
 if __name__ == "__main__":
