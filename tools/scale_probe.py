@@ -827,6 +827,91 @@ def probe_events(spark, sf_dir: str) -> None:
         )
 
 
+def probe_ts_similarity(spark, sf_dir: str) -> None:
+    """Round-11 asks #3/#6: (a) at 100x users, each added sign-LSH
+    contrast bit should shrink the worst bucket (the escape hatch's
+    own guardrail remedy); (b) a single hot event_type at 10x volume
+    should break value_motifs' per-key sort bound while the day-salted
+    twin stays flat."""
+    from rigatoni_spark.operators.advanced import (
+        _lsh_bucket_expr,
+        user_activity_profiles,
+        value_motifs,
+        value_motifs_salted,
+    )
+    from rigatoni_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    # --- (a) LSH bucket distribution vs n_bits at 100x users ---------
+    copies = spark.range(100).select(F.col("id").alias("copy"))
+    big_users = (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") * 100 + F.col("copy")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * 100 + F.col("copy")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    prof = user_activity_profiles(big_users).persist()
+    n_users = prof.count()
+    print(f"[ts_similarity] 100x profiles: {n_users} users")
+    for n_bits in (4, 6, 8, 10):
+        stats = (
+            prof.selectExpr(f"({_lsh_bucket_expr(n_bits)}) AS bucket")
+            .groupBy("bucket")
+            .count()
+            .agg(
+                F.max("count").alias("worst"),
+                F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+                F.count(F.lit(1)).alias("buckets"),
+            )
+            .first()
+        )
+        print(
+            f"[ts_similarity] n_bits={n_bits}: buckets={stats['buckets']} "
+            f"worst_bucket={stats['worst']} "
+            f"within_bucket_pairs={int(stats['pairs'])}"
+        )
+    prof.unpersist()
+
+    # --- (b) hot-type skew: unsalted vs salted motif mining ----------
+    amp = 100
+    hot = (
+        ev.crossJoin(
+            F.broadcast(spark.range(amp).select(F.col("id").alias("copy")))
+        )
+        .select(
+            (F.col("event_id") * amp + F.col("copy")).alias("event_id"),
+            "ts",
+            "user_id",
+            F.lit("hot").alias("event_type"),  # ONE key owns the log
+            "value",
+            "props",
+        )
+    )
+    amp_path = tempfile.mkdtemp(prefix="scale_hot_") + "/events.parquet"
+    hot.write.mode("overwrite").parquet(amp_path)
+    from rigatoni_spark.tables import normalize_ts
+
+    hot_ev = normalize_ts(spark.read.parquet(amp_path), "ts")
+    n_hot = hot_ev.count()
+    print(f"[ts_similarity] hot-type log: {n_hot} rows, 1 event_type")
+    _timed(
+        f"value_motifs hot {amp}x (per-key sort = whole log, 1 partition)",
+        lambda: value_motifs(hot_ev),
+    )
+    _timed(
+        f"value_motifs_salted hot {amp}x (per type-day partitions)",
+        lambda: value_motifs_salted(hot_ev),
+    )
+    _timed("value_motifs base", lambda: value_motifs(ev))
+    _timed("value_motifs_salted base", lambda: value_motifs_salted(ev))
+
+
 def probe_sketches(spark, sf_dir: str) -> None:
     """HLL / CMS / Bloom under a 10x event log: output size is fixed
     by construction (1024 registers / 2048 cells / 8192 bits), so wall
@@ -881,7 +966,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "sketches", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "sketches", "ts_similarity", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -923,6 +1008,8 @@ def main() -> None:
         probe_events(spark, args.sf_dir)
     if args.which in ("sketches", "all"):
         probe_sketches(spark, args.sf_dir)
+    if args.which == "ts_similarity":  # 100x amplification, not in "all"
+        probe_ts_similarity(spark, args.sf_dir)
 
 
 if __name__ == "__main__":
