@@ -836,6 +836,28 @@ def _q_stream_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_lm_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production LM deployment in one row: lm_save trains
+    offline and persists the parquet artifact; the document stream then
+    scores against the LOADED tables (zero training work per batch —
+    the broadcast-score topology lm_save exists for). Drained over the
+    bounded corpus it equals text_lm_surprisal, so the inline oracle
+    hash-checks stream + artifact at once."""
+    import tempfile as _tf
+
+    static_docs = tables.load_table(spark, sf_dir, "documents")
+    model_path = _tf.mkdtemp(prefix="lm_artifact_stream_")
+    ngram_lm.lm_save(static_docs, model_path)
+    return _drain_to_memory_table(
+        ngram_lm.lm_surprisal_stream_artifact(
+            _documents_stream(spark, sf_dir), spark, model_path
+        ),
+        "stream_lm_artifact",
+        ["doc_id"],
+        output_mode="complete",
+    )
+
+
 def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination running IN-STREAM: training documents stream in,
     their distinct n-grams broadcast-join the STATIC benchmark gram
@@ -1656,6 +1678,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_surprisal": _doc(ngram_lm.lm_surprisal),
     "text_lm_gate": _doc(ngram_lm.lm_gate),
     "s7_stream_lm_surprisal": _q_stream_lm_surprisal,
+    # train offline -> parquet artifact -> stream scores against the
+    # LOADED model (the full production deployment, zero per-batch
+    # training; round-11 ask #5's topology end-to-end)
+    "s7_stream_lm_artifact": _q_stream_lm_artifact,
     # incremental training: two disjoint-half models merged by count
     # sum == one whole-corpus train, which is what the oracle computes
     "text_lm_incremental": _doc(ngram_lm.lm_top_trigrams_incremental),
@@ -2147,6 +2173,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "text_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_gate": ngram_lm.LM_GATE_ORACLE,
     "s7_stream_lm_surprisal": ngram_lm.LM_SURPRISAL_ORACLE,
+    # stream + loaded artifact == inline train+score, same oracle
+    "s7_stream_lm_artifact": ngram_lm.LM_SURPRISAL_ORACLE,
     "text_lm_incremental": ngram_lm.lm_top_trigrams_oracle(),
     "text_lm_surprisal_pruned": ngram_lm.lm_surprisal_oracle(prune_min=2),
     # artifact path == inline path, same oracle

@@ -448,6 +448,21 @@ def lm_surprisal_artifact(
     ).orderBy("doc_id")
 
 
+def lm_surprisal_stream_artifact(
+    stream_docs: DataFrame, spark, path: str
+) -> DataFrame:
+    """The full production crawl-ingest topology: documents arrive on a
+    STREAM and score against a PRE-TRAINED artifact loaded off parquet
+    (``lm_save`` ran offline; no training work at ingest — the joins
+    broadcast the loaded count tables into every micro-batch). Drained
+    over the bounded corpus with the artifact trained on the same
+    corpus, it equals ``lm_surprisal`` — the same oracle hash-checks
+    this path end-to-end (stream + artifact at once)."""
+    return _score_with_model(
+        _position_rows(stream_docs), *lm_load(spark, path)
+    )
+
+
 def lm_merge_counts(
     a: tuple[DataFrame, DataFrame, DataFrame],
     b: tuple[DataFrame, DataFrame, DataFrame],
