@@ -448,6 +448,29 @@ def main() -> None:
         "Spark action (~92%) + ~2 ms probe + ~30 ms single-walk "
         "rename; remaining floor is the JVM job itself "
         "(tools/latency_breakdown.py)",
+        # round-11 ask #1: the r9->r10 spine drop (102.7K -> 62.4K in
+        # the driver's runs) A/B'd at checkout level — tools/spine_ab.py
+        # alternates fresh-JVM children of a 94549dd worktree (r9 final)
+        # vs HEAD, 3 passes, repo-independent control agg per rep,
+        # 2026-08-16. Min ratio 1.006, median-of-pass-mins 0.964: both
+        # checkouts bottom at 1.40-1.41 s (~71K eps) in the same
+        # session. Verdict: machine band shift, not code. Raw runs in
+        # BENCH_AB_r11.json.
+        "spine_r9_vs_r10": "interleaved checkout A/B ratio 1.006 — the "
+        "driver's r10 dip was a steal band (BENCH_AB_r11.json)",
+        # round-11 ask #2: ~250 ms/trigger of py4j plan construction
+        # removed (dedup expression lru_cache + cached Observation
+        # metric columns + schema hint). Interleaved fresh-JVM A/B at
+        # the production latency config (tools/latency_ab.py,
+        # 2026-08-16): addBatch medians 982 -> 767 ms (0.78x) while the
+        # engine-fixed control ran 1.10x AGAINST HEAD — ~29%
+        # steal-normalized. Remaining floor proven Spark-trigger-fixed:
+        # ~190 ms engine metadata + the ONE staged-write action
+        # (>= empty-job floor 80-130 ms + scan/serialize/commit).
+        # Raw runs + verdict in LATENCY_AB_r11.json.
+        "latency_py4j_cut": "expression caches cut addBatch 0.78x "
+        "(control 1.10x) at the production config; remaining floor is "
+        "engine metadata + the single write job (LATENCY_AB_r11.json)",
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
