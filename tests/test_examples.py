@@ -107,3 +107,13 @@ def test_mirrored_sinks(spark, tmp_path):
     assert out["events"] > 0
     assert out["raw_keys"] > 0 and out["curated_keys"] > 0
     assert out["curated_rows"] == out["events"]
+
+
+def test_materialized_view(spark, tmp_path):
+    out = _mod("materialized_view").main(spark, SF_DIR, str(tmp_path))
+    assert out["live_keys"] > 0
+    assert out["collections"]
+    # manifest-log publication: at least one immutable commit object
+    assert out["manifests"] and all(
+        m.startswith("c-") for m in out["manifests"]
+    )
