@@ -160,13 +160,27 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     with an added +1 smoothing on the unigram miss.
     """
     rows = _position_rows(documents)
-    if not documents.isStreaming:
-        # self-scoring: the SAME rows feed training (5 count aggs) and
-        # scoring — persist once so tokenize+explode is paid once, not
-        # 6-7 times (round-10 advice). Stays cached for Spark's LRU;
-        # results are unaffected.
-        rows = rows.persist()
-    return _score_rows(rows, rows, prune_min=prune_min).orderBy("doc_id")
+    if documents.isStreaming:
+        return _score_rows(rows, rows, prune_min=prune_min).orderBy(
+            "doc_id"
+        )
+    # self-scoring: the SAME rows feed training (5 count aggs) and
+    # scoring — persist once so tokenize+explode is paid once, not 6-7
+    # times (round-10 advice; measured 8x on the sf0.1 catalog row).
+    # Cache lifecycle matters as much as the cache (round-11: stacked
+    # never-unpersisted gram caches across catalog passes measurably
+    # slowed UNRELATED queries via memory pressure): the corpus-sized
+    # gram cache lives only long enough to materialize the count
+    # tables and the per-doc scores; what the caller's collect reads
+    # is the doc-sized scores cache, the only block left behind.
+    rows = rows.persist()
+    tables = _trained_tables(rows, prune_min=prune_min)
+    scores = _score_with_model(rows, *tables).persist()
+    scores.count()  # one materialization through the gram/table caches
+    rows.unpersist()
+    for t in tables:
+        t.unpersist()
+    return scores.orderBy("doc_id")
 
 
 def _score_rows(
@@ -175,16 +189,36 @@ def _score_rows(
     """Score position rows (batch OR streaming) against a model trained
     on ``train_rows`` position rows (always batch): the train-offline /
     score-online split. Unordered per-doc output — callers order or
-    window it. ``train_rows`` is persisted before the count-table
-    fan-out (five aggregations share one tokenize+explode instead of
-    re-deriving it each); n_total folds out of the unigram agg, so no
-    sixth pass."""
-    if not train_rows.isStreaming:
-        train_rows = train_rows.persist()
-    tri, bi, uni, total = _count_tables_from_rows(
-        train_rows, prune_min=prune_min
+    window it."""
+    return _score_with_model(
+        rows, *_trained_tables(train_rows, prune_min=prune_min)
     )
-    return _score_with_model(rows, tri, bi, uni, total)
+
+
+def _trained_tables(
+    train_rows: DataFrame, prune_min: int = 1
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train and MATERIALIZE the count tables: the gram rows are cached
+    only while the five aggregations run (they share one
+    tokenize+explode instead of re-deriving it each — round-10 advice;
+    n_total folds out of the unigram agg, so no sixth pass), then
+    dropped; what persists is the much smaller (tri, bi, uni, total)
+    set, eagerly counted so every later use — each micro-batch of a
+    stream-static scoring query especially — joins against cached
+    tables instead of re-aggregating the corpus. Callers that finish
+    with the model should unpersist the returned tables."""
+    owned = not train_rows.is_cached and not train_rows.isStreaming
+    if owned:
+        train_rows = train_rows.persist()
+    tables = tuple(
+        t.persist()
+        for t in _count_tables_from_rows(train_rows, prune_min=prune_min)
+    )
+    for t in tables:
+        t.count()
+    if owned:
+        train_rows.unpersist()
+    return tables
 
 
 def _score_with_model(
@@ -246,9 +280,10 @@ def lm_gate(documents: DataFrame) -> DataFrame:
     mean (likely junk: boilerplate, non-language, mojibake), 'middle'
     between. A production pipeline keeps head+middle; the catalog row
     returns the full banding so the oracle checks every boundary."""
-    # scores feed BOTH the corpus-mean agg and the banding join — one
-    # doc-sized cache beats re-running the whole train+score pipeline
-    scores = lm_surprisal(documents).persist()
+    # scores feed BOTH the corpus-mean agg and the banding join —
+    # lm_surprisal already returns them cached + materialized (one
+    # doc-sized cache, gram rows dropped)
+    scores = lm_surprisal(documents)
     mean = scores.agg(
         F.expr("sum(lm_score_x1m) div count(1)").alias("corpus_mean")
     )
