@@ -193,6 +193,31 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(read_change_events(spark, sf_dir))
 
 
+def _q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 through the REAL streaming engine: per-key open-interval
+    state (applyInPandasWithState) closes each version as its successor
+    arrives, drained over the bounded feed with availableNow, then the
+    append-mode emissions winnow per (key, valid_from) — closed rows
+    supersede their provisional current twins. The winnowed table
+    equals the batch scd2_history row-for-row, so the stateful
+    streaming path is hash-verified against the SAME SQL oracle."""
+    from rigatoni_spark.operators.materialize import (
+        scd2_stream,
+        scd2_stream_winnow,
+    )
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    sdf = read_change_events_stream(
+        spark, sf_dir, path_glob="events.parquet"
+    )
+    drained = _drain_to_memory_table(
+        scd2_stream(sdf),
+        "stream_scd2",
+        ["collection", "document_key", "valid_from"],
+    )
+    return scd2_stream_winnow(drained)
+
+
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = read_change_events(spark, sf_dir)
     return batching.windowed_counts(ce, "1 hour").orderBy(
@@ -1749,6 +1774,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "s7_stream_sessions": _q_stream_sessions,
     "cdc_scd2_history": _q_scd2_history,
+    # type-2 history maintained by a LIVE stateful stream, winnowed ==
+    # the batch history (same oracle)
+    "cdc_stream_scd2_history": _q_stream_scd2_history,
     "events_gapfill_locf": lambda spark, sf_dir: advanced.time_bucket_gapfill(
         tables.load_table(spark, sf_dir, "events")
     ),
@@ -2196,6 +2224,9 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "events_retention_cohorts": advanced.RETENTION_ORACLE,
     "s7_stream_sessions": advanced.stream_sessions_oracle(),
     "cdc_scd2_history": f"""{_CE_CTE},
+{SCD2_ORACLE_BODY.strip()}""",
+    # the streaming stateful path drains + winnows to the identical rows
+    "cdc_stream_scd2_history": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
     "sim_binary_hamming_topk": vectors.binary_topk_oracle(),

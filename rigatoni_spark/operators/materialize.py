@@ -222,3 +222,169 @@ def materialize_stream(ce: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType()),
+        T.StructField("document_key", T.StringType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("full_document", T.StringType(), True),
+        T.StructField("valid_from", T.LongType()),
+        T.StructField("valid_to", T.LongType(), True),
+        T.StructField("is_current", T.IntegerType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = T.StructType(
+    [
+        # the OPEN (current) version of this key, None after a delete
+        T.StructField("open_op", T.StringType(), True),
+        T.StructField("open_doc", T.StringType(), True),
+        T.StructField("open_from", T.LongType(), True),
+        # position of the last APPLIED event — the monotonic-arrival
+        # canary (same precondition and failure mode as
+        # as_change_events_stateful): an older arrival would close an
+        # interval at the wrong boundary AND poison every later row
+        T.StructField("last_from", T.LongType(), True),
+    ]
+)
+
+
+def scd2_stream(ce: DataFrame) -> DataFrame:
+    """Streaming SCD2: maintain the type-2 interval history of
+    :func:`scd2_history` on a LIVE change stream — per-key state holds
+    the one OPEN version; each arriving event CLOSES it (emitting the
+    finished interval, append mode) and becomes the new open version
+    (deletes close without replacing, so a deleted key has no current
+    row, exactly the batch semantics).
+
+    Emission contract: a version's interval row is emitted CLOSED the
+    moment its successor arrives — exact and final. The key's latest
+    version is additionally emitted as a PROVISIONAL current row
+    (``is_current`` = 1, ``valid_to`` NULL) at the end of each
+    micro-batch it survives; if a later batch closes it, the closed
+    emission supersedes the provisional one. Append-mode sinks cannot
+    retract, so downstream reads winnow per (key, valid_from) —
+    :func:`scd2_stream_winnow` is that fold (closed row wins over its
+    provisional twin); the drained winnowed table equals the batch
+    :func:`scd2_history` row-for-row, which is what the catalog row
+    pins against the SAME oracle.
+
+    Same HARD PRECONDITION as ``as_change_events_stateful``: per-key
+    monotonic arrival across micro-batches (file-feed and Kafka
+    per-partition order both satisfy it); an out-of-order arrival
+    fails the micro-batch loudly rather than corrupting intervals.
+
+    Scale: state is one small struct per LIVE key (independent of log
+    length; RocksDB spills off-heap); one hash exchange per
+    micro-batch; per-key per-batch fold is a short python loop over
+    that key's batch rows inside the Arrow-transferred group."""
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_op, open_doc, open_from, last_from = state.get
+        else:
+            open_op = open_doc = open_from = last_from = None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                .sort_values("__version")
+                .reset_index(drop=True)
+            )
+            first = int(pdf["__version"].iloc[0])
+            if last_from is not None and first <= last_from:
+                raise ValueError(
+                    f"out-of-order arrival for key {key}: event at "
+                    f"position {first} is not after the state's last "
+                    f"applied position {last_from} — per-key monotonic "
+                    "arrival is a hard precondition of scd2_stream; "
+                    "replay from the checkpoint in order, or use the "
+                    "batch scd2_history for unordered logs"
+                )
+            rows: list[tuple] = []
+            for op, doc, vf in zip(
+                pdf["operation"], pdf["full_document"], pdf["__version"]
+            ):
+                vf = int(vf)
+                if open_from is not None:
+                    # successor arrived: the open interval closes HERE
+                    rows.append(
+                        (key[0], key[1], open_op, open_doc, open_from, vf, 0)
+                    )
+                if op == "delete":
+                    open_op = open_doc = open_from = None
+                else:
+                    open_op, open_doc, open_from = op, doc, vf
+                last_from = vf
+            if open_from is not None:
+                # provisional current row (superseded if closed later)
+                rows.append(
+                    (key[0], key[1], open_op, open_doc, open_from, None, 1)
+                )
+            if rows:
+                out = pd.DataFrame(
+                    rows,
+                    columns=[
+                        "collection",
+                        "document_key",
+                        "operation",
+                        "full_document",
+                        "valid_from",
+                        "valid_to",
+                        "is_current",
+                    ],
+                )
+                # nullable ints must not decay to float64 on the Arrow
+                # boundary (resume positions are exact longs)
+                out["valid_from"] = out["valid_from"].astype("Int64")
+                out["valid_to"] = out["valid_to"].astype("Int64")
+                out["is_current"] = out["is_current"].astype("int32")
+                yield out
+        state.update((open_op, open_doc, open_from, last_from))
+
+    prepared = ce.withColumn(
+        "__version", F.col("resume_token").cast("bigint")
+    )
+    return prepared.groupBy("collection", "document_key").applyInPandasWithState(
+        fold,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def scd2_stream_winnow(drained: DataFrame) -> DataFrame:
+    """Collapse :func:`scd2_stream`'s append-mode emissions to the
+    final history: per (key, valid_from) a version appears at most
+    twice — once provisional (open), once closed — and the closed row
+    wins. ``max(valid_to)`` ignores the provisional NULL;
+    ``min(is_current)`` prefers the closed flag; operation/document are
+    identical across the pair (same version), so any deterministic
+    pick works. One |history|-sized aggregation, batch-side after the
+    drain (or per publication window in production)."""
+    return (
+        drained.groupBy("collection", "document_key", "valid_from")
+        .agg(
+            F.max("operation").alias("operation"),
+            F.max("full_document").alias("full_document"),
+            F.max("valid_to").alias("valid_to"),
+            F.min("is_current").alias("is_current"),
+        )
+        .select(
+            "collection",
+            "document_key",
+            "operation",
+            "full_document",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("collection", "document_key", "valid_from")
+    )
