@@ -883,6 +883,26 @@ def _q_stream_lm_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate gapfill: the STREAM maintains the hourly
+    per-key rollup (one complete-mode map-side-combined aggregation —
+    state is |keys × buckets| rows, the TimescaleDB continuous-aggregate
+    shape), and the dense spine + LOCF fold runs batch-side over the
+    drained rollup through the SAME gapfill_from_rollup the batch
+    operator uses — so the streaming path hash-checks against the
+    identical oracle as events_gapfill_locf."""
+    from rigatoni_spark.sources.change_events import read_raw_events_stream
+
+    sdf = read_raw_events_stream(spark, sf_dir, path_glob="events.parquet")
+    rollup = _drain_to_memory_table(
+        advanced.hourly_rollup(sdf),
+        "stream_gapfill",
+        ["event_type", "bucket_start"],
+        output_mode="complete",
+    )
+    return advanced.gapfill_from_rollup(rollup)
+
+
 def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination running IN-STREAM: training documents stream in,
     their distinct n-grams broadcast-join the STATIC benchmark gram
@@ -1780,6 +1800,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_gapfill_locf": lambda spark, sf_dir: advanced.time_bucket_gapfill(
         tables.load_table(spark, sf_dir, "events")
     ),
+    # the hourly rollup maintained ONLINE (complete-mode agg), dense
+    # spine + LOCF folded off the drained table — same oracle
+    "s7_stream_gapfill_locf": _q_stream_gapfill,
     "s7_stream_interval_join": _q_stream_interval_join,
     "s7_stream_enrich_dim": _q_stream_enrich_dim,
     "s2_debezium_roundtrip": _q_debezium_roundtrip,
@@ -2229,6 +2252,8 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
     "cdc_stream_scd2_history": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
+    # online rollup + batch-side fold == the batch gapfill, same oracle
+    "s7_stream_gapfill_locf": advanced.GAPFILL_ORACLE,
     "sim_binary_hamming_topk": vectors.binary_topk_oracle(),
     "events_hll_distinct_users": sketches.hll_distinct_oracle(
         "events", "user_id"

@@ -933,15 +933,45 @@ def time_bucket_gapfill(
     one additional window pass that reuses the join's hash
     partitioning on the key.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))
-    agg = (
-        events.groupBy(F.col(key_col), bucket.alias("bucket_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sv"),
-        )
-        .localCheckpoint(eager=False)
+    return gapfill_from_rollup(
+        hourly_rollup(
+            events, key_col=key_col, ts_col=ts_col, value_col=value_col
+        ),
+        key_col=key_col,
     )
+
+
+def hourly_rollup(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The per-(key, hour-bucket) rollup both gapfill paths share:
+    streamable as a single complete-mode aggregation (map-side combined
+    — the state is |keys × observed buckets| rows, never the events)."""
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    return events.groupBy(F.col(key_col), bucket.alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sv"),
+    )
+
+
+def gapfill_from_rollup(agg: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Spine + LOCF fold over a per-(key, hour-bucket) rollup
+    (``n_events``, ``_sv`` decimal sum) — shared by the batch operator
+    above and the STREAMING twin (the stream maintains the rollup as a
+    complete-mode aggregation, the continuous-aggregate shape; the
+    drained table folds through here, so both paths hash against the
+    same oracle).
+
+    The rollup feeds BOTH the spine derivation and the fill join, so it
+    is lazily localCheckpoint()ed here: one lineage break (a) stops the
+    upstream scan executing twice and (b) gives the self-join's two
+    sides distinct attribute ids — without it Spark 4's resolver
+    rejects the spine⟕rollup join as conflicting references when the
+    input is a drained memory table."""
+    agg = agg.localCheckpoint(eager=False)
     spine = (
         agg.groupBy(key_col)
         .agg(
