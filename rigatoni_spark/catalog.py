@@ -650,12 +650,22 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_to_memory_table(
-    df, what: str, order_cols: list[str], output_mode: str = "append"
+    df,
+    what: str,
+    order_cols: list[str],
+    output_mode: str = "append",
+    cleanup=None,
 ) -> DataFrame:
     """Run a bounded streaming DataFrame to completion into a memory
     sink and return the drained table. Raises loudly on a timeout or a
     failed query — a partial complete/append snapshot must never reach
-    the correctness gate as a silently-wrong row set."""
+    the correctness gate as a silently-wrong row set.
+
+    ``cleanup`` (a no-arg callable) runs after the drain, success or
+    failure — the hook for releasing resources the STREAM held but the
+    drained memory table does not need (persisted model tables, temp
+    model artifacts); without it each catalog/bench pass would leak
+    them for the session lifetime (round-11 cache-lifecycle lesson)."""
     import shutil
     import tempfile
     import uuid
@@ -684,6 +694,8 @@ def _drain_to_memory_table(
     finally:
         # the drained result lives in the memory sink, not the WAL
         shutil.rmtree(ckpt, ignore_errors=True)
+        if cleanup is not None:
+            cleanup()
     return df.sparkSession.table(name).orderBy(*order_cols)
 
 
@@ -851,13 +863,19 @@ def _q_stream_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drained over the bounded corpus with train==stream it equals
     text_lm_surprisal, so the same oracle hash-checks this path."""
     static_docs = tables.load_table(spark, sf_dir, "documents")
+    model_tables: list = []
     return _drain_to_memory_table(
         ngram_lm.lm_surprisal_stream(
-            _documents_stream(spark, sf_dir), static_docs
+            _documents_stream(spark, sf_dir),
+            static_docs,
+            tables_out=model_tables,
         ),
         "stream_lm",
         ["doc_id"],
         output_mode="complete",
+        # bounded drain: the persisted model tables served their last
+        # micro-batch — release them or they tax every later query
+        cleanup=lambda: [t.unpersist() for t in model_tables],
     )
 
 
@@ -868,6 +886,7 @@ def _q_stream_lm_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-score topology lm_save exists for). Drained over the
     bounded corpus it equals text_lm_surprisal, so the inline oracle
     hash-checks stream + artifact at once."""
+    import shutil as _sh
     import tempfile as _tf
 
     static_docs = tables.load_table(spark, sf_dir, "documents")
@@ -880,7 +899,30 @@ def _q_stream_lm_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_lm_artifact",
         ["doc_id"],
         output_mode="complete",
+        # the drained memory table no longer reads the parquet model —
+        # delete it, or repeated passes accumulate model-sized /tmp dirs
+        cleanup=lambda: _sh.rmtree(model_path, ignore_errors=True),
     )
+
+
+def _q_lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch artifact round-trip: train -> lm_save (parquet) -> lm_load
+    -> score through the LOADED tables. lm_surprisal_artifact
+    materializes the scores (doc-sized cache) before returning, so the
+    model dir is deleted HERE rather than left to accumulate in /tmp
+    across correctness/bench passes."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    model_path = _tf.mkdtemp(prefix="lm_artifact_")
+    try:
+        return ngram_lm.lm_surprisal_artifact(
+            tables.load_table(spark, sf_dir, "documents"),
+            spark,
+            model_path,
+        )
+    finally:
+        _sh.rmtree(model_path, ignore_errors=True)
 
 
 def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,13 +1783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (parquet) -> lm_load -> score through the LOADED tables; pinned
     # against the SAME inline-surprisal oracle, so artifact == inline
     # is checked cross-engine
-    "text_lm_surprisal_artifact": lambda spark, sf_dir: (
-        ngram_lm.lm_surprisal_artifact(
-            tables.load_table(spark, sf_dir, "documents"),
-            spark,
-            tempfile.mkdtemp(prefix="lm_artifact_"),
-        )
-    ),
+    "text_lm_surprisal_artifact": _q_lm_artifact_roundtrip,
     "text_source_signatures": _doc(textstats.source_signatures),
     "text_pii_scan": _doc(corpus.pii_scan),
     "sim_pq_recall": _emb(pq.pq_recall),

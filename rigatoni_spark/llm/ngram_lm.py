@@ -73,11 +73,15 @@ def _position_rows(documents: DataFrame) -> DataFrame:
 
 def _count_tables_from_rows(
     rows: DataFrame, prune_min: int = 1
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """(tri, bi, uni, total) from pre-built position rows. ``total``
-    (1 row, n_total) is FOLDED out of the full unigram aggregation —
-    sum(c1) over the unpruned unigram table equals count(rows), so no
-    sixth scan of the corpus is paid for it."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tri, bi, uni, total, uni_roll) from pre-built position rows.
+    ``total`` (1 row, n_total) is FOLDED INTO the unigram aggregation:
+    one ``rollup("t")`` computes every unigram count AND the grand
+    total (== count(rows)) in a single shuffle, so materializing a
+    model pays THREE aggregation jobs (tri, bi, rollup), not four.
+    ``uni`` and ``total`` are filters over the shared ``uni_roll``
+    (grouping flag 1 = the grand-total row); callers that cache the
+    model persist ``uni_roll`` once and both read through it."""
     tri = (
         rows.filter(F.col("t2").isNotNull())
         .groupBy("t2", "t1", "t")
@@ -98,17 +102,24 @@ def _count_tables_from_rows(
         .groupBy("t1")
         .agg(F.count(F.lit(1)).alias("cx2"))
     )
-    uni = rows.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
-    total = uni.agg(F.sum("c1").alias("n_total"))
+    uni_roll = rows.rollup("t").agg(
+        F.count(F.lit(1)).alias("c1"), F.grouping("t").alias("_g")
+    )
+    uni = uni_roll.filter(F.col("_g") == 0).drop("_g")
+    total = uni_roll.filter(F.col("_g") == 1).select(
+        F.col("c1").alias("n_total")
+    )
     if prune_min > 1:
         tri = tri.filter(F.col("c3") >= prune_min)
         bi = bi.filter(F.col("c2") >= prune_min)
+        # total stays PRE-prune (true corpus size); only uni thins
         uni = uni.filter(F.col("c1") >= prune_min)
     return (
         tri.join(tri_ctx, ["t2", "t1"]),
         bi.join(bi_ctx, ["t1"]),
         uni,
         total,
+        uni_roll,
     )
 
 
@@ -123,7 +134,7 @@ def lm_count_tables(
     are computed BEFORE pruning so pruned-model scores remain true
     count ratios of the full corpus.
     """
-    tri, bi, uni, _ = _count_tables_from_rows(
+    tri, bi, uni, _, _ = _count_tables_from_rows(
         _position_rows(documents), prune_min=prune_min
     )
     return tri, bi, uni
@@ -159,11 +170,19 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     floor needed. A train/test split scores through the same joins
     with an added +1 smoothing on the unigram miss.
     """
-    rows = _position_rows(documents)
     if documents.isStreaming:
-        return _score_rows(rows, rows, prune_min=prune_min).orderBy(
-            "doc_id"
+        # training REQUIRES materializing the count tables (persist +
+        # count), which a streaming DataFrame cannot do — there is no
+        # lazy-trained variant that would be correct per micro-batch
+        # (each batch would re-aggregate only its own slice). The
+        # streaming deployment is train-offline/score-online:
+        raise TypeError(
+            "lm_surprisal trains on its own input and cannot train on "
+            "a stream; use lm_surprisal_stream(stream_docs, "
+            "train_docs) with a batch training corpus (or lm_save + "
+            "lm_surprisal_stream_artifact for a pre-trained model)"
         )
+    rows = _position_rows(documents)
     # self-scoring: the SAME rows feed training (5 count aggs) and
     # scoring — persist once so tokenize+explode is paid once, not 6-7
     # times (round-10 advice; measured 8x on the sf0.1 catalog row).
@@ -174,51 +193,59 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     # tables and the per-doc scores; what the caller's collect reads
     # is the doc-sized scores cache, the only block left behind.
     rows = rows.persist()
-    tables = _trained_tables(rows, prune_min=prune_min)
+    tables, handles = _trained_tables(rows, prune_min=prune_min)
     scores = _score_with_model(rows, *tables).persist()
     scores.count()  # one materialization through the gram/table caches
     rows.unpersist()
-    for t in tables:
+    for t in handles:
         t.unpersist()
     return scores.orderBy("doc_id")
 
 
 def _score_rows(
     rows: DataFrame, train_rows: DataFrame, prune_min: int = 1
-) -> DataFrame:
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
     """Score position rows (batch OR streaming) against a model trained
     on ``train_rows`` position rows (always batch): the train-offline /
     score-online split. Unordered per-doc output — callers order or
-    window it."""
-    return _score_with_model(
-        rows, *_trained_tables(train_rows, prune_min=prune_min)
-    )
+    window it. Returns (scored, cached_handles); the handles are the
+    PERSISTED model tables and the caller owns their lifecycle —
+    unpersist them once scoring is done (round-11 lesson: a persist
+    without an unpersist plan taxes unrelated queries for the session
+    lifetime)."""
+    tables, handles = _trained_tables(train_rows, prune_min=prune_min)
+    return _score_with_model(rows, *tables), handles
 
 
 def _trained_tables(
     train_rows: DataFrame, prune_min: int = 1
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[tuple[DataFrame, ...], tuple[DataFrame, ...]]:
     """Train and MATERIALIZE the count tables: the gram rows are cached
-    only while the five aggregations run (they share one
-    tokenize+explode instead of re-deriving it each — round-10 advice;
-    n_total folds out of the unigram agg, so no sixth pass), then
-    dropped; what persists is the much smaller (tri, bi, uni, total)
-    set, eagerly counted so every later use — each micro-batch of a
-    stream-static scoring query especially — joins against cached
-    tables instead of re-aggregating the corpus. Callers that finish
-    with the model should unpersist the returned tables."""
+    only while the aggregations run (they share one tokenize+explode
+    instead of re-deriving it each), then dropped; what persists is the
+    much smaller model set, eagerly counted so every later use — each
+    micro-batch of a stream-static scoring query especially — joins
+    against cached tables instead of re-aggregating the corpus.
+
+    Returns ``((tri, bi, uni, total), handles)``. The three HANDLES
+    (tri, bi, and the shared unigram ROLLUP that uni and total both
+    filter) are what is actually persisted — materializing them is
+    three jobs, not four, because ``total`` rides the rollup instead of
+    paying its own aggregation (round-11 ask #7). Callers that finish
+    with the model must unpersist the handles (unpersisting uni/total
+    themselves would be a no-op — they are filters over the rollup)."""
     owned = not train_rows.is_cached and not train_rows.isStreaming
     if owned:
         train_rows = train_rows.persist()
-    tables = tuple(
-        t.persist()
-        for t in _count_tables_from_rows(train_rows, prune_min=prune_min)
+    tri, bi, uni, total, roll = _count_tables_from_rows(
+        train_rows, prune_min=prune_min
     )
-    for t in tables:
+    handles = (tri.persist(), bi.persist(), roll.persist())
+    for t in handles:
         t.count()
     if owned:
         train_rows.unpersist()
-    return tables
+    return (tri, bi, uni, total), handles
 
 
 def _score_with_model(
@@ -254,7 +281,9 @@ def _score_with_model(
 
 
 def lm_surprisal_stream(
-    stream_docs: DataFrame, train_docs: DataFrame
+    stream_docs: DataFrame,
+    train_docs: DataFrame,
+    tables_out: list | None = None,
 ) -> DataFrame:
     """LM scoring IN-STREAM: documents arrive on a stream and score
     against the count tables of a STATIC training corpus via
@@ -267,10 +296,30 @@ def lm_surprisal_stream(
     ``stream_docs`` may also be a BATCH DataFrame — the same joins
     score a held-out slice against a model trained on the rest
     (train/test perplexity evaluation); output is unordered either
-    way."""
-    return _score_rows(
+    way.
+
+    Training persists the model tables so each micro-batch joins
+    against the cache instead of re-aggregating the corpus. Pass
+    ``tables_out`` (a list) to receive the persisted handles: a caller
+    draining a BOUNDED stream must unpersist them after the drain, or
+    the model-sized caches outlive the query for the whole session
+    (the round-11 cache-lifecycle lesson). Left unpassed — the
+    unbounded production stream, where the model must stay cached for
+    the query's lifetime — the handles are reachable only through the
+    returned plan and the ContextCleaner reclaims them after the query
+    is dropped."""
+    if train_docs.isStreaming:
+        raise TypeError(
+            "lm_surprisal_stream trains on train_docs, which must be a "
+            "batch DataFrame (train offline, score online); got a "
+            "streaming DataFrame"
+        )
+    scored, handles = _score_rows(
         _position_rows(stream_docs), _position_rows(train_docs)
     )
+    if tables_out is not None:
+        tables_out.extend(handles)
+    return scored
 
 
 def lm_gate(documents: DataFrame) -> DataFrame:
@@ -442,7 +491,7 @@ def lm_save(
     import os
 
     train_rows = _position_rows(documents).persist()
-    tri, bi, uni, total = _count_tables_from_rows(
+    tri, bi, uni, total, _ = _count_tables_from_rows(
         train_rows, prune_min=prune_min
     )
     parts = dict(zip(_ARTIFACT_PARTS, (tri, bi, uni, total)))
@@ -475,12 +524,20 @@ def lm_surprisal_artifact(
     """Round-trip harness: train + save the artifact, load it back,
     and score ``documents`` through the LOADED tables — by
     construction equal to inline ``lm_surprisal``, which is what the
-    catalog row pins cross-engine (artifact == inline hash parity)."""
+    catalog row pins cross-engine (artifact == inline hash parity).
+
+    The returned scores are MATERIALIZED (doc-sized cache, same
+    posture as lm_surprisal) before returning, so the caller may
+    delete ``path`` immediately — round-trip harnesses must not leave
+    model-sized parquet artifacts accumulating in temp dirs."""
     lm_save(documents, path, prune_min=prune_min)
     tri, bi, uni, total = lm_load(spark, path)
-    return _score_with_model(
-        _position_rows(documents), tri, bi, uni, total
-    ).orderBy("doc_id")
+    scores = (
+        _score_with_model(_position_rows(documents), tri, bi, uni, total)
+        .persist()
+    )
+    scores.count()
+    return scores.orderBy("doc_id")
 
 
 def lm_surprisal_stream_artifact(

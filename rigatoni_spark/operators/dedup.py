@@ -75,13 +75,16 @@ def dedup_by_key(
     # df.columns schema fetch, one more py4j round trip off the
     # per-trigger floor
     cols = tuple(df.columns) if columns is None else tuple(columns)
-    winner, unpack = _dedup_exprs(cols, tuple(key_cols), order_col, keep)
+    winner, unpack = _dedup_exprs(
+        df.sparkSession, cols, tuple(key_cols), order_col, keep
+    )
     agg = df.groupBy(*key_cols).agg(winner)
     return agg.select(*key_cols, *unpack).select(*cols)
 
 
 @lru_cache(maxsize=64)
 def _dedup_exprs(
+    session,
     columns: tuple[str, ...],
     key_cols: tuple[str, ...],
     order_col: str,
@@ -94,7 +97,16 @@ def _dedup_exprs(
     identical schema: measured ~160 ms/trigger of pure py4j round
     trips at the production latency config (tools/latency_breakdown.py,
     round 11), by far the largest non-Spark-job term in the foreachBatch
-    body. The cache collapses it to a dict hit in steady state."""
+    body. The cache collapses it to a dict hit in steady state.
+
+    ``session`` participates ONLY as a cache key: Column objects hold
+    py4j handles into one JVM gateway, so entries built under a stopped
+    session must never serve a restarted one (they fail with opaque
+    py4j errors). A restart creates a new python SparkSession object —
+    a cache miss — and reading ``df.sparkSession`` is a pure-Python
+    attribute walk, so keying costs no gateway round trip. Dead
+    sessions pin at most maxsize=64 stale entries, which the LRU
+    evicts under any live traffic."""
     ordering = (
         F.col(order_col).cast("bigint")
         if order_col == "resume_token"

@@ -251,6 +251,25 @@ _SCD2_STATE_SCHEMA = T.StructType(
 )
 
 
+def _require_monotonic(key, first: int, last_from: int | None) -> None:
+    """The monotonic-arrival canary, extracted so its MESSAGE is a
+    pinnable unit (tests/test_materialize.py asserts the text directly
+    — the streaming engine wraps in-fold exceptions a variable number
+    of layers deep, so a stream-level test can only pin that the query
+    fails loudly, not which message survived the wrapping)."""
+    if last_from is not None and first <= last_from:
+        raise ValueError(
+            f"out-of-order arrival for key {key}: event at "
+            f"position {first} is not after the state's last "
+            f"applied position {last_from} — per-key monotonic "
+            "arrival is a hard precondition of scd2_stream; "
+            "replay from the checkpoint in order, use "
+            "scd2_stream(reorder_within=...) for boundedly "
+            "out-of-order feeds, or the batch scd2_history for "
+            "unordered logs"
+        )
+
+
 def scd2_stream(ce: DataFrame) -> DataFrame:
     """Streaming SCD2: maintain the type-2 interval history of
     :func:`scd2_history` on a LIVE change stream — per-key state holds
@@ -298,15 +317,7 @@ def scd2_stream(ce: DataFrame) -> DataFrame:
                 .reset_index(drop=True)
             )
             first = int(pdf["__version"].iloc[0])
-            if last_from is not None and first <= last_from:
-                raise ValueError(
-                    f"out-of-order arrival for key {key}: event at "
-                    f"position {first} is not after the state's last "
-                    f"applied position {last_from} — per-key monotonic "
-                    "arrival is a hard precondition of scd2_stream; "
-                    "replay from the checkpoint in order, or use the "
-                    "batch scd2_history for unordered logs"
-                )
+            _require_monotonic(key, first, last_from)
             rows: list[tuple] = []
             for op, doc, vf in zip(
                 pdf["operation"], pdf["full_document"], pdf["__version"]

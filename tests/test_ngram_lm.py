@@ -172,3 +172,68 @@ def test_artifact_pruned_save(tiny, tmp_path):
     assert tri_rows == {("a", "b", "a"): (2, 3)}
     assert {r["t"]: r["c1"] for r in uni.collect()} == {"a": 4, "b": 3}
     assert total.collect()[0]["n_total"] == 8
+
+
+def test_streaming_surprisal_requires_batch_train(spark, tmp_path):
+    """lm_surprisal on a stream must fail FAST with a pointer to
+    lm_surprisal_stream — not die deep in _trained_tables with an
+    AnalysisException (round-12 advice #1); and lm_surprisal_stream
+    must reject a STREAMING training corpus the same way."""
+    import os
+
+    feed = tmp_path / "docs"
+    os.makedirs(feed)
+    batch = spark.createDataFrame(
+        [(0, "a b a")], "doc_id bigint, text string"
+    )
+    batch.write.parquet(str(feed / "p"))
+    sdf = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(feed / "p")
+    )
+    with pytest.raises(TypeError, match="lm_surprisal_stream"):
+        ngram_lm.lm_surprisal(sdf)
+    with pytest.raises(TypeError, match="batch DataFrame"):
+        ngram_lm.lm_surprisal_stream(sdf, train_docs=sdf)
+
+
+def test_stream_surprisal_tables_out_lifecycle(tiny):
+    """lm_surprisal_stream hands the persisted model tables to the
+    caller (round-12 advice #2): every handle arrives cached and can
+    be unpersisted after a bounded drain — no session-lifetime leak."""
+    handles: list = []
+    scored = ngram_lm.lm_surprisal_stream(tiny, tiny, tables_out=handles)
+    assert len(handles) == 3  # tri, bi, shared unigram rollup
+    assert all(t.is_cached for t in handles)
+    # scoring through the handles matches inline training
+    got = {r["doc_id"]: r["lm_score_x1m"] for r in scored.collect()}
+    want = {
+        r["doc_id"]: r["lm_score_x1m"]
+        for r in ngram_lm.lm_surprisal(tiny).collect()
+    }
+    assert got == want
+    for t in handles:
+        t.unpersist()
+    assert not any(t.is_cached for t in handles)
+
+
+def test_trained_tables_fold_total_into_rollup(tiny):
+    """Round-11 ask #7: n_total rides the unigram ROLLUP instead of its
+    own aggregation — materializing a model persists/counts exactly 3
+    handles, and the total table reads the CACHED rollup (its plan is
+    an InMemoryTableScan, not a fresh corpus aggregation)."""
+    rows = ngram_lm._position_rows(tiny)
+    (tri, bi, uni, total), handles = ngram_lm._trained_tables(rows)
+    try:
+        assert len(handles) == 3
+        for plan_df in (uni, total):
+            plan = plan_df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan
+        assert total.collect()[0]["n_total"] == 8
+        assert {r["t"]: r["c1"] for r in uni.collect()} == {
+            "a": 4,
+            "b": 3,
+            "c": 1,
+        }
+    finally:
+        for t in handles:
+            t.unpersist()

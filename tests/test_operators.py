@@ -245,6 +245,25 @@ class TestDedup:
         b = sorted(map(tuple, dedup.dedup_by_key(change_events.repartition(13)).collect()))
         assert a == b
 
+    def test_expr_cache_is_session_scoped(self, spark):
+        """The memoized Column trees hold py4j handles into ONE JVM
+        gateway — a restarted session must MISS the cache, never be
+        served another gateway's dead handles (round-12 advice #3).
+        Pinned structurally: the session is part of the cache key, so
+        two distinct session tokens with an identical schema shape
+        produce two distinct entries."""
+        dedup._dedup_exprs.cache_clear()
+        cols = ("collection", "document_key", "operation")
+        keys = ("collection", "document_key")
+        dedup._dedup_exprs(spark, cols, keys, "resume_token", "first")
+        dedup._dedup_exprs(spark, cols, keys, "resume_token", "first")
+        info = dedup._dedup_exprs.cache_info()
+        assert (info.misses, info.hits) == (1, 1)
+        # a different session object with the same shape: a miss
+        dedup._dedup_exprs(object(), cols, keys, "resume_token", "first")
+        assert dedup._dedup_exprs.cache_info().misses == 2
+        dedup._dedup_exprs.cache_clear()
+
 
 class TestGrouping:
     def test_collection_counts_total(self, change_events):
