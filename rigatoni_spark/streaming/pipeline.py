@@ -126,19 +126,16 @@ class Pipeline:
         # distinct base_uris (staging isolation and the liveness lease
         # are per root).
         #
-        # Partial-failure window (documented, accepted): if the PRIMARY
-        # committed its final keys and a MIRROR then fails terminally,
-        # the whole batch parks in the DLQ — until replay, the primary
-        # is VISIBLE-but-unaccounted (consumers can read data for a
-        # batch the pipeline counts as failed; manifests/metrics say
-        # failed). Replay re-writes the primary too; deterministic key
-        # stems make that an idempotent byte-identical overwrite, so
-        # the window closes with no duplicate or torn data. Recording
-        # per-sink success in the DLQ entry to skip the primary on
-        # replay would shrink the window but forfeit the "replay is
-        # one code path, byte-identical everywhere" invariant the DLQ
-        # tests pin — a consumer needing stronger read isolation
-        # should read via the manifest keys, not the bucket listing.
+        # Partial failure (primary committed, a mirror then failed
+        # terminally): the batch parks ONCE in the DLQ, and the entry
+        # records WHICH sinks already committed (per-sink outcomes in
+        # the _scope.json sidecar, keyed by base_uri). In-process
+        # retries and replay_dlq() both skip committed sinks — the
+        # primary's files are never re-written for a mirror's failure,
+        # so a committed sink's object tree is final the moment its
+        # write_batch returns. Deterministic key stems remain the
+        # backstop: even a pre-sidecar entry (no outcome record)
+        # replays as an idempotent byte-identical overwrite.
         self.sinks: list[S3SinkConfig] = (
             list(sink) if isinstance(sink, (list, tuple)) else [sink]
         )
@@ -258,6 +255,10 @@ class Pipeline:
         from pyspark.sql import Observation
 
         batch_info: dict = {"n": 0, "colls": set()}
+        # per-sink outcomes, SHARED across retry attempts: a sink that
+        # committed keeps its keys here, retries and the DLQ entry skip
+        # it — a mirror's failure never re-drives the primary
+        committed: dict[str, list[str]] = {}
 
         def _write() -> list[str]:
             # mirrored fan-out scans the (filtered+deduped) batch once:
@@ -272,6 +273,11 @@ class Pipeline:
                     batch_df.unpersist()
 
         def _write_all() -> list[str]:
+            if self.sink.base_uri in committed:
+                # a previous attempt committed the primary (a mirror
+                # failed after): its keys and resolved group times are
+                # final — skip straight to the unfinished mirrors
+                return _write_mirrors()
             # fresh Observation per attempt: a retried write is a new
             # action and must not read the failed attempt's metrics —
             # but the metric COLUMNS only depend on `known`, so they
@@ -361,13 +367,21 @@ class Pipeline:
                 n_events=max(state.last_n, self.config.batch_size),
                 staging_scope=state.scope,
             )
+            committed[self.sink.base_uri] = keys
+            return _write_mirrors()
+
+        def _write_mirrors() -> list[str]:
             # mirrors: reuse the primary's resolved group times — one
             # write job each, no probe. Empty batch -> no mirrors (the
-            # primary already returned []).
+            # primary already returned []). Already-committed mirrors
+            # (earlier attempt succeeded before a later one failed)
+            # are skipped — their trees are final.
             for mirror in self.sinks[1:]:
                 if not batch_info.get("gt"):
                     break
-                keys += write_batch(
+                if mirror.base_uri in committed:
+                    continue
+                committed[mirror.base_uri] = write_batch(
                     batch_df,
                     mirror,
                     batch_id=batch_id,
@@ -375,10 +389,14 @@ class Pipeline:
                     n_events=max(state.last_n, self.config.batch_size),
                     staging_scope=state.scope,
                 )
-            return keys
+            return [
+                k
+                for s in self.sinks
+                for k in committed.get(s.base_uri, [])
+            ]
 
         keys = self._retrying_write(
-            _write, batch_df, batch_id, scope=state.scope
+            _write, batch_df, batch_id, scope=state.scope, committed=committed
         )
         if keys is None:
             return  # batch routed to the DLQ; stream continues
@@ -389,7 +407,8 @@ class Pipeline:
         self._finish_batch(n, keys, batch_info["colls"], t0, state)
 
     def _retrying_write(
-        self, write_fn, batch_df=None, batch_id=None, scope=None
+        self, write_fn, batch_df=None, batch_id=None, scope=None,
+        committed=None,
     ):
         """R1 wrapper shared by both batch paths: retry policy from
         config, retry/error accounting, invalidate passes through as
@@ -397,7 +416,12 @@ class Pipeline:
         non-retryable for with_retry). With a DLQ configured, an
         exhausted/non-retryable failure routes the batch there and
         returns None instead of raising — the caller skips its
-        finish-batch accounting and the stream continues."""
+        finish-batch accounting and the stream continues.
+
+        ``committed`` (base_uri -> keys, maintained by write_fn across
+        attempts) names the sinks whose writes already committed; the
+        DLQ entry records them so replay re-drives ONLY the sinks that
+        never committed."""
         policy = RetryPolicy(
             max_retries=self.config.max_retries,
             retry_delay_ms=self.config.retry_delay_ms,
@@ -419,11 +443,18 @@ class Pipeline:
             self.metrics.inc(M.WRITE_ERRORS)
             if self.dlq_dir is None or batch_df is None:
                 raise
-            self._to_dlq(batch_df, batch_id, err, scope=scope)
+            self._to_dlq(
+                batch_df, batch_id, err, scope=scope, committed=committed
+            )
             return None
 
     def _to_dlq(
-        self, batch_df: DataFrame, batch_id: int, err, scope=None
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        err,
+        scope=None,
+        committed=None,
     ) -> None:
         """Dead-letter the batch: full envelope + error text, one
         parquet partition per (query, batch id) — overwrite makes the
@@ -457,7 +488,17 @@ class Pipeline:
         sidecar = os.path.join(dest, "_scope.json")
         tmp = sidecar + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"scope": scope}, fh)
+            # committed_sinks: the per-sink outcome record — sinks
+            # (by base_uri) whose write of THIS batch committed before
+            # the failing one exhausted its retries; replay_dlq skips
+            # them, so a mirror's failure never re-writes the primary
+            json.dump(
+                {
+                    "scope": scope,
+                    "committed_sinks": sorted(committed or ()),
+                },
+                fh,
+            )
         os.replace(tmp, sidecar)
         n = self.spark.read.parquet(dest).count()
         with self._lock:
@@ -508,18 +549,31 @@ class Pipeline:
                 )
             group_times = {r["collection"]: r["t"] for r in per_coll}
 
+            committed: dict[str, list[str]] = {}
+
             def _write() -> list[str]:
-                keys: list[str] = []
+                # per-sink outcomes shared across attempts: committed
+                # sinks are final, retries only re-drive the failed ones
                 for s in self.sinks:
-                    keys += write_batch(
+                    if s.base_uri in committed:
+                        continue
+                    committed[s.base_uri] = write_batch(
                         batch_df, s, batch_id=batch_id,
                         group_times=group_times, n_events=n,
                         staging_scope=state.scope,
                     )
-                return keys
+                return [
+                    k
+                    for s in self.sinks
+                    for k in committed.get(s.base_uri, [])
+                ]
 
             keys = self._retrying_write(
-                _write, batch_df, batch_id, scope=state.scope
+                _write,
+                batch_df,
+                batch_id,
+                scope=state.scope,
+                committed=committed,
             )
             if keys is None:
                 return  # batch routed to the DLQ; stream continues
@@ -789,9 +843,17 @@ class Pipeline:
             # encoded as "__none__" — and thus lossy); fall back to
             # the label round-trip only for pre-sidecar entries
             sidecar = os.path.join(path, "_scope.json")
+            already_committed: set[str] = set()
             if os.path.exists(sidecar):
                 with open(sidecar) as fh:
-                    true_scope = json.load(fh)["scope"]
+                    meta = json.load(fh)
+                true_scope = meta["scope"]
+                # sinks that committed this batch before the failure:
+                # their trees are final — replay must not touch them
+                # (pre-sidecar/legacy entries default to replay-all,
+                # where deterministic keys keep the overwrite
+                # byte-identical)
+                already_committed = set(meta.get("committed_sinks", ()))
             else:
                 true_scope = None if scope == "__none__" else scope
             parked = self.spark.read.parquet(path)
@@ -803,16 +865,25 @@ class Pipeline:
             # dlq_error and the partition-discovery columns; no DLQ
             # fallback here — a still-failing replay raises and the
             # entry stays parked for the next attempt
+            replay_committed: dict[str, list[str]] = {}
+
             def _replay_write() -> list[str]:
                 out: list[str] = []
-                for s in self.sinks:  # mirrors replay too
-                    out += write_batch(
+                for s in self.sinks:  # uncommitted mirrors replay too
+                    if s.base_uri in already_committed:
+                        continue  # committed before the park: final
+                    if s.base_uri in replay_committed:
+                        out += replay_committed[s.base_uri]
+                        continue
+                    keys = write_batch(
                         parked,
                         s,
                         batch_id=batch_id,
                         n_events=n,
                         staging_scope=true_scope,
                     )
+                    replay_committed[s.base_uri] = keys
+                    out += keys
                 return out
 
             keys = self._retrying_write(_replay_write)

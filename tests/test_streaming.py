@@ -679,6 +679,129 @@ class TestDeadLetterQueue:
         )
         assert p.replay_dlq() == []
 
+    @pytest.mark.parametrize("fail_batch", [0, 1])
+    def test_mirror_failure_replays_only_the_mirror(
+        self, spark, dirs, tmp_path, monkeypatch, fail_batch
+    ):
+        """Mirror partial failure, closed (round-11 ask #2): the
+        primary commits, the MIRROR fails terminally — the DLQ entry
+        names the committed primary, in-process retries never re-drive
+        it, replay_dlq re-drives ONLY the mirror, and the final object
+        trees equal a never-failed mirrored run. fail_batch=0 hits the
+        probe-job first-batch path, fail_batch=1 the observe path."""
+        from rigatoni_spark.streaming import pipeline as P
+
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 300)
+        _feed(src, "b.parquet", 300, 200)
+        cfg = PipelineConfig(batch_timeout_secs=1.0, max_retries=1)
+        jkw = dict(format=SerializationFormat.JSON)
+
+        def _read_objects(root: str) -> dict[str, set]:
+            got = {}
+            for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        got[os.path.relpath(f, root)] = set(
+                            fh.read().splitlines()
+                        )
+            return got
+
+        def _pq_rows(root: str):
+            return sorted(
+                map(
+                    tuple,
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(root)
+                    .collect(),
+                )
+            )
+
+        # never-failed mirrored run: the byte/row-level target
+        clean_out = str(tmp_path / "clean_out")
+        clean_mirror = str(tmp_path / "clean_mirror")
+        os.makedirs(clean_out), os.makedirs(clean_mirror)
+        p0 = Pipeline(
+            spark,
+            cfg,
+            [
+                S3SinkConfig(bucket=clean_out, **jkw),
+                S3SinkConfig(
+                    bucket=clean_mirror, format=SerializationFormat.PARQUET
+                ),
+            ],
+            src,
+            str(tmp_path / "clean_ckpt"),
+        ).start()
+        p0.process_all_available()
+        p0.stop()
+
+        primary = S3SinkConfig(bucket=out, **jkw)
+        mirror_out = str(tmp_path / "mirror")
+        os.makedirs(mirror_out)
+        mirror = S3SinkConfig(
+            bucket=mirror_out, format=SerializationFormat.PARQUET
+        )
+        real = P.write_batch
+        calls = {"primary": [], "mirror": []}
+        healed = {"on": False}
+
+        def flaky(df, c, batch_id=None, **kw):
+            side = (
+                "primary" if c.base_uri == primary.base_uri else "mirror"
+            )
+            if (
+                side == "mirror"
+                and batch_id == fail_batch
+                and not healed["on"]
+            ):
+                raise RuntimeError("access denied by destination")
+            keys = real(df, c, batch_id=batch_id, **kw)
+            calls[side].append(batch_id)
+            return keys
+
+        monkeypatch.setattr(P, "write_batch", flaky)
+        dlq_dir = str(tmp_path / "dlq")
+        p = Pipeline(
+            spark, cfg, [primary, mirror], src, ckpt, dlq_dir=dlq_dir
+        ).start()
+        p.process_all_available()
+        p.stop()
+        assert p.stats.dlq_batches == 1
+        # the primary committed each batch EXACTLY once — the mirror's
+        # in-process retry skipped it instead of re-driving it
+        assert calls["primary"] == [0, 1]
+        # the DLQ sidecar names the committed primary
+        sidecars = glob.glob(
+            os.path.join(
+                dlq_dir, "query=*", f"batch_id={fail_batch}", "_scope.json"
+            )
+        )
+        assert len(sidecars) == 1
+        with open(sidecars[0]) as fh:
+            meta = json.load(fh)
+        assert meta["committed_sinks"] == [primary.base_uri]
+
+        # heal the mirror; replay re-drives ONLY the mirror
+        healed["on"] = True
+        p.replay_dlq()
+        assert calls["primary"] == [0, 1]  # untouched by replay
+        assert sorted(calls["mirror"]) == [0, 1]
+        # final object trees byte/row-identical to the never-failed run
+        assert _read_objects(out) == _read_objects(clean_out)
+        assert {
+            os.path.relpath(f, mirror_out)
+            for f in glob.glob(
+                os.path.join(mirror_out, "**", "*.parquet"), recursive=True
+            )
+        } == {
+            os.path.relpath(f, clean_mirror)
+            for f in glob.glob(
+                os.path.join(clean_mirror, "**", "*.parquet"), recursive=True
+            )
+        }
+        assert _pq_rows(mirror_out) == _pq_rows(clean_mirror)
+
     def test_dlq_scoped_per_query_no_cross_collection_clobber(
         self, spark, dirs, tmp_path, monkeypatch
     ):
