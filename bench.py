@@ -32,6 +32,7 @@ def measure_latency(
     timeout_secs: float,
     n_files: int,
     feed_interval: float,
+    async_progress: bool = False,
 ) -> dict:
     """End-to-end latency: (final-key rename wall) - (source-file land
     wall) per event, percentiles over a steady-state window.
@@ -95,6 +96,11 @@ def measure_latency(
             batch_timeout_secs=timeout_secs,
             batch_size=batch_size,
             dedup_by_key=True,
+            # off the trigger critical path: walCommit + commitOffsets
+            # (~150-260 ms/trigger at the production config) flush in
+            # the background; safe because sink writes are replay-
+            # idempotent (deterministic keys + overwrite)
+            async_progress_tracking=async_progress,
         )
         sink = S3SinkConfig(
             bucket=out,
@@ -329,6 +335,19 @@ def main() -> None:
         ),
         "reference_production": measure_latency(
             spark, table, 500, 0.05, n_files=24, feed_interval=0.4
+        ),
+        # production config + async progress tracking (round-11 ask
+        # #1): offset/commit logging leaves the trigger path; replay
+        # idempotence (the at-least-once precondition) is pinned by
+        # TestAsyncProgressTracking::test_crash_replay_is_byte_identical
+        "production_async": measure_latency(
+            spark,
+            table,
+            500,
+            0.05,
+            n_files=24,
+            feed_interval=0.4,
+            async_progress=True,
         ),
         "envelope": "reference architecture.md:387-391 — best 100-500 ms, "
         "typical 1-5 s",

@@ -145,6 +145,20 @@ class PipelineConfig:
     # same deterministic sink keys) then terminates — the backfill mode
     # a real consumer runs before switching to the continuous trigger
     backfill: bool = False
+    # Spark async progress tracking: move offset-log/commit-log writes
+    # (walCommit + commitOffsets, ~150-260 ms of every trigger at the
+    # production latency config) off the trigger critical path, flushed
+    # in the background every async_progress_interval_ms instead.
+    # TRADE: a crash can replay the batches since the last durable
+    # flush (at-least-once). That is SAFE here by construction — sink
+    # keys are deterministic per (batch_id, group-times) and writes are
+    # whole-object overwrites, so a replayed batch is byte-identical —
+    # but any foreachBatch side effect a user adds on top must share
+    # that idempotence. Continuous (processingTime) mode only: Spark
+    # rejects the option under Once/availableNow triggers, so backfill
+    # + async is a config error.
+    async_progress_tracking: bool = False
+    async_progress_interval_ms: int = 1_000
     stream: ChangeStreamConfig = field(default_factory=ChangeStreamConfig)
 
     MAX_BATCH_SIZE = 10_000
@@ -164,6 +178,14 @@ class PipelineConfig:
             raise ValueError("channel_buffer_size must be >= 10")
         if self.watch_level is WatchLevel.COLLECTION and not self.collections:
             raise ValueError("COLLECTION watch level requires collections")
+        if self.async_progress_tracking and self.backfill:
+            raise ValueError(
+                "async_progress_tracking requires the continuous "
+                "(processingTime) trigger; Spark rejects it under the "
+                "availableNow trigger backfill mode uses"
+            )
+        if self.async_progress_interval_ms <= 0:
+            raise ValueError("async_progress_interval_ms must be positive")
 
 
 _BUCKET_RE = re.compile(r"^[a-z0-9][a-z0-9.-]{1,61}[a-z0-9]$")

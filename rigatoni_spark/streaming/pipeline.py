@@ -651,6 +651,30 @@ class Pipeline:
                 writer = writer.trigger(availableNow=True)
             else:
                 writer = writer.trigger(processingTime=trigger_secs)
+                if self.config.async_progress_tracking:
+                    # offset/commit log writes leave the trigger
+                    # critical path (measured ~150-260 ms/trigger at
+                    # batch 500/50 ms — walCommit + commitOffsets —
+                    # the largest engine-side term in the latency
+                    # floor decomposition). Spark's default sink
+                    # allowlist (Kafka/Memory) exists because most
+                    # sinks can't tolerate the wider at-least-once
+                    # replay window; ours can — deterministic keys +
+                    # whole-object overwrite make replays
+                    # byte-identical (pinned by the async restart
+                    # test) — so the override is sound for THIS
+                    # foreachBatch body.
+                    writer = (
+                        writer.option("asyncProgressTrackingEnabled", "true")
+                        .option(
+                            "asyncProgressTrackingCheckpointIntervalMs",
+                            str(self.config.async_progress_interval_ms),
+                        )
+                        .option(
+                            "_asyncProgressTrackingOverrideSinkSupportCheck",
+                            "true",
+                        )
+                    )
             return writer.start()
 
         stream = read_change_events_stream(

@@ -514,6 +514,87 @@ class TestMetricsPrecision:
         assert p.metrics.get(M.BATCH_DURATION, quantile="0.99") == s["p99"]
 
 
+class TestAsyncProgressTracking:
+    """The async-progress-tracking knob (round-11 ask #1): offset/
+    commit-log writes leave the trigger critical path in exchange for
+    an at-least-once replay window after a crash — safe because sink
+    keys are deterministic and writes are whole-object overwrites.
+    These tests pin BOTH halves: the config surface and the replay
+    idempotence the override relies on."""
+
+    def test_backfill_rejects_async(self):
+        with pytest.raises(ValueError, match="async_progress_tracking"):
+            PipelineConfig(backfill=True, async_progress_tracking=True)
+
+    def test_crash_replay_is_byte_identical(self, spark, dirs, tmp_path):
+        """Process 3 batches with async tracking on and a flush
+        interval the run never reaches, then simulate a crash that
+        lost the un-flushed progress (truncate the offset/commit logs
+        back to batch 0). The restarted pipeline must REPLAY the lost
+        batches onto the same deterministic keys — final object tree
+        byte-identical to the pre-crash run, no duplicates, no gaps."""
+        src, out, ckpt = dirs
+        _feed(src, "a.parquet", 0, 200)
+        _feed(src, "b.parquet", 200, 200)
+        _feed(src, "c.parquet", 400, 200)
+        cfg = PipelineConfig(
+            batch_timeout_secs=0.5,
+            batch_size=200,
+            async_progress_tracking=True,
+            # larger than the test's wall: progress flushes only at
+            # stop, so the truncation below models a crash that lost
+            # every asynchronously-buffered offset/commit entry
+            async_progress_interval_ms=600_000,
+        )
+        sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
+        p = Pipeline(spark, cfg, sink, src, ckpt).start()
+        p.process_all_available()
+        p.stop()
+        assert p.stats.events_processed == 600
+
+        def _tree(root: str) -> dict[str, bytes]:
+            got = {}
+            for f in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+                if os.path.isfile(f):
+                    with open(f, "rb") as fh:
+                        got[os.path.relpath(f, root)] = fh.read()
+            return got
+
+        before = _tree(out)
+        assert before, "pre-crash run wrote nothing"
+        # crash simulation: ensure every offset/commit entry after
+        # batch 0 is gone. With the long flush interval the async logs
+        # genuinely never persisted them (observed: stop() does not
+        # flush buffered entries), so this usually removes nothing —
+        # the prune keeps the test deterministic either way.
+        (qdir,) = os.listdir(ckpt)
+        for sub in ("offsets", "commits"):
+            d = os.path.join(ckpt, qdir, sub)
+            for entry in os.listdir(d):
+                core = (
+                    entry[1 : -len(".crc")]
+                    if entry.startswith(".") and entry.endswith(".crc")
+                    else entry
+                )
+                if core.isdigit() and int(core) > 0:
+                    os.remove(os.path.join(d, entry))
+            assert {
+                e
+                for e in os.listdir(d)
+                if not e.startswith(".")
+            } == {"0"}, f"batch-0-only {sub} log expected"
+        p2 = Pipeline(spark, cfg, sink, src, ckpt).start()
+        p2.process_all_available()
+        p2.stop()
+        # the lost batch replayed (at-least-once, same batch id and
+        # file set off the source metadata log): exactly the 1-file
+        # batch 1 (batch 0 took 2 files under maxFilesPerTrigger=2)
+        assert p2.stats.events_processed == 200
+        # ...onto the SAME keys with the SAME bytes: overwrite, not
+        # append — the tree equals the never-crashed run exactly
+        assert _tree(out) == before
+
+
 class TestDeadLetterQueue:
     def test_poisoned_batch_routes_to_dlq_and_stream_continues(
         self, spark, dirs, tmp_path, monkeypatch
