@@ -218,6 +218,88 @@ def _q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_stream_winnow(drained)
 
 
+def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_stream's bounded OUT-OF-ORDER mode (round-11 ask #4) under
+    a deliberately disordered feed: the event log is split into 6
+    contiguous (ts, event_id)-sorted slices fed with ADJACENT PAIRS
+    SWAPPED (1,0,3,2,5,4 — every batch boundary out of order), one file
+    per micro-batch. reorder_within is sized to the two-slice disorder
+    the swap creates, so events hold in per-key buffers until the
+    watermark proves their prefix complete, then apply in resume order.
+    A far-future sentinel event (unique key, filtered after the drain)
+    advances the final watermark — the idle-feed heartbeat remedy the
+    operator documents — flushing the tail buffers via event-time
+    timeouts. The winnowed drain hash-checks against the SAME oracle as
+    cdc_scd2_history: out-of-order arrival, identical history."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.operators.materialize import (
+        scd2_stream,
+        scd2_stream_winnow,
+    )
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n, k = t.num_rows, 6
+    slices = [
+        t.slice(i * n // k, (i + 1) * n // k - i * n // k) for i in range(k)
+    ]
+    ts_col = t.column("ts")
+    tmin, tmax = ts_col[0].as_py(), ts_col[-1].as_py()
+    if isinstance(tmax, int):  # TIMESTAMP(NANOS) rounds surface as int64
+        span_s = (tmax - tmin) / 1e9
+    else:
+        span_s = (tmax - tmin).total_seconds()
+    # adjacent-pair swaps disorder at most two slices' worth of event
+    # time (2/6 of the span); the hour on top keeps boundary ties and
+    # coarse timestamps safely inside the bound
+    delay_s = int(span_s / 3) + 3600
+    sentinel_user = 999999937  # absent from every SF's user space
+    row0 = {c: t.column(c)[0].as_py() for c in t.column_names}
+    row0["user_id"] = sentinel_user
+    row0["event_id"] = pc.max(t.column("event_id")).as_py() + 1
+    row0["event_type"] = "signup"
+    row0["ts"] = (
+        tmax + 2 * delay_s * 1_000_000_000
+        if isinstance(tmax, int)
+        else tmax + datetime.timedelta(seconds=2 * delay_s)
+    )
+    sentinel = pa.Table.from_pylist([row0], schema=t.schema)
+
+    root = tempfile.mkdtemp(prefix="scd2_reorder_")
+    try:
+        feed = os.path.join(root, "feed")
+        os.makedirs(feed)
+        for i, s in enumerate([1, 0, 3, 2, 5, 4]):
+            pq.write_table(slices[s], os.path.join(feed, f"{i:03d}.parquet"))
+        pq.write_table(sentinel, os.path.join(feed, "006.parquet"))
+        sdf = read_change_events_stream(spark, feed, max_files_per_trigger=1)
+        drained = _drain_to_memory_table(
+            scd2_stream(sdf, reorder_within=f"{delay_s} seconds"),
+            "stream_scd2_reorder",
+            ["collection", "document_key", "valid_from"],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return scd2_stream_winnow(
+        drained.filter(
+            F.col("document_key") != f'{{"_id":{sentinel_user}}}'
+        )
+    )
+
+
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = read_change_events(spark, sf_dir)
     return batching.windowed_counts(ce, "1 hour").orderBy(
@@ -1833,6 +1915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # type-2 history maintained by a LIVE stateful stream, winnowed ==
     # the batch history (same oracle)
     "cdc_stream_scd2_history": _q_stream_scd2_history,
+    # the bounded out-of-order mode, fed adjacent-swapped slices —
+    # same oracle: disorder within the bound changes nothing
+    "cdc_stream_scd2_reordered": _q_stream_scd2_reordered,
     "events_gapfill_locf": lambda spark, sf_dir: advanced.time_bucket_gapfill(
         tables.load_table(spark, sf_dir, "events")
     ),
@@ -2286,6 +2371,10 @@ GROUP BY d.lang, e.label ORDER BY d.lang, e.label""",
 {SCD2_ORACLE_BODY.strip()}""",
     # the streaming stateful path drains + winnows to the identical rows
     "cdc_stream_scd2_history": f"""{_CE_CTE},
+{SCD2_ORACLE_BODY.strip()}""",
+    # bounded out-of-order arrival (hold-back buffer + watermark
+    # release) must reproduce the same history bit-for-bit
+    "cdc_stream_scd2_reordered": f"""{_CE_CTE},
 {SCD2_ORACLE_BODY.strip()}""",
     "events_gapfill_locf": advanced.GAPFILL_ORACLE,
     # online rollup + batch-side fold == the batch gapfill, same oracle

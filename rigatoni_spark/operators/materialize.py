@@ -250,6 +250,62 @@ _SCD2_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# reorder mode adds the bounded per-key hold-back buffer: events inside
+# the watermark delay wait here (columnar arrays, one list element per
+# held event) until the watermark proves no earlier event can arrive
+_SCD2_REORDER_STATE_SCHEMA = T.StructType(
+    list(_SCD2_STATE_SCHEMA)
+    + [
+        T.StructField("buf_ops", T.ArrayType(T.StringType(), True), True),
+        T.StructField("buf_docs", T.ArrayType(T.StringType(), True), True),
+        T.StructField("buf_vers", T.ArrayType(T.LongType(), True), True),
+        T.StructField("buf_ts", T.ArrayType(T.LongType(), True), True),
+    ]
+)
+
+
+def _apply_scd2(key, events, open_op, open_doc, open_from, last_from):
+    """Apply (op, doc, version) triples IN ORDER to a key's
+    open-interval state: each event closes the open version (emitting
+    the finished interval row) and becomes the new open version
+    (deletes close without replacing). Shared by the strict-monotonic
+    fold and the reorder fold so both produce identical histories.
+    Returns (closed_rows, open_op, open_doc, open_from, last_from)."""
+    rows: list[tuple] = []
+    for op, doc, vf in events:
+        vf = int(vf)
+        if open_from is not None:
+            rows.append(
+                (key[0], key[1], open_op, open_doc, open_from, vf, 0)
+            )
+        if op == "delete":
+            open_op = open_doc = open_from = None
+        else:
+            open_op, open_doc, open_from = op, doc, vf
+        last_from = vf
+    return rows, open_op, open_doc, open_from, last_from
+
+
+def _scd2_emit(rows: list[tuple]) -> pd.DataFrame:
+    """Rows -> Arrow-safe pandas frame: nullable ints must not decay to
+    float64 on the Arrow boundary (resume positions are exact longs)."""
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "collection",
+            "document_key",
+            "operation",
+            "full_document",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        ],
+    )
+    out["valid_from"] = out["valid_from"].astype("Int64")
+    out["valid_to"] = out["valid_to"].astype("Int64")
+    out["is_current"] = out["is_current"].astype("int32")
+    return out
+
 
 def _require_monotonic(key, first: int, last_from: int | None) -> None:
     """The monotonic-arrival canary, extracted so its MESSAGE is a
@@ -270,13 +326,21 @@ def _require_monotonic(key, first: int, last_from: int | None) -> None:
         )
 
 
-def scd2_stream(ce: DataFrame) -> DataFrame:
+def scd2_stream(
+    ce: DataFrame, reorder_within: str | None = None
+) -> DataFrame:
     """Streaming SCD2: maintain the type-2 interval history of
     :func:`scd2_history` on a LIVE change stream — per-key state holds
     the one OPEN version; each arriving event CLOSES it (emitting the
     finished interval, append mode) and becomes the new open version
     (deletes close without replacing, so a deleted key has no current
     row, exactly the batch semantics).
+
+    ``reorder_within`` (e.g. ``"30 minutes"``) opts into the BOUNDED
+    OUT-OF-ORDER mode for feeds that cannot guarantee per-key monotonic
+    arrival (multi-partition Kafka, file replays): see
+    :func:`_scd2_stream_reordered`. Default None keeps the strict
+    monotonic contract below.
 
     Emission contract: a version's interval row is emitted CLOSED the
     moment its successor arrives — exact and final. The key's latest
@@ -299,6 +363,8 @@ def scd2_stream(ce: DataFrame) -> DataFrame:
     length; RocksDB spills off-heap); one hash exchange per
     micro-batch; per-key per-batch fold is a short python loop over
     that key's batch rows inside the Arrow-transferred group."""
+    if reorder_within is not None:
+        return _scd2_stream_reordered(ce, reorder_within)
 
     def fold(
         key: tuple[Any, ...],
@@ -318,45 +384,23 @@ def scd2_stream(ce: DataFrame) -> DataFrame:
             )
             first = int(pdf["__version"].iloc[0])
             _require_monotonic(key, first, last_from)
-            rows: list[tuple] = []
-            for op, doc, vf in zip(
-                pdf["operation"], pdf["full_document"], pdf["__version"]
-            ):
-                vf = int(vf)
-                if open_from is not None:
-                    # successor arrived: the open interval closes HERE
-                    rows.append(
-                        (key[0], key[1], open_op, open_doc, open_from, vf, 0)
-                    )
-                if op == "delete":
-                    open_op = open_doc = open_from = None
-                else:
-                    open_op, open_doc, open_from = op, doc, vf
-                last_from = vf
+            rows, open_op, open_doc, open_from, last_from = _apply_scd2(
+                key,
+                zip(
+                    pdf["operation"], pdf["full_document"], pdf["__version"]
+                ),
+                open_op,
+                open_doc,
+                open_from,
+                last_from,
+            )
             if open_from is not None:
                 # provisional current row (superseded if closed later)
                 rows.append(
                     (key[0], key[1], open_op, open_doc, open_from, None, 1)
                 )
             if rows:
-                out = pd.DataFrame(
-                    rows,
-                    columns=[
-                        "collection",
-                        "document_key",
-                        "operation",
-                        "full_document",
-                        "valid_from",
-                        "valid_to",
-                        "is_current",
-                    ],
-                )
-                # nullable ints must not decay to float64 on the Arrow
-                # boundary (resume positions are exact longs)
-                out["valid_from"] = out["valid_from"].astype("Int64")
-                out["valid_to"] = out["valid_to"].astype("Int64")
-                out["is_current"] = out["is_current"].astype("int32")
-                yield out
+                yield _scd2_emit(rows)
         state.update((open_op, open_doc, open_from, last_from))
 
     prepared = ce.withColumn(
@@ -368,6 +412,137 @@ def scd2_stream(ce: DataFrame) -> DataFrame:
         stateStructType=_SCD2_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _scd2_stream_reordered(ce: DataFrame, reorder_within: str) -> DataFrame:
+    """scd2_stream's BOUNDED OUT-OF-ORDER mode (round-11 ask #4): the
+    Flink bounded-out-of-orderness posture on Spark state. Events wait
+    in a per-key hold-back buffer until the event-time watermark
+    (``withWatermark(cluster_time, reorder_within)``) proves no earlier
+    event can still be ACCEPTED; released events then apply through the
+    same open-interval fold in resume-position order, so every emitted
+    closed row is final — append mode never has to retract.
+
+    Release rule: a buffered event applies once its event time is
+    strictly below the current watermark. Safety rests on resume
+    position and event time being co-monotone in the feed (true of an
+    oplog: positions are assigned in commit-time order); the
+    monotonic-arrival canary still guards every release, so a feed
+    violating that alignment fails loudly instead of corrupting.
+
+    Standard watermark trade, stated plainly: an event arriving later
+    than ``reorder_within`` behind the max seen event time is LATE and
+    the engine drops it before the fold (data loss, exactly Spark's
+    windowed-aggregation contract) — size the bound to the feed's real
+    disorder. And as with any event-time stream, an idle feed stalls
+    the watermark; the tail of a bounded replay only flushes when a
+    later event (or an explicit heartbeat/sentinel event, the Kafka
+    idle-partition remedy) advances it past the buffered timestamps —
+    per-key event-time TIMEOUTS re-invoke the fold for keys whose
+    buffers became releasable without receiving new rows.
+
+    Scale: state grows by at most the events a key receives within one
+    ``reorder_within`` window (the buffer drains as the watermark
+    advances) on top of the one open-version struct; the exchange and
+    Arrow-group shapes are identical to the strict mode."""
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (
+                open_op,
+                open_doc,
+                open_from,
+                last_from,
+                buf_ops,
+                buf_docs,
+                buf_vers,
+                buf_ts,
+            ) = state.get
+            buf = list(
+                zip(buf_ops or (), buf_docs or (), buf_vers or (), buf_ts or ())
+            )
+        else:
+            open_op = open_doc = open_from = last_from = None
+            buf = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in chunks:
+            buf.extend(
+                zip(
+                    pdf["operation"],
+                    (
+                        None if pd.isna(d) else d
+                        for d in pdf["full_document"]
+                    ),
+                    (int(v) for v in pdf["__version"]),
+                    (int(t) for t in pdf["__ts_ms"]),
+                )
+            )
+        wm = state.getCurrentWatermarkMs()
+        buf.sort(key=lambda r: r[2])
+        if wm > 0:
+            release = [r for r in buf if r[3] < wm]
+            hold = [r for r in buf if r[3] >= wm]
+        else:
+            release, hold = [], buf
+        rows: list[tuple] = []
+        if release:
+            # the canary survives in this mode: releases must still be
+            # monotone vs the applied prefix — a violation means event
+            # time and resume position disagree beyond the bound
+            _require_monotonic(key, release[0][2], last_from)
+            rows, open_op, open_doc, open_from, last_from = _apply_scd2(
+                key,
+                ((op, doc, vf) for op, doc, vf, _ts in release),
+                open_op,
+                open_doc,
+                open_from,
+                last_from,
+            )
+        if open_from is not None and (chunks or release):
+            # provisional current row (superseded if closed later)
+            rows.append(
+                (key[0], key[1], open_op, open_doc, open_from, None, 1)
+            )
+        if rows:
+            yield _scd2_emit(rows)
+        state.update(
+            (
+                open_op,
+                open_doc,
+                open_from,
+                last_from,
+                [r[0] for r in hold],
+                [r[1] for r in hold],
+                [r[2] for r in hold],
+                [r[3] for r in hold],
+            )
+        )
+        if hold:
+            # wake this key the moment its earliest held event becomes
+            # releasable, even if it never receives another row; held
+            # timestamps are >= wm by construction, so the target is
+            # always ahead of the current watermark (a setTimeout
+            # requirement)
+            state.setTimeoutTimestamp(
+                max(wm + 1, min(r[3] for r in hold) + 1)
+            )
+
+    prepared = (
+        ce.withWatermark("cluster_time", reorder_within)
+        .withColumn("__version", F.col("resume_token").cast("bigint"))
+        .withColumn("__ts_ms", F.unix_millis(F.col("cluster_time")))
+    )
+    return prepared.groupBy("collection", "document_key").applyInPandasWithState(
+        fold,
+        outputStructType=_SCD2_OUT_SCHEMA,
+        stateStructType=_SCD2_REORDER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -404,6 +404,82 @@ class TestScd2Stream:
         if "monotonic" in msg or "out-of-order" in msg:
             assert "per-key monotonic" in msg or "out-of-order" in msg
 
+    def test_reorder_mode_accepts_the_feed_the_canary_rejects(
+        self, spark, tmp_path
+    ):
+        """scd2_stream(reorder_within=...) (round-11 ask #4): the SAME
+        reversed-halves feed that (correctly) fails the strict mode
+        drains to the exact batch history once events may wait in the
+        hold-back buffer — the second half buffers until the first
+        half's arrival and the sentinel-advanced watermark release them
+        in resume order. Default mode stays strict (the canary test
+        above is unchanged)."""
+        import datetime
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rigatoni_spark.operators.materialize import (
+            scd2_history,
+            scd2_stream,
+            scd2_stream_winnow,
+        )
+        from rigatoni_spark.sources.change_events import (
+            read_change_events_stream,
+        )
+
+        t = pq.read_table(SF_EVENTS)
+        n = t.num_rows
+        ts = sorted(t.column("ts").to_pylist())
+        tmin, tmax = ts[0], ts[-1]
+        if isinstance(tmax, int):
+            span_s = (tmax - tmin) / 1e9
+        else:
+            span_s = (tmax - tmin).total_seconds()
+        # reversed halves disorder the FULL span: the bound must cover it
+        delay_s = int(span_s) + 3600
+        row0 = {c: t.column(c)[0].as_py() for c in t.column_names}
+        row0["user_id"] = 999999937
+        row0["event_id"] = max(t.column("event_id").to_pylist()) + 1
+        row0["event_type"] = "signup"
+        row0["ts"] = (
+            tmax + 2 * delay_s * 1_000_000_000
+            if isinstance(tmax, int)
+            else tmax + datetime.timedelta(seconds=2 * delay_s)
+        )
+        src = tmp_path / "reorder_src"
+        src.mkdir()
+        pq.write_table(t.slice(n // 2), str(src / "000.parquet"))
+        pq.write_table(t.slice(0, n // 2), str(src / "001.parquet"))
+        pq.write_table(
+            pa.Table.from_pylist([row0], schema=t.schema),
+            str(src / "002.parquet"),
+        )
+        sdf = read_change_events_stream(
+            spark, str(src), max_files_per_trigger=1
+        )
+        name = f"scd2_reorder_{uuid.uuid4().hex[:8]}"
+        q = (
+            scd2_stream(sdf, reorder_within=f"{delay_s} seconds")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "reorder_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        assert q.exception() is None
+        drained = spark.table(name).filter(
+            'document_key != \'{"_id":999999937}\''
+        )
+        got = scd2_stream_winnow(drained).collect()
+        expected = scd2_history(
+            as_change_events(normalize_ts(spark.read.parquet(SF_EVENTS), "ts"))
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
     def test_monotonic_canary_message(self):
         """The canary's message text, pinned at the unit level
         (round-11 ask #5): deterministic in solo AND full-suite runs —
