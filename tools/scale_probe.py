@@ -774,6 +774,114 @@ def probe_binary(spark, sf_dir: str) -> None:
     )
 
 
+def probe_scd2_state(spark, sf_dir: str) -> None:
+    """Round-11 ask #3: live-key STATE scaling of the two per-key
+    stateful streams (scd2_stream, materialize_stream) under the
+    RocksDB state-store provider. Copies shift user_id/event_id into
+    disjoint ranges, so KEYS (and rows) scale by the copy count while
+    per-key history length stays fixed; each scale drains 4 file-fed
+    micro-batches (per-key arrival order preserved — time slices
+    concatenate across copies). Reported per scale: live keys, state
+    rows from the engine's stateOperators metrics (scd2 state rows ==
+    live keys, one struct each; deletes remove materialize rows), and
+    median per-batch wall — the claim under test is state ∝ keys,
+    per-batch wall ∝ batch rows, NOT log length."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.operators.materialize import (
+        materialize_stream,
+        scd2_stream,
+    )
+    from rigatoni_spark.session import rocksdb_state
+    from rigatoni_spark.sources.change_events import (
+        read_change_events_stream,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = t.num_rows
+    base_keys = pc.count_distinct(t["user_id"]).as_py()
+    uid_i = t.schema.get_field_index("user_id")
+    eid_i = t.schema.get_field_index("event_id")
+    off = 100_000_000
+    n_slices = 4
+    for copies in (1, 10, 100):
+        root = tempfile.mkdtemp(prefix="scd2_state_")
+        try:
+            feed = os.path.join(root, "feed")
+            os.makedirs(feed)
+            for i in range(n_slices):
+                sl = t.slice(
+                    i * n // n_slices, (i + 1) * n // n_slices - i * n // n_slices
+                )
+                parts = [
+                    sl.set_column(
+                        uid_i, "user_id", pc.add(sl["user_id"], c * off)
+                    ).set_column(
+                        eid_i, "event_id", pc.add(sl["event_id"], c * off)
+                    )
+                    for c in range(copies)
+                ]
+                pq.write_table(
+                    pa.concat_tables(parts),
+                    os.path.join(feed, f"{i:03d}.parquet"),
+                )
+            for op_name, op in (
+                ("scd2_stream", scd2_stream),
+                ("materialize_stream", materialize_stream),
+            ):
+                sdf = read_change_events_stream(
+                    spark, feed, max_files_per_trigger=1
+                )
+                with rocksdb_state(spark):
+                    q = (
+                        op(sdf)
+                        .writeStream.outputMode("append")
+                        .format("noop")
+                        .option(
+                            "checkpointLocation",
+                            os.path.join(root, f"ck_{op_name}"),
+                        )
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    t0 = time.time()
+                    ok = q.awaitTermination(1800)
+                    wall = time.time() - t0
+                if not ok or q.exception() is not None:
+                    raise RuntimeError(
+                        f"{op_name} x{copies} failed: {q.exception()}"
+                    )
+                progress = [p for p in (q.recentProgress or []) if p]
+                batch_ms = sorted(
+                    p["durationMs"]["triggerExecution"]
+                    for p in progress
+                    if (p.get("durationMs") or {}).get("triggerExecution")
+                    and (p.get("numInputRows") or 0) > 0
+                )
+                state_rows = max(
+                    (
+                        so.get("numRowsTotal", 0)
+                        for p in progress
+                        for so in (p.get("stateOperators") or [])
+                    ),
+                    default=0,
+                )
+                print(
+                    f"RESULT scd2_state {op_name} x{copies} "
+                    f"rows={n * copies} keys={base_keys * copies} "
+                    f"state_rows={state_rows} "
+                    f"batch_ms_median={batch_ms[len(batch_ms) // 2] if batch_ms else None} "
+                    f"wall={wall:.1f}s provider=rocksdb",
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_events(spark, sf_dir: str) -> None:
     """SCD2 history and gapfill under a 10x event log (copies shift
     event_id/user_id so the key universe scales too). Both are
@@ -966,7 +1074,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "sketches", "ts_similarity", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "scd2_state", "sketches", "ts_similarity", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -1006,6 +1114,8 @@ def main() -> None:
         probe_binary(spark, args.sf_dir)
     if args.which in ("events", "all"):
         probe_events(spark, args.sf_dir)
+    if args.which == "scd2_state":  # 100x key amplification, not in "all"
+        probe_scd2_state(spark, args.sf_dir)
     if args.which in ("sketches", "all"):
         probe_sketches(spark, args.sf_dir)
     if args.which == "ts_similarity":  # 100x amplification, not in "all"
