@@ -8,7 +8,7 @@ queries. This pins the attribution: one fresh-JVM child per (variant,
 pass), order alternating, each child timing text_lm_gate +
 text_lm_surprisal (min of 2 in-child runs — the child's OWN first run
 is the honest cold figure since the fix's whole point is not leaving
-caches behind) plus text_quality_gate as an untouched-code control.
+caches behind) plus text_quality_logit as an untouched-code control.
 
 Usage:
   python tools/gate_ab.py --old-repo /tmp/wt_prelm \
@@ -33,7 +33,7 @@ from rigatoni_spark.session import get_spark
 spark = get_spark(app_name="gate_ab_child")
 spark.sparkContext.setLogLevel("ERROR")
 out = {}
-for name in ("text_lm_gate", "text_lm_surprisal", "text_quality_gate"):
+for name in ("text_lm_gate", "text_lm_surprisal", "text_quality_logit"):
     best = None
     for _ in range(2):
         t0 = time.monotonic()
@@ -84,7 +84,7 @@ def main() -> None:
                     print(json.dumps(rec), flush=True)
 
     summary: dict = {}
-    queries = ("text_lm_gate", "text_lm_surprisal", "text_quality_gate")
+    queries = ("text_lm_gate", "text_lm_surprisal", "text_quality_logit")
     for name in variants:
         runs = [r for r in records if r["variant"] == name]
         summary[name] = {
