@@ -6,9 +6,11 @@ cache-lifecycle fix (d1c9fd0): r10's never-unpersisted gram caches let
 the gate free-ride on a previous query's cache while taxing unrelated
 queries. This pins the attribution: one fresh-JVM child per (variant,
 pass), order alternating, each child timing text_lm_gate +
-text_lm_surprisal (min of 2 in-child runs — the child's OWN first run
-is the honest cold figure since the fix's whole point is not leaving
-caches behind) plus text_quality_logit as an untouched-code control.
+text_lm_surprisal TWICE and reporting both runs separately — run1 is
+the honest cold figure; run2 exposes the leak (pre-fix, a second run
+free-rides on the first run's never-unpersisted gram caches, which is
+exactly the subsidy the fix removed) — plus text_quality_logit as an
+untouched-code control.
 
 Usage:
   python tools/gate_ab.py --old-repo /tmp/wt_prelm \
@@ -34,13 +36,12 @@ spark = get_spark(app_name="gate_ab_child")
 spark.sparkContext.setLogLevel("ERROR")
 out = {}
 for name in ("text_lm_gate", "text_lm_surprisal", "text_quality_logit"):
-    best = None
+    runs = []
     for _ in range(2):
         t0 = time.monotonic()
         QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
-        s = time.monotonic() - t0
-        best = s if best is None or s < best else best
-    out[name] = round(best, 3)
+        runs.append(round(time.monotonic() - t0, 3))
+    out[name] = runs  # [cold run1, warm run2] - run2 exposes leaks
 print("GATE_AB " + json.dumps(out))
 spark.stop()
 """
@@ -89,17 +90,27 @@ def main() -> None:
         runs = [r for r in records if r["variant"] == name]
         summary[name] = {
             q: {
-                "pass_mins": [r[q] for r in runs],
-                "median": round(
-                    statistics.median(r[q] for r in runs), 3
+                "run1_cold": [r[q][0] for r in runs],
+                "run2_warm": [r[q][1] for r in runs],
+                "run1_median": round(
+                    statistics.median(r[q][0] for r in runs), 3
+                ),
+                "run2_median": round(
+                    statistics.median(r[q][1] for r in runs), 3
                 ),
             }
             for q in queries
         }
     old, new = summary[args.old_name], summary[args.new_name]
     for q in queries:
-        summary[f"{q}_new_over_old"] = round(
-            new[q]["median"] / old[q]["median"], 3
+        summary[f"{q}_cold_new_over_old"] = round(
+            new[q]["run1_median"] / old[q]["run1_median"], 3
+        )
+        summary[f"{q}_warm_over_cold_old"] = round(
+            old[q]["run2_median"] / old[q]["run1_median"], 3
+        )
+        summary[f"{q}_warm_over_cold_new"] = round(
+            new[q]["run2_median"] / new[q]["run1_median"], 3
         )
     print(json.dumps({"summary": summary}), flush=True)
     if args.out:
