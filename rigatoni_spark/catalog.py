@@ -247,6 +247,18 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rigatoni_spark.sources.change_events import read_change_events_stream
 
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    if t.num_rows == 0:
+        # an empty feed has nothing to reorder: the drained history is
+        # empty by definition — return it with the winnow's exact
+        # schema (the 100 TB empty-partition case, test_empty_input)
+        from rigatoni_spark.operators.materialize import (
+            _SCD2_OUT_SCHEMA,
+            scd2_stream_winnow,
+        )
+
+        return scd2_stream_winnow(
+            spark.createDataFrame([], _SCD2_OUT_SCHEMA)
+        )
     t = t.take(
         pc.sort_indices(
             t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
