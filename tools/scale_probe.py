@@ -882,6 +882,123 @@ def probe_scd2_state(spark, sf_dir: str) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_scd2_reorder_state(spark, sf_dir: str) -> None:
+    """Reorder-mode BUFFER state (round-12): x10 key universe fed as 6
+    adjacent-swapped (ts, event_id)-sorted slices + a far-future
+    sentinel, under RocksDB. The bounded-buffer claim: state peaks at
+    live keys + at most one reorder window of held events, and drains
+    back toward one struct per key once the watermark passes."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.operators.materialize import scd2_stream
+    from rigatoni_spark.session import rocksdb_state
+    from rigatoni_spark.sources.change_events import (
+        read_change_events_stream,
+    )
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    base_keys = pc.count_distinct(t["user_id"]).as_py()
+    uid_i = t.schema.get_field_index("user_id")
+    eid_i = t.schema.get_field_index("event_id")
+    off = 100_000_000
+    import datetime
+
+    copies = 10
+    t10 = pa.concat_tables(
+        [
+            t.set_column(uid_i, "user_id", pc.add(t["user_id"], c * off))
+            .set_column(eid_i, "event_id", pc.add(t["event_id"], c * off))
+            for c in range(copies)
+        ]
+    )
+    t10 = t10.take(
+        pc.sort_indices(
+            t10, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n10, k_sl = t10.num_rows, 6
+    ts0, ts1 = t10["ts"][0].as_py(), t10["ts"][-1].as_py()
+    span_s = (
+        (ts1 - ts0) / 1e9
+        if isinstance(ts1, int)
+        else (ts1 - ts0).total_seconds()
+    )
+    delay_s = int(span_s / 3) + 3600
+    row0 = {c: t10.column(c)[0].as_py() for c in t10.column_names}
+    row0["user_id"] = 999_999_937
+    row0["event_id"] = pc.max(t10["event_id"]).as_py() + 1
+    row0["ts"] = (
+        ts1 + 2 * delay_s * 1_000_000_000
+        if isinstance(ts1, int)
+        else ts1 + datetime.timedelta(seconds=2 * delay_s)
+    )
+    slices = [
+        t10.slice(i * n10 // k_sl, (i + 1) * n10 // k_sl - i * n10 // k_sl)
+        for i in range(k_sl)
+    ]
+    # disordered vs in-order feed through the SAME mode: rows stay ==
+    # keys either way (the hold-back buffer lives INSIDE each key's
+    # struct arrays); the held events show up as state MEMORY, so the
+    # disordered-minus-in-order gap IS the buffer
+    for label, order in (
+        ("swapped", [1, 0, 3, 2, 5, 4]),
+        ("in_order", [0, 1, 2, 3, 4, 5]),
+    ):
+        root = tempfile.mkdtemp(prefix="scd2_reorder_state_")
+        try:
+            feed = os.path.join(root, "feed")
+            os.makedirs(feed)
+            for i, sl in enumerate(order):
+                pq.write_table(
+                    slices[sl], os.path.join(feed, f"{i:03d}.parquet")
+                )
+            pq.write_table(
+                pa.Table.from_pylist([row0], schema=t10.schema),
+                os.path.join(feed, "006.parquet"),
+            )
+            sdf = read_change_events_stream(
+                spark, feed, max_files_per_trigger=1
+            )
+            with rocksdb_state(spark):
+                q = (
+                    scd2_stream(sdf, reorder_within=f"{delay_s} seconds")
+                    .writeStream.outputMode("append")
+                    .format("noop")
+                    .option(
+                        "checkpointLocation", os.path.join(root, "ck_reorder")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                t0 = time.time()
+                ok = q.awaitTermination(1800)
+                wall = time.time() - t0
+            if not ok or q.exception() is not None:
+                raise RuntimeError(f"reorder probe failed: {q.exception()}")
+            ops = [
+                so
+                for p in (q.recentProgress or [])
+                for so in (p.get("stateOperators") or [])
+            ]
+            totals = [so.get("numRowsTotal", 0) for so in ops]
+            mem = [so.get("memoryUsedBytes", 0) for so in ops]
+            print(
+                f"RESULT scd2_state reorder {label} x{copies} rows={n10} "
+                f"keys={base_keys * copies} state_rows_peak={max(totals)} "
+                f"state_rows_final={totals[-1] if totals else None} "
+                f"state_mb_per_batch={[round(m / 1e6, 1) for m in mem]} "
+                f"reorder_within_s={delay_s} wall={wall:.1f}s "
+                f"provider=rocksdb",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_events(spark, sf_dir: str) -> None:
     """SCD2 history and gapfill under a 10x event log (copies shift
     event_id/user_id so the key universe scales too). Both are
@@ -1074,7 +1191,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "scd2_state", "sketches", "ts_similarity", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "scd2_state", "scd2_reorder", "sketches", "ts_similarity", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -1116,6 +1233,8 @@ def main() -> None:
         probe_events(spark, args.sf_dir)
     if args.which == "scd2_state":  # 100x key amplification, not in "all"
         probe_scd2_state(spark, args.sf_dir)
+    if args.which == "scd2_reorder":  # reorder-buffer state, not in "all"
+        probe_scd2_reorder_state(spark, args.sf_dir)
     if args.which in ("sketches", "all"):
         probe_sketches(spark, args.sf_dir)
     if args.which == "ts_similarity":  # 100x amplification, not in "all"
