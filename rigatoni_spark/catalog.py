@@ -218,6 +218,114 @@ def _q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_stream_winnow(drained)
 
 
+_REORDER_SENTINEL_USER = 999_999_937  # absent from every SF's user space
+
+
+def _write_reordered_feed(sf_dir: str, root: str) -> tuple[str, int]:
+    """The shared disordered-feed harness for the bounded out-of-order
+    modes: the event log is split into 6 contiguous (ts, event_id)-
+    sorted slices written with ADJACENT PAIRS SWAPPED (1,0,3,2,5,4 —
+    every batch boundary out of order, one file per micro-batch), plus
+    a far-future sentinel event (unique key, filtered after the drain)
+    that advances the final watermark — the idle-feed heartbeat remedy
+    the operators document. Returns (feed_dir, delay_s) where delay_s
+    covers the two-slice disorder the swap creates (+1 h margin)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+    )
+    n, k = t.num_rows, 6
+    ts_col = t.column("ts")
+    tmin, tmax = ts_col[0].as_py(), ts_col[-1].as_py()
+    if isinstance(tmax, int):  # TIMESTAMP(NANOS) rounds surface as int64
+        span_s = (tmax - tmin) / 1e9
+    else:
+        span_s = (tmax - tmin).total_seconds()
+    delay_s = int(span_s / 3) + 3600
+    row0 = {c: t.column(c)[0].as_py() for c in t.column_names}
+    row0["user_id"] = _REORDER_SENTINEL_USER
+    row0["event_id"] = pc.max(t.column("event_id")).as_py() + 1
+    row0["event_type"] = "signup"
+    row0["ts"] = (
+        tmax + 2 * delay_s * 1_000_000_000
+        if isinstance(tmax, int)
+        else tmax + datetime.timedelta(seconds=2 * delay_s)
+    )
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    slices = [
+        t.slice(i * n // k, (i + 1) * n // k - i * n // k) for i in range(k)
+    ]
+    for i, s in enumerate([1, 0, 3, 2, 5, 4]):
+        pq.write_table(slices[s], os.path.join(feed, f"{i:03d}.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist([row0], schema=t.schema),
+        os.path.join(feed, "006.parquet"),
+    )
+    return feed, delay_s
+
+
+def _q_stream_pre_images_reordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S5 pre-images under a deliberately DISORDERED feed: the stateful
+    prior-payload operator in its bounded out-of-order mode
+    (as_change_events_stateful(reorder_within=...) — per-key whole-row
+    hold-back buffer released by the event-time watermark, flushed by
+    the sentinel). The drained envelope hash-checks against the SAME
+    SQL oracle as the in-order streaming row and the batch LAG twin:
+    out-of-order arrival, identical pre-images."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.sources.change_events import read_change_events_stream
+
+    cols = [
+        "event_id",
+        "operation",
+        "document_key",
+        "full_document",
+        "full_document_before_change",
+    ]
+    if pq.read_table(os.path.join(sf_dir, "events.parquet")).num_rows == 0:
+        # nothing to reorder: the batch LAG path IS the empty envelope
+        from rigatoni_spark.sources.change_events import read_change_events
+
+        return read_change_events(
+            spark, sf_dir, before_images="whenAvailable"
+        ).select(*cols)
+    root = tempfile.mkdtemp(prefix="pi_reorder_")
+    try:
+        feed, delay_s = _write_reordered_feed(sf_dir, root)
+        sdf = read_change_events_stream(
+            spark,
+            feed,
+            max_files_per_trigger=1,
+            before_images="whenAvailable",
+            reorder_within=f"{delay_s} seconds",
+        )
+        drained = _drain_to_memory_table(
+            sdf.select(*cols), "stream_pi_reorder", ["event_id"]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return drained.filter(
+        F.col("document_key") != f'{{"_id":{_REORDER_SENTINEL_USER}}}'
+    )
+
+
 def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scd2_stream's bounded OUT-OF-ORDER mode (round-11 ask #4) under
     a deliberately disordered feed: the event log is split into 6
@@ -229,15 +337,13 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     A far-future sentinel event (unique key, filtered after the drain)
     advances the final watermark — the idle-feed heartbeat remedy the
     operator documents — flushing the tail buffers via event-time
-    timeouts. The winnowed drain hash-checks against the SAME oracle as
+    timeouts (_write_reordered_feed is the shared harness). The
+    winnowed drain hash-checks against the SAME oracle as
     cdc_scd2_history: out-of-order arrival, identical history."""
-    import datetime
     import os
     import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from rigatoni_spark.operators.materialize import (
@@ -246,57 +352,18 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rigatoni_spark.sources.change_events import read_change_events_stream
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    if t.num_rows == 0:
+    if pq.read_table(os.path.join(sf_dir, "events.parquet")).num_rows == 0:
         # an empty feed has nothing to reorder: the drained history is
         # empty by definition — return it with the winnow's exact
         # schema (the 100 TB empty-partition case, test_empty_input)
-        from rigatoni_spark.operators.materialize import (
-            _SCD2_OUT_SCHEMA,
-            scd2_stream_winnow,
-        )
+        from rigatoni_spark.operators.materialize import _SCD2_OUT_SCHEMA
 
         return scd2_stream_winnow(
             spark.createDataFrame([], _SCD2_OUT_SCHEMA)
         )
-    t = t.take(
-        pc.sort_indices(
-            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-    )
-    n, k = t.num_rows, 6
-    slices = [
-        t.slice(i * n // k, (i + 1) * n // k - i * n // k) for i in range(k)
-    ]
-    ts_col = t.column("ts")
-    tmin, tmax = ts_col[0].as_py(), ts_col[-1].as_py()
-    if isinstance(tmax, int):  # TIMESTAMP(NANOS) rounds surface as int64
-        span_s = (tmax - tmin) / 1e9
-    else:
-        span_s = (tmax - tmin).total_seconds()
-    # adjacent-pair swaps disorder at most two slices' worth of event
-    # time (2/6 of the span); the hour on top keeps boundary ties and
-    # coarse timestamps safely inside the bound
-    delay_s = int(span_s / 3) + 3600
-    sentinel_user = 999999937  # absent from every SF's user space
-    row0 = {c: t.column(c)[0].as_py() for c in t.column_names}
-    row0["user_id"] = sentinel_user
-    row0["event_id"] = pc.max(t.column("event_id")).as_py() + 1
-    row0["event_type"] = "signup"
-    row0["ts"] = (
-        tmax + 2 * delay_s * 1_000_000_000
-        if isinstance(tmax, int)
-        else tmax + datetime.timedelta(seconds=2 * delay_s)
-    )
-    sentinel = pa.Table.from_pylist([row0], schema=t.schema)
-
     root = tempfile.mkdtemp(prefix="scd2_reorder_")
     try:
-        feed = os.path.join(root, "feed")
-        os.makedirs(feed)
-        for i, s in enumerate([1, 0, 3, 2, 5, 4]):
-            pq.write_table(slices[s], os.path.join(feed, f"{i:03d}.parquet"))
-        pq.write_table(sentinel, os.path.join(feed, "006.parquet"))
+        feed, delay_s = _write_reordered_feed(sf_dir, root)
         sdf = read_change_events_stream(spark, feed, max_files_per_trigger=1)
         drained = _drain_to_memory_table(
             scd2_stream(sdf, reorder_within=f"{delay_s} seconds"),
@@ -307,7 +374,7 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return scd2_stream_winnow(
         drained.filter(
-            F.col("document_key") != f'{{"_id":{sentinel_user}}}'
+            F.col("document_key") != f'{{"_id":{_REORDER_SENTINEL_USER}}}'
         )
     )
 
@@ -1615,6 +1682,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b1_windowed_counts": _q_windowed_counts,
     "s1_stream_windowed_counts": _q_stream_windowed_counts,
     "s5_stream_pre_images": _q_stream_pre_images,
+    # the same stateful operator fed adjacent-swapped slices through
+    # its hold-back-buffer mode — same oracle
+    "s5_stream_pre_images_reordered": _q_stream_pre_images_reordered,
     "f4_stream_update_description": _q_stream_update_description,
     "b2_size_batched": _q_size_batched,
     "b2_bytes_batched": _q_bytes_batched,
@@ -2009,6 +2079,11 @@ SELECT event_id, operation, document_key, full_document,
 FROM change_events ORDER BY event_id""",
     # the streaming stateful path converges to the identical envelope
     "s5_stream_pre_images": f"""{_CE_EXT_CTE}
+SELECT event_id, operation, document_key, full_document,
+       full_document_before_change
+FROM change_events ORDER BY event_id""",
+    # the bounded out-of-order mode must converge to the same envelope
+    "s5_stream_pre_images_reordered": f"""{_CE_EXT_CTE}
 SELECT event_id, operation, document_key, full_document,
        full_document_before_change
 FROM change_events ORDER BY event_id""",

@@ -283,6 +283,7 @@ def as_change_events_stateful(
     update_lookup: bool = True,
     before_images: str = PRE_IMAGE_WHEN_AVAILABLE,
     update_description: bool = False,
+    reorder_within: str | None = None,
 ) -> DataFrame:
     """Streaming S5/F4 parity: pre-images and update descriptions on a
     LIVE stream via per-key prior-payload state.
@@ -307,6 +308,19 @@ def as_change_events_stateful(
     micro-batch with a descriptive error instead of corrupting output.
     For genuinely unordered logs use the batch LAG path, which orders
     globally.
+
+    ``reorder_within`` (e.g. ``"30 minutes"``) opts into the BOUNDED
+    OUT-OF-ORDER mode — the same hold-back-buffer posture as
+    ``scd2_stream(reorder_within=...)`` (operators/materialize.py):
+    events wait in per-key state until the event-time watermark
+    (``withWatermark(ts, reorder_within)``) proves no earlier event can
+    still be accepted, then apply in (ts, event_id) order through the
+    same seam logic; event-time timeouts flush keys whose buffers
+    became releasable without new rows. Same trades, stated plainly:
+    events later than the bound are dropped by the engine, and a
+    bounded replay's tail only flushes when a later event or an
+    explicit heartbeat/sentinel advances the watermark. The monotonic
+    canary still guards every release.
 
     Scale: state is |live keys| x ~payload bytes, independent of log
     length; RocksDB state store spills it off-heap on a cluster. The
@@ -387,6 +401,130 @@ def as_change_events_stateful(
             pdf["_prev_props"] = prevs
             yield pdf
         state.update((last, last_ts, last_eid))
+
+    if reorder_within is not None:
+        expected = {"event_id", "ts", "user_id", "event_type", "value", "props"}
+        if set(raw_cols) != expected:
+            raise ValueError(
+                "reorder_within buffers whole rows and supports exactly "
+                f"the raw events schema {sorted(expected)}; got {raw_cols}"
+            )
+        # the hold-back buffer keeps WHOLE rows (columnar arrays, ts as
+        # epoch nanos) — unlike scd2's version-only state, a pre-image
+        # needs every envelope column back at release time
+        state_schema_r = T.StructType(
+            list(state_schema.fields)
+            + [
+                T.StructField("buf_eid", T.ArrayType(T.LongType(), True), True),
+                T.StructField("buf_ts", T.ArrayType(T.LongType(), True), True),
+                T.StructField("buf_type", T.ArrayType(T.StringType(), True), True),
+                T.StructField("buf_value", T.ArrayType(T.DoubleType(), True), True),
+                T.StructField("buf_props", T.ArrayType(T.StringType(), True), True),
+            ]
+        )
+
+        def attach_prev_reordered(
+            key: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            if state.exists:
+                (last, last_ts, last_eid, b_eid, b_ts, b_type, b_val, b_props) = (
+                    state.get
+                )
+                buf = list(
+                    zip(
+                        b_eid or (), b_ts or (), b_type or (),
+                        b_val or (), b_props or (),
+                    )
+                )
+            else:
+                last = last_ts = last_eid = None
+                buf = []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                buf.extend(
+                    zip(
+                        (int(e) for e in pdf["event_id"]),
+                        (int(t.value) for t in pdf["ts"]),
+                        pdf["event_type"],
+                        (
+                            None if pd.isna(v) else float(v)
+                            for v in pdf["value"]
+                        ),
+                        (None if pd.isna(p) else p for p in pdf["props"]),
+                    )
+                )
+            wm = state.getCurrentWatermarkMs()
+            buf.sort(key=lambda r: (r[1], r[0]))
+            if wm > 0:
+                release = [r for r in buf if r[1] // 1_000_000 < wm]
+                hold = [r for r in buf if r[1] // 1_000_000 >= wm]
+            else:
+                release, hold = [], buf
+            if release:
+                first = (release[0][1], release[0][0])
+                if last_ts is not None and first < (last_ts, last_eid):
+                    raise ValueError(
+                        f"out-of-order arrival for key {key}: released "
+                        f"event (ts_ns={first[0]}, event_id={first[1]}) is "
+                        "older than the state's last applied event — the "
+                        "feed's disorder exceeds reorder_within (event "
+                        "time and arrival disagree beyond the bound); "
+                        "widen the bound or use the batch LAG path"
+                    )
+                # seam-filled LAG over the RELEASED prefix, in order
+                prevs = [last] + [r[4] for r in release[:-1]]
+                last = release[-1][4]
+                last_ts, last_eid = release[-1][1], release[-1][0]
+                out = pd.DataFrame(
+                    {
+                        "event_id": pd.Series(
+                            [r[0] for r in release], dtype="int64"
+                        ),
+                        "ts": pd.to_datetime([r[1] for r in release]),
+                        "user_id": pd.Series(
+                            [key[0]] * len(release), dtype="int64"
+                        ),
+                        "event_type": [r[2] for r in release],
+                        "value": pd.Series(
+                            [r[3] for r in release], dtype="float64"
+                        ),
+                        "props": [r[4] for r in release],
+                        "_prev_props": prevs,
+                    }
+                )
+                yield out[raw_cols + ["_prev_props"]]
+            state.update(
+                (
+                    last, last_ts, last_eid,
+                    [r[0] for r in hold], [r[1] for r in hold],
+                    [r[2] for r in hold], [r[3] for r in hold],
+                    [r[4] for r in hold],
+                )
+            )
+            if hold:
+                # held rows have ts_ms >= wm, so the target is always
+                # ahead of the watermark (a setTimeout requirement)
+                state.setTimeoutTimestamp(
+                    max(wm + 1, min(r[1] // 1_000_000 for r in hold) + 1)
+                )
+
+        with_prev = (
+            df.withWatermark("ts", reorder_within)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                attach_prev_reordered,
+                outputStructType=out_schema,
+                stateStructType=state_schema_r,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        return _envelope_select(
+            with_prev, update_lookup, before_images, update_description
+        )
 
     with_prev = df.groupBy("user_id").applyInPandasWithState(
         attach_prev,
@@ -597,6 +735,7 @@ def read_change_events_stream(
     path_glob: str | None = None,
     before_images: str = PRE_IMAGE_OFF,
     update_description: bool = False,
+    reorder_within: str | None = None,
 ) -> DataFrame:
     """Streaming change-event source over a growing parquet directory.
 
@@ -613,7 +752,10 @@ def read_change_events_stream(
     reference gets both server-side, stream.rs:479-501). As in batch,
     requesting them disables the raw-scan pushdown (the prior payload
     must see the unfiltered per-key history); the exact pipeline
-    predicate still applies to the envelope.
+    predicate still applies to the envelope. ``reorder_within`` opts
+    that stateful path into the bounded out-of-order mode (see its
+    docstring); it has no effect on the stateless envelope path, which
+    is order-insensitive row-by-row.
 
     The ``ts`` physical type is probed from the static parquet footer
     (a metadata-only batch schema read, no job): TIMESTAMP(NANOS) files
@@ -654,6 +796,7 @@ def read_change_events_stream(
             update_lookup=update_lookup,
             before_images=before_images,
             update_description=update_description,
+            reorder_within=reorder_within,
         )
         return match_pipeline(ce, pipeline) if pipeline else ce
     raw = _pushdown_raw(raw, pipeline)

@@ -257,3 +257,80 @@ def test_stream_preimages_with_pipeline_filter(spark, tmp_path):
     ).collect()
     assert len(want) > 0
     assert _by_event_id(got) == _by_event_id(want)
+
+
+def test_reorder_mode_accepts_the_feed_the_canary_rejects(spark, tmp_path):
+    """as_change_events_stateful(reorder_within=...) (round 12): the
+    SAME newest-half-first feed that (correctly) trips the strict-mode
+    monotonicity canary converges to the exact batch LAG envelope once
+    events may wait in the per-key hold-back buffer — the late half
+    buffers until the watermark proves its prefix complete, a
+    far-future sentinel flushes the tail via event-time timeouts.
+    Default (strict) behavior is untouched — the canary test above is
+    unchanged."""
+    import datetime
+    import uuid
+
+    import pyarrow as pa
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(SF_EVENTS)
+    n = t.num_rows
+    ts = sorted(t.column("ts").to_pylist())
+    tmin, tmax = ts[0], ts[-1]
+    span_s = (
+        (tmax - tmin) / 1e9
+        if isinstance(tmax, int)
+        else (tmax - tmin).total_seconds()
+    )
+    delay_s = int(span_s) + 3600  # reversed halves disorder the full span
+    row0 = {c: t.column(c)[0].as_py() for c in t.column_names}
+    row0["user_id"] = 999999937
+    row0["event_id"] = max(t.column("event_id").to_pylist()) + 1
+    row0["event_type"] = "signup"
+    row0["ts"] = (
+        tmax + 2 * delay_s * 1_000_000_000
+        if isinstance(tmax, int)
+        else tmax + datetime.timedelta(seconds=2 * delay_s)
+    )
+    pq.write_table(t.slice(n // 2), str(src / "000_newer.parquet"))
+    pq.write_table(t.slice(0, n // 2), str(src / "001_older.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist([row0], schema=t.schema),
+        str(src / "002_sentinel.parquet"),
+    )
+    sdf = read_change_events_stream(
+        spark,
+        str(src),
+        max_files_per_trigger=1,
+        before_images="whenAvailable",
+        update_description=True,
+        update_lookup=False,
+        reorder_within=f"{delay_s} seconds",
+    )
+    name = f"pi_reorder_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert q.exception() is None
+    got = _by_event_id(
+        spark.table(name)
+        .filter('document_key != \'{"_id":999999937}\'')
+        .collect()
+    )
+    want = _by_event_id(
+        as_change_events(
+            normalize_ts(spark.read.parquet(SF_EVENTS), "ts"),
+            before_images="whenAvailable",
+            update_description=True,
+            update_lookup=False,
+        ).collect()
+    )
+    assert got == want
