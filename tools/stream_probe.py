@@ -47,6 +47,18 @@ def main() -> None:
     spark = get_spark(app_name="stream_probe")
     table = pq.read_table(os.path.join(args.sf_dir, "events.parquet"))
 
+    def run_control() -> float:
+        # Repo-independent steal sentinel: same plan regardless of which
+        # checkout's rigatoni_spark is on sys.path.
+        t0 = time.monotonic()
+        (
+            spark.read.parquet(os.path.join(args.sf_dir, "events.parquet"))
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        return time.monotonic() - t0
+
     def run_stream(batch_size: int) -> float:
         stream_root = tempfile.mkdtemp(prefix="probe_stream_")
         try:
@@ -82,6 +94,7 @@ def main() -> None:
     sizes = [int(s) for s in args.batch_sizes.split(",")]
     for _ in range(args.warmups):
         run_stream(sizes[-1])
+    ctrl = round(run_control(), 3)
     out: dict[str, dict] = {}
     for bs in sizes:
         runs = [round(run_stream(bs), 3) for _ in range(args.reps)]
@@ -89,6 +102,7 @@ def main() -> None:
             "runs": runs,
             "min_sec": min(runs),
             "eps_min": round(table.num_rows / min(runs)),
+            "control_sec": ctrl,
         }
         print(json.dumps({"repo": args.repo, "batch": bs, **out[str(bs)]}), flush=True)
     spark.stop()
