@@ -221,6 +221,39 @@ def _q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REORDER_SENTINEL_USER = 999_999_937  # absent from every SF's user space
 
 
+_REORDER_FEED_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _reordered_feed(sf_dir: str) -> tuple[str, int]:
+    """Process-cached disordered feed: both reordered catalog rows (and
+    repeated bench/oracle passes) drain the SAME feed files, so the
+    pyarrow rewrite in :func:`_write_reordered_feed` runs once per
+    (sf_dir, process) instead of once per row invocation — the feed is
+    a pure function of the static event log, like every other fixture.
+    The cached dirs live until process exit (atexit cleanup): the wall
+    cost that remains on each invocation is the watermark-hold drain
+    itself, which is the thing the row exists to measure."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    hit = _REORDER_FEED_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    root = tempfile.mkdtemp(prefix="reorder_feed_")
+    if not _REORDER_FEED_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(os.path.dirname(f), ignore_errors=True)
+                for f, _ in _REORDER_FEED_CACHE.values()
+            ]
+        )
+    _REORDER_FEED_CACHE[key] = _write_reordered_feed(sf_dir, root)
+    return _REORDER_FEED_CACHE[key]
+
+
 def _write_reordered_feed(sf_dir: str, root: str) -> tuple[str, int]:
     """The shared disordered-feed harness for the bounded out-of-order
     modes: the event log is split into 6 contiguous (ts, event_id)-
@@ -285,8 +318,6 @@ def _q_stream_pre_images_reordered(
     SQL oracle as the in-order streaming row and the batch LAG twin:
     out-of-order arrival, identical pre-images."""
     import os
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -306,21 +337,17 @@ def _q_stream_pre_images_reordered(
         return read_change_events(
             spark, sf_dir, before_images="whenAvailable"
         ).select(*cols)
-    root = tempfile.mkdtemp(prefix="pi_reorder_")
-    try:
-        feed, delay_s = _write_reordered_feed(sf_dir, root)
-        sdf = read_change_events_stream(
-            spark,
-            feed,
-            max_files_per_trigger=1,
-            before_images="whenAvailable",
-            reorder_within=f"{delay_s} seconds",
-        )
-        drained = _drain_to_memory_table(
-            sdf.select(*cols), "stream_pi_reorder", ["event_id"]
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    feed, delay_s = _reordered_feed(sf_dir)
+    sdf = read_change_events_stream(
+        spark,
+        feed,
+        max_files_per_trigger=1,
+        before_images="whenAvailable",
+        reorder_within=f"{delay_s} seconds",
+    )
+    drained = _drain_to_memory_table(
+        sdf.select(*cols), "stream_pi_reorder", ["event_id"]
+    )
     return drained.filter(
         F.col("document_key") != f'{{"_id":{_REORDER_SENTINEL_USER}}}'
     )
@@ -341,8 +368,6 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowed drain hash-checks against the SAME oracle as
     cdc_scd2_history: out-of-order arrival, identical history."""
     import os
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -361,17 +386,13 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         return scd2_stream_winnow(
             spark.createDataFrame([], _SCD2_OUT_SCHEMA)
         )
-    root = tempfile.mkdtemp(prefix="scd2_reorder_")
-    try:
-        feed, delay_s = _write_reordered_feed(sf_dir, root)
-        sdf = read_change_events_stream(spark, feed, max_files_per_trigger=1)
-        drained = _drain_to_memory_table(
-            scd2_stream(sdf, reorder_within=f"{delay_s} seconds"),
-            "stream_scd2_reorder",
-            ["collection", "document_key", "valid_from"],
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    feed, delay_s = _reordered_feed(sf_dir)
+    sdf = read_change_events_stream(spark, feed, max_files_per_trigger=1)
+    drained = _drain_to_memory_table(
+        scd2_stream(sdf, reorder_within=f"{delay_s} seconds"),
+        "stream_scd2_reorder",
+        ["collection", "document_key", "valid_from"],
+    )
     return scd2_stream_winnow(
         drained.filter(
             F.col("document_key") != f'{{"_id":{_REORDER_SENTINEL_USER}}}'

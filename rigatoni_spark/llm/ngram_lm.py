@@ -106,8 +106,17 @@ def _count_tables_from_rows(
         F.count(F.lit(1)).alias("c1"), F.grouping("t").alias("_g")
     )
     uni = uni_roll.filter(F.col("_g") == 0).drop("_g")
-    total = uni_roll.filter(F.col("_g") == 1).select(
-        F.col("c1").alias("n_total")
+    # rollup on an EMPTY corpus yields zero rows (Expand + groupBy has
+    # no groups, grand-total included), but `total` must stay exactly
+    # one row: _score_with_model cross-joins broadcast(total), so a
+    # zero-row total would silently erase every per-doc score row, and
+    # lm_save would write an empty total artifact. The trailing global
+    # agg coalesces the ≤1-row filter output to one row (n_total=0 on
+    # an empty corpus ⇒ scores come back null, rows preserved).
+    total = (
+        uni_roll.filter(F.col("_g") == 1)
+        .groupBy()
+        .agg(F.coalesce(F.max("c1"), F.lit(0)).alias("n_total"))
     )
     if prune_min > 1:
         tri = tri.filter(F.col("c3") >= prune_min)
@@ -267,9 +276,14 @@ def _score_with_model(
         .select(
             "doc_id",
             F.expr(
+                # nullif guards the EMPTY-corpus artifact (n_total=0,
+                # one row by construction): under ANSI mode a bare
+                # `div 0` throws DIVIDE_BY_ZERO; nullif turns the
+                # backoff term — and thus the doc's score — into NULL
+                # while keeping the per-doc row
                 f"CASE WHEN c3 IS NOT NULL THEN c3 * {SCALE} div cx3 "
                 f"WHEN c2 IS NOT NULL THEN (4 * (c2 * {SCALE} div cx2)) div 10 "
-                f"ELSE (16 * (coalesce(c1, 0) * {SCALE} div n_total)) div 100 "
+                f"ELSE (16 * (coalesce(c1, 0) * {SCALE} div nullif(n_total, 0))) div 100 "
                 "END"
             ).alias("s"),
         )
@@ -526,17 +540,18 @@ def lm_surprisal_artifact(
     construction equal to inline ``lm_surprisal``, which is what the
     catalog row pins cross-engine (artifact == inline hash parity).
 
-    The returned scores are MATERIALIZED (doc-sized cache, same
-    posture as lm_surprisal) before returning, so the caller may
-    delete ``path`` immediately — round-trip harnesses must not leave
-    model-sized parquet artifacts accumulating in temp dirs."""
+    The returned scores are MATERIALIZED with ``localCheckpoint()``
+    (doc-sized blocks, lineage SEVERED — not a persist(), whose cached
+    blocks keep the parquet lineage and would recompute through the
+    deleted artifact dir on block loss) before returning, so the
+    caller may delete ``path`` immediately — round-trip harnesses must
+    not leave model-sized parquet artifacts accumulating in temp
+    dirs."""
     lm_save(documents, path, prune_min=prune_min)
     tri, bi, uni, total = lm_load(spark, path)
-    scores = (
-        _score_with_model(_position_rows(documents), tri, bi, uni, total)
-        .persist()
-    )
-    scores.count()
+    scores = _score_with_model(
+        _position_rows(documents), tri, bi, uni, total
+    ).localCheckpoint()
     return scores.orderBy("doc_id")
 
 

@@ -420,6 +420,7 @@ def as_change_events_stateful(
                 T.StructField("buf_type", T.ArrayType(T.StringType(), True), True),
                 T.StructField("buf_value", T.ArrayType(T.DoubleType(), True), True),
                 T.StructField("buf_props", T.ArrayType(T.StringType(), True), True),
+                T.StructField("buf_ms", T.ArrayType(T.LongType(), True), True),
             ]
         )
 
@@ -429,13 +430,14 @@ def as_change_events_stateful(
             state: GroupState,
         ) -> Iterator[pd.DataFrame]:
             if state.exists:
-                (last, last_ts, last_eid, b_eid, b_ts, b_type, b_val, b_props) = (
-                    state.get
-                )
+                (
+                    last, last_ts, last_eid,
+                    b_eid, b_ts, b_type, b_val, b_props, b_ms,
+                ) = state.get
                 buf = list(
                     zip(
                         b_eid or (), b_ts or (), b_type or (),
-                        b_val or (), b_props or (),
+                        b_val or (), b_props or (), b_ms or (),
                     )
                 )
             else:
@@ -454,13 +456,19 @@ def as_change_events_stateful(
                             for v in pdf["value"]
                         ),
                         (None if pd.isna(p) else p for p in pdf["props"]),
+                        # epoch-UTC ms derived JVM-side (F.unix_millis)
+                        # — pdf["ts"].value is session-tz-naive nanos
+                        # after the Arrow transfer, comparable to the
+                        # epoch-UTC watermark only under a UTC session;
+                        # __ts_ms is comparable under ANY session tz
+                        (int(m) for m in pdf["__ts_ms"]),
                     )
                 )
             wm = state.getCurrentWatermarkMs()
             buf.sort(key=lambda r: (r[1], r[0]))
             if wm > 0:
-                release = [r for r in buf if r[1] // 1_000_000 < wm]
-                hold = [r for r in buf if r[1] // 1_000_000 >= wm]
+                release = [r for r in buf if r[5] < wm]
+                hold = [r for r in buf if r[5] >= wm]
             else:
                 release, hold = [], buf
             if release:
@@ -501,18 +509,19 @@ def as_change_events_stateful(
                     last, last_ts, last_eid,
                     [r[0] for r in hold], [r[1] for r in hold],
                     [r[2] for r in hold], [r[3] for r in hold],
-                    [r[4] for r in hold],
+                    [r[4] for r in hold], [r[5] for r in hold],
                 )
             )
             if hold:
                 # held rows have ts_ms >= wm, so the target is always
                 # ahead of the watermark (a setTimeout requirement)
                 state.setTimeoutTimestamp(
-                    max(wm + 1, min(r[1] // 1_000_000 for r in hold) + 1)
+                    max(wm + 1, min(r[5] for r in hold) + 1)
                 )
 
         with_prev = (
             df.withWatermark("ts", reorder_within)
+            .withColumn("__ts_ms", F.unix_millis(F.col("ts")))
             .groupBy("user_id")
             .applyInPandasWithState(
                 attach_prev_reordered,

@@ -47,6 +47,30 @@ from rigatoni_spark.sources.change_events import read_change_events_stream
 from rigatoni_spark.streaming import metrics as M
 
 
+def _assert_async_tracking_supported() -> None:
+    """Async progress tracking for a foreachBatch sink rides
+    ``_asyncProgressTrackingOverrideSinkSupportCheck`` — an INTERNAL
+    Spark option (public allowlist: Kafka/Memory sinks only), honored
+    on Spark 3.4 (SPARK-39591, where async tracking landed) through
+    4.1, the range this repo tests. A future Spark could rename or
+    drop it, either silently re-serializing offset commits onto the
+    trigger path or failing the stream at start despite the config
+    validating — so fail LOUDLY here instead, at query start, naming
+    the knob to re-verify."""
+    import pyspark
+
+    ver = tuple(int(x) for x in pyspark.__version__.split(".")[:2])
+    if not ((3, 4) <= ver <= (4, 1)):
+        raise RuntimeError(
+            f"async_progress_tracking is pinned to Spark 3.4-4.1 and "
+            f"this session runs {pyspark.__version__}: verify the "
+            "internal _asyncProgressTrackingOverrideSinkSupportCheck "
+            "option is still honored for foreachBatch sinks on this "
+            "version, then widen the pin in "
+            "rigatoni_spark/streaming/pipeline.py"
+        )
+
+
 class StreamInvalidatedError(RuntimeError):
     """F3: an ``invalidate`` event is a terminal stream error
     (stream.rs:1211-1220) — the collection was dropped/renamed."""
@@ -491,11 +515,17 @@ class Pipeline:
             # committed_sinks: the per-sink outcome record — sinks
             # (by base_uri) whose write of THIS batch committed before
             # the failing one exhausted its retries; replay_dlq skips
-            # them, so a mirror's failure never re-writes the primary
+            # them, so a mirror's failure never re-writes the primary.
+            # committed_keys carries those sinks' written KEY LISTS:
+            # the objects are live and final, but the batch never
+            # reached _finish_batch, so without this record they would
+            # vanish from the manifest (stats.keys_written / replay's
+            # return) forever.
             json.dump(
                 {
                     "scope": scope,
                     "committed_sinks": sorted(committed or ()),
+                    "committed_keys": dict(committed or {}),
                 },
                 fh,
             )
@@ -652,6 +682,7 @@ class Pipeline:
             else:
                 writer = writer.trigger(processingTime=trigger_secs)
                 if self.config.async_progress_tracking:
+                    _assert_async_tracking_supported()
                     # offset/commit log writes leave the trigger
                     # critical path (measured ~150-260 ms/trigger at
                     # batch 500/50 ms — walCommit + commitOffsets —
@@ -878,8 +909,10 @@ class Pipeline:
                 # where deterministic keys keep the overwrite
                 # byte-identical)
                 already_committed = set(meta.get("committed_sinks", ()))
+                committed_keys = meta.get("committed_keys", {})
             else:
                 true_scope = None if scope == "__none__" else scope
+                committed_keys = {}
             parked = self.spark.read.parquet(path)
             n = parked.count()
             if n == 0:
@@ -911,6 +944,21 @@ class Pipeline:
                 return out
 
             keys = self._retrying_write(_replay_write)
+            if committed_keys:
+                # fold the sinks that committed BEFORE the park back in
+                # (their key lists rode the sidecar): the returned
+                # manifest — and stats.keys_written — then cover the
+                # batch's FULL object set, exactly as a never-failed
+                # run would have reported it, in sink order
+                keys = [
+                    k
+                    for s in self.sinks
+                    for k in (
+                        committed_keys.get(s.base_uri, [])
+                        if s.base_uri in already_committed
+                        else replay_committed.get(s.base_uri, [])
+                    )
+                ]
             shutil.rmtree(path)
             all_keys.extend(keys)
             with self._lock:

@@ -237,3 +237,23 @@ def test_trained_tables_fold_total_into_rollup(tiny):
     finally:
         for t in handles:
             t.unpersist()
+
+
+def test_empty_training_corpus_keeps_per_doc_rows(spark, tiny, tmp_path):
+    """Round-13 ADVICE pin: `total` must stay exactly ONE row even on
+    an EMPTY training corpus (rollup over empty input yields zero
+    groups, grand-total included). _score_with_model cross-joins
+    broadcast(total), so a zero-row total would silently erase every
+    per-doc score row; with the 1-row n_total=0 coalesce, scoring
+    returns one row per document with a NULL score, and lm_save
+    writes a 1-row total artifact part."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    path = str(tmp_path / "empty_lm")
+    ngram_lm.lm_save(empty, path)
+    tri, bi, uni, total = ngram_lm.lm_load(spark, path)
+    assert [r["n_total"] for r in total.collect()] == [0]
+    rows = ngram_lm._score_with_model(
+        ngram_lm._position_rows(tiny), tri, bi, uni, total
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    assert all(r["lm_score_x1m"] is None for r in rows)

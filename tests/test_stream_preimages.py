@@ -259,7 +259,10 @@ def test_stream_preimages_with_pipeline_filter(spark, tmp_path):
     assert _by_event_id(got) == _by_event_id(want)
 
 
-def test_reorder_mode_accepts_the_feed_the_canary_rejects(spark, tmp_path):
+@pytest.mark.parametrize("session_tz", [None, "America/New_York"])
+def test_reorder_mode_accepts_the_feed_the_canary_rejects(
+    spark, tmp_path, request, session_tz
+):
     """as_change_events_stateful(reorder_within=...) (round 12): the
     SAME newest-half-first feed that (correctly) trips the strict-mode
     monotonicity canary converges to the exact batch LAG envelope once
@@ -267,9 +270,23 @@ def test_reorder_mode_accepts_the_feed_the_canary_rejects(spark, tmp_path):
     buffers until the watermark proves its prefix complete, a
     far-future sentinel flushes the tail via event-time timeouts.
     Default (strict) behavior is untouched — the canary test above is
-    unchanged."""
+    unchanged.
+
+    The non-UTC parametrization (round 13) pins the hold/release split
+    against the session timezone: the buffer compares a JVM-derived
+    epoch-UTC __ts_ms against getCurrentWatermarkMs(), NOT the
+    session-tz-naive pandas Timestamp.value — under America/New_York
+    the naive value reads 4-5 h early, which released held rows before
+    their prefix was complete (canary failure) until the fix."""
     import datetime
     import uuid
+
+    if session_tz is not None:
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", session_tz)
+        request.addfinalizer(
+            lambda: spark.conf.set("spark.sql.session.timeZone", prev)
+        )
 
     import pyarrow as pa
 

@@ -825,6 +825,7 @@ class TestDeadLetterQueue:
         )
         real = P.write_batch
         calls = {"primary": [], "mirror": []}
+        written_keys = {"primary": {}, "mirror": {}}
         healed = {"on": False}
 
         def flaky(df, c, batch_id=None, **kw):
@@ -839,6 +840,7 @@ class TestDeadLetterQueue:
                 raise RuntimeError("access denied by destination")
             keys = real(df, c, batch_id=batch_id, **kw)
             calls[side].append(batch_id)
+            written_keys[side][batch_id] = keys
             return keys
 
         monkeypatch.setattr(P, "write_batch", flaky)
@@ -862,12 +864,30 @@ class TestDeadLetterQueue:
         with open(sidecars[0]) as fh:
             meta = json.load(fh)
         assert meta["committed_sinks"] == [primary.base_uri]
+        # ... and carries the primary's WRITTEN KEY LIST (the objects
+        # are live but the batch never reached _finish_batch — without
+        # this record they would vanish from the manifest forever)
+        assert meta["committed_keys"] == {
+            primary.base_uri: written_keys["primary"][fail_batch]
+        }
+        # the parked batch's keys are NOT yet in the manifest
+        assert not set(written_keys["primary"][fail_batch]) <= set(
+            p.stats.keys_written
+        )
 
         # heal the mirror; replay re-drives ONLY the mirror
         healed["on"] = True
-        p.replay_dlq()
+        replayed = p.replay_dlq()
         assert calls["primary"] == [0, 1]  # untouched by replay
         assert sorted(calls["mirror"]) == [0, 1]
+        # replay's returned keys — and the manifest — now cover the
+        # batch's FULL object set: the primary's sidecar-recorded keys
+        # folded in ahead of the re-driven mirror's, in sink order
+        assert replayed == (
+            written_keys["primary"][fail_batch]
+            + written_keys["mirror"][fail_batch]
+        )
+        assert set(replayed) <= set(p.stats.keys_written)
         # final object trees byte/row-identical to the never-failed run
         assert _read_objects(out) == _read_objects(clean_out)
         assert {
@@ -1036,3 +1056,22 @@ class TestSinkMirroring:
         sink = S3SinkConfig(bucket=out, format=SerializationFormat.JSON)
         with pytest.raises(ValueError, match="distinct base_uris"):
             Pipeline(spark, PipelineConfig(), [sink, sink], src, ckpt)
+
+
+def test_async_tracking_spark_version_pin(monkeypatch):
+    """Round-13 ADVICE pin: async progress tracking for foreachBatch
+    rides the INTERNAL _asyncProgressTrackingOverrideSinkSupportCheck
+    option, verified on Spark 3.4-4.1 only — outside that range the
+    pipeline must refuse loudly at start (a renamed/dropped internal
+    option would otherwise silently re-serialize offset commits onto
+    the trigger path, or fail the stream with an opaque error)."""
+    import pyspark
+
+    from rigatoni_spark.streaming.pipeline import (
+        _assert_async_tracking_supported,
+    )
+
+    _assert_async_tracking_supported()  # the shipped version is pinned
+    monkeypatch.setattr(pyspark, "__version__", "4.2.0")
+    with pytest.raises(RuntimeError, match="OverrideSinkSupportCheck"):
+        _assert_async_tracking_supported()
