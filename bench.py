@@ -33,6 +33,7 @@ def measure_latency(
     n_files: int,
     feed_interval: float,
     async_progress: bool = False,
+    direct_write: bool = False,
 ) -> dict:
     """End-to-end latency: (final-key rename wall) - (source-file land
     wall) per event, percentiles over a steady-state window.
@@ -107,6 +108,9 @@ def measure_latency(
             format=SerializationFormat.JSON,
             partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
             single_file_per_group=False,
+            # round-13 low-latency path: task-side final-key writes,
+            # no staging/commit protocol (see writers._write_direct)
+            direct_write=direct_write,
         )
         p = Pipeline(spark, cfg, sink, src, ckpt).start()
         try:

@@ -157,6 +157,14 @@ class PipelineConfig:
     # that idempotence. Continuous (processingTime) mode only: Spark
     # rejects the option under Once/availableNow triggers, so backfill
     # + async is a config error.
+    # SPARK VERSION PIN: enabling this for a foreachBatch sink rides
+    # `_asyncProgressTrackingOverrideSinkSupportCheck`, an INTERNAL
+    # Spark option (the public allowlist is Kafka/Memory only). It is
+    # honored on Spark 3.4 (SPARK-39591) through 4.1 (the tested
+    # range); Pipeline.start() asserts the running version is inside
+    # that range so a silent rename/drop in a future Spark upgrade
+    # fails loudly at start instead of silently re-serializing offset
+    # commits onto the trigger path.
     async_progress_tracking: bool = False
     async_progress_interval_ms: int = 1_000
     stream: ChangeStreamConfig = field(default_factory=ChangeStreamConfig)
@@ -209,8 +217,33 @@ class S3SinkConfig:
     force_path_style: bool = False
     # one object per (collection, flush) like the reference (key_gen.rs:156)
     single_file_per_group: bool = True
+    # Low-latency write path (round-13): serialize with to_json and let
+    # each task write its groups' FINAL keyed objects directly — one
+    # Spark action, no staging dir, no DataFrameWriter commit protocol,
+    # no rename walk. Keys stay deterministic per (batch_id,
+    # group-times) so replays overwrite idempotently; each object is
+    # written tmp+os.replace (atomic). TRADE: a batch aborted after
+    # some tasks wrote (multi-task batches; invalidate compensation)
+    # briefly exposes objects the abort then deletes — the staged path
+    # never exposes them. JSON + NONE/GZIP only (the other serializers'
+    # bytes come from Spark codecs with no cheap task-side twin).
+    direct_write: bool = False
 
     def __post_init__(self) -> None:
+        if self.direct_write:
+            if self.format is not SerializationFormat.JSON:
+                raise ValueError(
+                    "direct_write supports only the JSON serializer; "
+                    f"got {self.format}"
+                )
+            if self.compression not in (
+                CompressionCodec.NONE,
+                CompressionCodec.GZIP,
+            ):
+                raise ValueError(
+                    "direct_write supports only NONE/GZIP compression; "
+                    f"got {self.compression}"
+                )
         if not self.bucket:
             raise ValueError("bucket must not be empty")
         is_path = self.bucket.startswith("/") or self.bucket.startswith("file:")
