@@ -882,12 +882,14 @@ def probe_scd2_state(spark, sf_dir: str) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
-def probe_scd2_reorder_state(spark, sf_dir: str) -> None:
-    """Reorder-mode BUFFER state (round-12): x10 key universe fed as 6
-    adjacent-swapped (ts, event_id)-sorted slices + a far-future
-    sentinel, under RocksDB. The bounded-buffer claim: state peaks at
-    live keys + at most one reorder window of held events, and drains
-    back toward one struct per key once the watermark passes."""
+def probe_scd2_reorder_state(spark, sf_dir: str, copies: int = 10) -> None:
+    """Reorder-mode BUFFER state (round-12, x100 in round-13): xN key
+    universe fed as 6 adjacent-swapped (ts, event_id)-sorted slices +
+    a far-future sentinel, under RocksDB. The bounded-buffer claim:
+    state peaks at live keys + at most one reorder window of held
+    events, and drains back toward one struct per key once the
+    watermark passes — and the disorder premium (swapped wall /
+    in-order wall) stays flat as the key universe grows."""
     import shutil
 
     import pyarrow as pa
@@ -907,7 +909,6 @@ def probe_scd2_reorder_state(spark, sf_dir: str) -> None:
     off = 100_000_000
     import datetime
 
-    copies = 10
     t10 = pa.concat_tables(
         [
             t.set_column(uid_i, "user_id", pc.add(t["user_id"], c * off))
@@ -997,6 +998,89 @@ def probe_scd2_reorder_state(spark, sf_dir: str) -> None:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_fanout(spark, sf_dir: str) -> None:
+    """O2 COLLECTION-level fan-out concurrency (round-13 ask #6): the
+    reference claims 4 workers ≈ 20-40K events/s
+    (docs/architecture.md:383-385). Here one StreamingQuery runs per
+    collection, all inside one Spark scheduler — this probe measures
+    the same feed drained by 1 DATABASE-level query vs 2 and 4
+    concurrent per-collection queries (collection = user_id % 4, so
+    each query keeps ~1/N of the rows it scans; the fan-out trades N×
+    scan amplification for per-collection checkpoint/key isolation).
+    Each variant runs twice; min is reported (steal guard)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from rigatoni_spark.config import (
+        PipelineConfig,
+        S3SinkConfig,
+        SerializationFormat,
+        PartitionStrategy,
+        WatchLevel,
+    )
+    from rigatoni_spark.streaming.pipeline import Pipeline
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n = table.num_rows
+
+    def run(colls: list[str] | None) -> float:
+        root = tempfile.mkdtemp(prefix="fanout_probe_")
+        try:
+            src = os.path.join(root, "src")
+            os.makedirs(src)
+            n_chunks = 8
+            step = (n + n_chunks - 1) // n_chunks
+            for i in range(n_chunks):
+                pq.write_table(
+                    table.slice(i * step, step),
+                    os.path.join(src, f"{i:03d}.parquet"),
+                )
+            cfg = (
+                PipelineConfig(batch_timeout_secs=0.1, batch_size=400)
+                if colls is None
+                else PipelineConfig(
+                    batch_timeout_secs=0.1,
+                    batch_size=400,
+                    watch_level=WatchLevel.COLLECTION,
+                    collections=colls,
+                )
+            )
+            sink = S3SinkConfig(
+                bucket=os.path.join(root, "out"),
+                format=SerializationFormat.JSON,
+                partition_strategy=PartitionStrategy.COLLECTION_BASED,
+                single_file_per_group=False,
+            )
+            p = Pipeline(
+                spark, cfg, sink, src, os.path.join(root, "ckpt")
+            ).start()
+            t0 = time.time()
+            p.process_all_available()
+            wall = time.time() - t0
+            p.stop()
+            return wall
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    for label, colls in (
+        ("1q_database", None),
+        ("2q_collection", ["c0", "c1"]),
+        ("4q_collection", ["c0", "c1", "c2", "c3"]),
+    ):
+        walls = [run(colls) for _ in range(2)]
+        wall = min(walls)
+        # the N-query variants only KEEP the selected collections'
+        # rows; normalize eps to rows actually flowing to sinks
+        kept = n if colls is None else round(n * len(colls) / 4)
+        print(
+            f"RESULT fanout {label} rows={n} kept~={kept} "
+            f"wall_min={wall:.2f}s walls={[round(w, 2) for w in walls]} "
+            f"eps_kept={round(kept / wall)}",
+            flush=True,
+        )
 
 
 def probe_events(spark, sf_dir: str) -> None:
@@ -1191,7 +1275,7 @@ def main() -> None:
         "which",
         nargs="?",
         default="all",
-        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "scd2_state", "scd2_reorder", "sketches", "ts_similarity", "all"],
+        choices=["embeddings", "documents", "chain", "incremental", "incremental_vec", "admission_compact", "admission_compact_100x", "hundredx", "text_gates", "bpe", "bpe_merges", "ngram_lm", "ngram_lm_100x", "pq", "binary", "events", "scd2_state", "scd2_reorder", "scd2_reorder_100x", "fanout", "sketches", "ts_similarity", "all"],
     )
     ap.add_argument(
         "--sf-dir",
@@ -1235,6 +1319,10 @@ def main() -> None:
         probe_scd2_state(spark, args.sf_dir)
     if args.which == "scd2_reorder":  # reorder-buffer state, not in "all"
         probe_scd2_reorder_state(spark, args.sf_dir)
+    if args.which == "scd2_reorder_100x":  # round-13 ask #5, not in "all"
+        probe_scd2_reorder_state(spark, args.sf_dir, copies=100)
+    if args.which == "fanout":  # O2 concurrency probe, not in "all"
+        probe_fanout(spark, args.sf_dir)
     if args.which in ("sketches", "all"):
         probe_sketches(spark, args.sf_dir)
     if args.which == "ts_similarity":  # 100x amplification, not in "all"
