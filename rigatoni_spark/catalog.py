@@ -423,6 +423,7 @@ def _run_sink_roundtrip(
     codec: str,
     strategy: str,
     time_bound: str | None = None,
+    direct: bool = False,
 ) -> DataFrame:
     """K3-K9 inside the correctness gate: a fixed slice of the
     change-event feed (event_id % 7 == 0) goes through the REAL sink
@@ -462,6 +463,7 @@ def _run_sink_roundtrip(
             format=SerializationFormat[fmt],
             compression=CompressionCodec[codec],
             partition_strategy=PartitionStrategy[strategy],
+            direct_write=direct,
         )
         keys = write_batch(ce, cfg, batch_id=0)
         if not keys:
@@ -496,6 +498,18 @@ def _q_sink_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3+K7: JSONL, gzip-compressed, date-hour key layout."""
     return _run_sink_roundtrip(
         spark, sf_dir, "JSON", "GZIP", "DATE_HOUR_PARTITIONED"
+    )
+
+
+def _q_sink_direct_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 via the round-13 DIRECT-WRITE path (S3SinkConfig.direct_write:
+    to_json + task-side final-key objects — one action, no staging, no
+    commit protocol, no rename walk; the low-latency regime's write
+    mode). Same slice, same layout, same oracle as k3_sink_jsonl_gzip:
+    the two write modes must be indistinguishable to a consumer."""
+    return _run_sink_roundtrip(
+        spark, sf_dir, "JSON", "GZIP", "DATE_HOUR_PARTITIONED",
+        direct=True,
     )
 
 
@@ -1711,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b2_bytes_batched": _q_bytes_batched,
     "k9_hive_partition_cols": _q_partition_cols,
     "k3_sink_jsonl_gzip": _q_sink_jsonl_gzip,
+    "k3_sink_direct_jsonl": _q_sink_direct_jsonl,
     "k5_sink_parquet_zstd": _q_sink_parquet_zstd,
     "k4_sink_csv_flat": _q_sink_csv_flat,
     "k6_sink_avro_gzip": _q_sink_avro_gzip,
@@ -2133,6 +2148,7 @@ SELECT operation, "database", collection, cluster_time, document_key,
 FROM change_events WHERE event_id % 7 = 0 ORDER BY event_id"""
         for k in (
             "k3_sink_jsonl_gzip",
+            "k3_sink_direct_jsonl",
             "k4_sink_csv_flat",
             "k6_sink_avro_gzip",
             "k7_sink_compaction",
