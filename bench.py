@@ -494,6 +494,47 @@ def main() -> None:
         "latency_py4j_cut": "expression caches cut addBatch 0.78x "
         "(control 1.10x) at the production config; remaining floor is "
         "engine metadata + the single write job (LATENCY_AB_r11.json)",
+        # round-13 ask #1: the r12 driver-bench 4-6x streaming drop
+        # A/B'd at checkout level (tools/stream_ab.py, r11-final
+        # worktree vs HEAD, 3 alternated fresh-JVM passes at batch
+        # 100/400/1600, in-child controls, 2026-08-16): HEAD FASTER at
+        # every batch size (median-of-pass-mins 0.73/0.77/0.94,
+        # control-normalized 0.67/0.71/0.86); r11's own pass mins
+        # swung 9.9->18.3 s inside the A/B. Raw runs in
+        # BENCH_AB_r13.json.
+        "streaming_r11_vs_r12": "interleaved checkout A/B: HEAD faster "
+        "at every batch size — the r12 driver streaming figures were a "
+        "steal band (BENCH_AB_r13.json)",
+        # round-13 ask #2: S3SinkConfig.direct_write (to_json +
+        # task-side final keys, no staging/commit protocol/rename
+        # walk). Interleaved same-checkout A/B at the production
+        # config (tools/direct_ab.py, 2026-08-16): p50 0.448x /
+        # addBatch 0.481x vs sync-staged while the identical-code
+        # latestOffset control moved 0.703x (steal-normalized
+        # ~0.64/0.68). Floor decomposition (tools/latency_floor.py,
+        # LATENCY_FLOOR_r13.json): 77 ms engine dispatch + 329 ms
+        # batch-plan execution (count-only body) + 374 ms
+        # serialize+write = 780 ms direct addBatch in that band.
+        "direct_write_latency": "direct write halves addBatch vs the "
+        "staged commit protocol (LATENCY_AB_r13.json); residual = "
+        "77 ms engine floor + data-plan job + task-side write "
+        "(LATENCY_FLOOR_r13.json)",
+        # round-13 ask #3: cdc_stream_scd2_reordered (the costliest
+        # catalog row, 28.8 s in the r12 driver bench) decomposes as
+        # harness + drain, not operator cost: the disordered feed is
+        # now cached per (sf_dir, process) (catalog._reordered_feed),
+        # saving the pyarrow rewrite + first-read warm (~10 s at sf0.1
+        # measured same-session: 42.8 s cold vs 33.0 s warm in a poor
+        # band where the BATCH scd2 twin read 12.2 s); the remainder
+        # is the 7-micro-batch watermark-hold drain itself — SCALE.md's
+        # controlled probes put the true disorder premium at 1.3x
+        # (x10 keys) shrinking to noise at x100/10M, so the row's gap
+        # vs its batch twin is trigger count x per-trigger stateful
+        # cost, by design.
+        "cdc_stream_scd2_reordered": "costliest row = reorder-feed "
+        "harness (now process-cached) + watermark-hold drain; true "
+        "disorder premium 1.3x->noise per SCALE.md probes, not "
+        "operator cost",
     }
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
