@@ -117,3 +117,14 @@ def test_materialized_view(spark, tmp_path):
     assert out["manifests"] and all(
         m.startswith("c-") for m in out["manifests"]
     )
+
+
+def test_low_latency_direct(spark, tmp_path):
+    out = _mod("low_latency_direct").main(spark, SF_DIR, str(tmp_path))
+    # the production config dedups by document key within each batch,
+    # so the processed count is the distinct-key count, not the feed
+    assert 0 < out["events"] < 1000 and out["keys"]
+    # direct mode wrote final keys only — no staging dir ever existed
+    import glob
+
+    assert not glob.glob(str(tmp_path / "out" / "_staging_*"))
