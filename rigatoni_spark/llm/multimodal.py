@@ -207,7 +207,9 @@ def synthesize_wav_assets(spark, n: int = 16, rate: int = 8000) -> DataFrame:
             )
         payload = buf.getvalue()
         rows.append((i, "audio", bytearray(payload), i, len(payload)))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    from rigatoni_spark.tables import local_df
+
+    return local_df(spark, rows, ASSET_SCHEMA)
 
 
 def synthesize_assets(documents: DataFrame) -> DataFrame:

@@ -435,19 +435,32 @@ def write_qlf_weights(
     """Materialize a weight vector as the (bucket, weight) parquet
     artifact ``quality_logit(weights_path=...)`` consumes — the wire
     format a trained fastText/DCLM-style classifier would export."""
+    from rigatoni_spark.tables import local_df
+
     ws = weights if weights is not None else qlf_weights()
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(j, int(w)) for j, w in enumerate(ws)],
         "bucket int, weight long",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def _qlf_feats_expr():
+def _qlf_feats_expr(toks=None):
     """Hashed unigram+bigram feature array — the ONE feature pipeline
     shared verbatim by the gate (``quality_logit``) and the trainer
     (``train_qlf_weights``): train/serve skew here would silently
-    mis-score every document."""
-    toks = _tokens()
+    mis-score every document.
+
+    ``toks`` must be a PRE-MATERIALIZED token-array column (round-13
+    optimization): with the old inline ``split()``, every
+    ``element_at`` inside the bigram transform lambda re-tokenized the
+    whole document once per sequence element — O(words²) characters
+    per doc, the exact trap ``ngram_lm._grams`` documents and avoids.
+    Referencing an attribute makes the split run once per row. Callers
+    go through :func:`_qlf_features`, which owns the materializing
+    projection."""
+    if toks is None:
+        toks = _tokens()
     unis = toks
     bis = F.when(
         F.size(toks) >= 2,
@@ -459,6 +472,17 @@ def _qlf_feats_expr():
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return F.concat(unis, bis)
+
+
+def _qlf_features(df: DataFrame, *keep: str) -> DataFrame:
+    """One row per hashed-feature occurrence: (*keep, f). The shared
+    explode spine of the gate and the trainer — the token array is
+    materialized in its own projection BEFORE the bigram lambda (see
+    ``_qlf_feats_expr``; CollapseProject keeps the multi-referenced
+    split un-inlined, which is what makes tokenization once-per-row)."""
+    return df.select(*keep, _tokens().alias("__toks")).select(
+        *keep, F.explode(_qlf_feats_expr(F.col("__toks"))).alias("f")
+    )
 
 
 def _qlf_bucket(dim: int):
@@ -511,9 +535,11 @@ def train_qlf_weights(
     import math
 
     counts = (
-        labeled.select(
-            F.col("label").cast("bigint").alias("label"),
-            F.explode(_qlf_feats_expr()).alias("f"),
+        _qlf_features(
+            labeled.select(
+                F.col("label").cast("bigint").alias("label"), "text"
+            ),
+            "label",
         )
         .select("label", _qlf_bucket(dim).alias("bucket"))
         .groupBy("bucket")
@@ -592,9 +618,7 @@ def quality_logit(
                     "with no weights scores nothing"
                 )
             dim = int(top) + 1
-    exploded = spread(documents).select(
-        "doc_id", F.explode(_qlf_feats_expr()).alias("f")
-    )
+    exploded = _qlf_features(spread(documents), "doc_id")
     bucket = _qlf_bucket(dim)
     if weights_df is not None:
         scored = (
@@ -955,10 +979,12 @@ def bpe_learn_table(
             StructField("n_occurrences", LongType()),
         ]
     )
+    from rigatoni_spark.tables import local_df
+
     if merges is None:
         merges = bpe_learn(documents, n_merges)
     rows = [tuple(m[f.name] for f in schema.fields) for m in merges]
-    return documents.sparkSession.createDataFrame(rows, schema).orderBy(
+    return local_df(documents.sparkSession, rows, schema).orderBy(
         "merge_rank"
     )
 
@@ -996,8 +1022,12 @@ def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
     toks = sorted(
         r["token"] for r in stream.select("token").distinct().collect()
     )
-    ids = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(toks)], "token string, token_id long"
+    from rigatoni_spark.tables import local_df
+
+    ids = local_df(
+        spark,
+        [(t, i) for i, t in enumerate(toks)],
+        "token string, token_id long",
     )
     return (
         stream.join(F.broadcast(ids), "token")
@@ -1012,35 +1042,54 @@ def bpe_fertility(documents: DataFrame, merges: list[dict]) -> DataFrame:
     source whose fertility jumps is one the tokenizer serves badly;
     the multilingual-fertility concern raised for GPT-style BPEs).
 
-    Token counts come from ``size(flatten(...))`` over the same nested
-    greedy folds as :func:`bpe_encode` — per-doc counts without ever
-    materializing the token stream, so this stays ONE scan-fused
-    projection plus a tiny per-source agg at any corpus size. Ratios
-    are integer (x100) for engine-exact hashing."""
+    Token counts are computed at the VOCABULARY level (round-13
+    optimization, guide §2.3 "decide with small rows"): per-doc token
+    counts are a sum over the doc's words of toks(word), and toks(word)
+    depends only on the word string — so the nested greedy folds (the
+    expensive interpreted higher-order expression, CodegenFallback)
+    run once per DISTINCT (source, word) instead of once per word
+    occurrence. Word occurrences are Zipf-distributed: the grouped
+    table is Heaps'-law bounded (~vocabulary size, not corpus size —
+    the same bound ``bpe_learn``'s driver tier already relies on), so
+    the fold count is corpus-size-independent while the old
+    per-occurrence form paid it O(corpus tokens) times. One corpus
+    scan (posexplode of the word array; a doc's char length rides its
+    pos-0 row so doc counts need no second pass), one
+    vocabulary-bounded map-side-combined shuffle, then the fold as a
+    plain projection over the grouped rows — no join, no second pass.
+    A doc with zero non-empty words has no pos-0 row and drops out
+    exactly like the old ``n_toks > 0`` filter (every word folds to
+    >= 1 token). Ratios are integer (x100) for engine-exact hashing."""
     inner = _CHARS_EXPR.format(col="w")
     for lvl, m in enumerate(merges, start=1):
         inner = _merge_fold_expr(inner, m["left_sym"], m["right_sym"], lvl)
-    n_toks = F.expr(
-        f"size(flatten(transform(filter(split(text, ' '), w0 -> w0 <> ''), "
-        f"w -> {inner})))"
+    words = spread(documents).select(
+        "source",
+        F.length("text").alias("doc_chars"),
+        F.posexplode(
+            F.expr("filter(split(text, ' '), w0 -> w0 <> '')")
+        ).alias("pos", "w"),
+    )
+    # (source, word) counts; each doc's n_chars and existence counted
+    # once, on the row of its first word. The fold then runs as a plain
+    # projection over THESE grouped rows — |sources| x |vocab| evals,
+    # no second corpus pass, no join.
+    wc = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("pos") == 0, True)).alias("lead_docs"),
+        F.sum(F.when(F.col("pos") == 0, F.col("doc_chars"))).alias(
+            "lead_chars"
+        ),
     )
     return (
-        spread(documents)
-        .select(
-            "source",
-            F.length("text").alias("n_chars"),
-            n_toks.alias("n_toks"),
-        )
-        # fertility is defined over TOKENIZABLE docs: a doc with zero
-        # non-empty tokens contributes no denominator (and the oracle's
-        # per-word join naturally drops it) — exclude it from the
-        # numerator counts too so both engines agree
-        .filter(F.col("n_toks") > 0)
+        wc.withColumn("toks_w", F.expr(f"size({inner})"))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("lead_docs").alias("n_docs"),
+            F.sum(F.col("cnt") * F.col("toks_w"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum("lead_chars").cast("bigint").alias("n_chars"),
         )
         .select(
             "source",

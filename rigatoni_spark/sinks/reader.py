@@ -140,4 +140,6 @@ def _read_avro_fallback(spark: SparkSession, base: str, ext: str) -> DataFrame:
             for name, ftype in fields
         ]
     )
-    return spark.createDataFrame(rows, spark_schema)
+    from rigatoni_spark.tables import local_df
+
+    return local_df(spark, rows, spark_schema)

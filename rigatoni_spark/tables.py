@@ -94,6 +94,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_ts(df, *_NANOS_TS_COLUMNS.get(name, []))
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Small driver-held row list -> DataFrame as ONE Arrow batch.
+
+    ``createDataFrame(list, schema)`` goes through the pickled
+    Python-RDD path: the rows are split into ``defaultParallelism``
+    Python partitions and EVERY action over the frame round-trips each
+    partition through a Python worker — measured 2-6 s per action for
+    a 128-row table on local[32] (a ``coalesce(1)`` write evaluates
+    all slices serially inside one task; a broadcast build pays the
+    same). Converting through a pyarrow Table instead lands the rows
+    as a single Arrow batch on the JVM — ~0.2 s, zero Python workers
+    on later actions (round-13 optimization, guide §4: keep the
+    JVM↔Python boundary off the query path).
+
+    ``schema`` is a DDL string or StructType. Exactness: the Arrow
+    types come from Spark's own ``to_arrow_schema`` mapping, and naive
+    datetimes are interpreted as UTC — identical to what the classic
+    path does under this engine's pinned UTC session timezone. Falls
+    back to the classic path for schemas/values Arrow can't map."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        a_schema = to_arrow_schema(schema)
+        cols = (
+            list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        )
+        tab = pa.Table.from_arrays(
+            [
+                pa.array(list(c), type=f.type)
+                for c, f in zip(cols, a_schema)
+            ],
+            schema=a_schema,
+        )
+        return spark.createDataFrame(tab)
+    except Exception:  # noqa: BLE001 — exactness first: any Arrow
+        # mapping gap (exotic type, unconvertible value) falls back to
+        # the slower classic path rather than failing the query
+        return spark.createDataFrame(rows, schema)
+
+
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure CPU-bound downstream stages run in parallel.
 

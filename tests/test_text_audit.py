@@ -548,3 +548,66 @@ def test_train_qlf_weights_pin_and_artifact_gate_roundtrip(spark, tmp_path):
         s = sum(ws[bucket(f)] for f in fs)
         assert out[doc_id]["logit_x10k"] == math.floor(s * 10000 / len(fs))
         assert out[doc_id]["n_features"] == len(fs)
+
+
+def test_bpe_fertility_vocab_level_edges(spark):
+    """Round-13 restructure guard: fertility folds once per DISTINCT
+    word and counts each doc's chars on its first word's row — the
+    cases that shape must not break: (a) untokenizable docs (empty /
+    whitespace-only text) drop out of BOTH numerator and denominator
+    exactly as the old per-doc n_toks > 0 filter did; (b) a word shared
+    by several sources is folded once but counted per source; (c)
+    n_chars is the FULL text length including separators."""
+    rows = [
+        (0, "ab ab cd", "s1"),
+        (1, "", "s1"),           # untokenizable: no words at all
+        (2, "   ", "s2"),        # untokenizable: whitespace-only
+        (3, "ab", "s2"),         # shares vocab with s1
+        (4, "cd cd", "s2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    merges = [
+        {"left_sym": "a", "right_sym": "b", "merged": "ab"},
+        {"left_sym": "c", "right_sym": "d", "merged": "cd"},
+    ]
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["n_chars"],
+            r["chars_per_token_x100"],
+        )
+        for r in textstats.bpe_fertility(df, merges).collect()
+    }
+    # s1: doc0 only — words [ab, ab, cd] -> 3 tokens, 8 chars
+    # s2: doc3 (1 token, 2 chars) + doc4 (2 tokens, 5 chars)
+    assert got == {
+        "s1": (1, 3, 8, 266),
+        "s2": (2, 3, 7, 233),
+    }
+
+
+def test_local_df_matches_classic_path(spark):
+    """tables.local_df (Arrow local relation) must be value- and
+    type-identical to createDataFrame(list, schema) for the shapes the
+    engine builds driver-side: ints, strings, timestamps (UTC
+    session), binary, nulls, and the empty list."""
+    from datetime import datetime
+
+    from rigatoni_spark.tables import local_df
+
+    schema = (
+        "i int, l bigint, s string, t timestamp, b binary, d double"
+    )
+    rows = [
+        (1, 10, "x", datetime(2024, 1, 2, 3, 4, 5, 123456), b"\x00\xff", 1.5),
+        (None, None, None, None, None, None),
+    ]
+    a = local_df(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect()), key=repr) == sorted(
+        map(tuple, b.collect()), key=repr
+    )
+    empty = local_df(spark, [], schema)
+    assert empty.schema == b.schema and empty.count() == 0
