@@ -78,29 +78,34 @@ def _count_tables_from_rows(
     ``total`` (1 row, n_total) is FOLDED INTO the unigram aggregation:
     one ``rollup("t")`` computes every unigram count AND the grand
     total (== count(rows)) in a single shuffle, so materializing a
-    model pays THREE aggregation jobs (tri, bi, rollup), not four.
+    model pays THREE corpus-sized aggregations (tri, bi, rollup) —
+    the context totals ride them as windows, see below.
     ``uni`` and ``total`` are filters over the shared ``uni_roll``
     (grouping flag 1 = the grand-total row); callers that cache the
     model persist ``uni_roll`` once and both read through it."""
+    # Context totals as WINDOWS over the aggregated tables (round-13
+    # optimization): cx3(a,b) == sum_t c3(a,b,t) — the same identity
+    # lm_merge already relies on — so instead of a SECOND full
+    # aggregation over the corpus-sized gram rows plus a join per
+    # order, each context total is a sum window over the
+    # vocabulary-bounded count table (model-sized input, no join).
+    # Window group sizes are bounded by |vocab| (one row per
+    # continuation token), so no unbounded-partition skew is possible.
+    from pyspark.sql import Window
+
     tri = (
         rows.filter(F.col("t2").isNotNull())
         .groupBy("t2", "t1", "t")
         .agg(F.count(F.lit(1)).alias("c3"))
-    )
-    tri_ctx = (
-        rows.filter(F.col("t2").isNotNull())
-        .groupBy("t2", "t1")
-        .agg(F.count(F.lit(1)).alias("cx3"))
+        .withColumn(
+            "cx3", F.sum("c3").over(Window.partitionBy("t2", "t1"))
+        )
     )
     bi = (
         rows.filter(F.col("t1").isNotNull())
         .groupBy("t1", "t")
         .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    bi_ctx = (
-        rows.filter(F.col("t1").isNotNull())
-        .groupBy("t1")
-        .agg(F.count(F.lit(1)).alias("cx2"))
+        .withColumn("cx2", F.sum("c2").over(Window.partitionBy("t1")))
     )
     uni_roll = rows.rollup("t").agg(
         F.count(F.lit(1)).alias("c1"), F.grouping("t").alias("_g")
@@ -123,13 +128,7 @@ def _count_tables_from_rows(
         bi = bi.filter(F.col("c2") >= prune_min)
         # total stays PRE-prune (true corpus size); only uni thins
         uni = uni.filter(F.col("c1") >= prune_min)
-    return (
-        tri.join(tri_ctx, ["t2", "t1"]),
-        bi.join(bi_ctx, ["t1"]),
-        uni,
-        total,
-        uni_roll,
-    )
+    return (tri, bi, uni, total, uni_roll)
 
 
 def lm_count_tables(

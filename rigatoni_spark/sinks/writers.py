@@ -205,6 +205,17 @@ def _convert_part_to_avro(src_file: str, dest: str, compression) -> None:
 _TARGET_ROWS_PER_FILE = 5_000
 
 
+def _shuffle_width(df: DataFrame) -> int:
+    """The session's configured shuffle parallelism — cores-scaled
+    locally, cluster-set in production (session.get_spark)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:  # noqa: BLE001 — "auto" or absent: fall back
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def write_batch(
     df: DataFrame,
     cfg: S3SinkConfig,
@@ -329,8 +340,11 @@ def _write_direct(
         ]
     rows = events.select(*sel)
     if single:
+        # explicit width for the same AQE-coalescing reason as the
+        # staged path's repartition (see _write_persisted)
         rows = rows.repartition(
-            *(["_gc", "_py", "_pm", "_pd", "_ph"] if hive else ["_gc"])
+            _shuffle_width(events),
+            *(["_gc", "_py", "_pm", "_pd", "_ph"] if hive else ["_gc"]),
         )
     elif n_events is not None:
         want = max(1, -(-n_events // _TARGET_ROWS_PER_FILE))
@@ -490,8 +504,18 @@ def _write_persisted(
         part_cols = ["_pc"]
     if cfg.single_file_per_group:
         # hash-partition on the layout keys: each group lands wholly in
-        # one task -> exactly one part-file per partition dir
-        to_write = to_write.repartition(*part_cols)
+        # one task -> exactly one part-file per partition dir. The
+        # partition count is EXPLICIT (the session's scale-parameterized
+        # shuffle width) because a bare repartition(cols) is an AQE-
+        # coalescible shuffle, and on a small batch AQE's byte-based
+        # model folds it to ONE partition — serializing every group's
+        # per-file writer open/close in a single task (measured 10.6 s
+        # for a 192-dir Hive batch whose flat write costs 0.4 s,
+        # round 13; guide §2.2/§6 per-file fixed costs). Explicit N
+        # keeps groups spread over the cluster at any scale.
+        to_write = to_write.repartition(
+            _shuffle_width(events), *part_cols
+        )
     elif n_events is not None:
         # multi-file groups: still bound the file count by batch size
         # (coalesce is narrow — no shuffle; only bites on small batches,

@@ -819,3 +819,39 @@ class TestCrashMidRenameReplay:
         assert replay_keys == clean_keys
         got = snapshot(str(crash_root))
         assert got == want  # same keys, same bytes; no orphans, no staging
+
+
+def test_single_file_per_group_spreads_writer_tasks(spark, change_events, tmp_path):
+    """Round-13 writer internals guard: single_file_per_group now
+    hash-partitions on the layout keys with an EXPLICIT shuffle width
+    (AQE would coalesce a bare repartition(cols) to one partition on a
+    small batch, serializing every group's file write in one task).
+    The one-object-per-group contract must survive groups >> tasks:
+    every Hive (collection, hour) combination still gets exactly ONE
+    object, even though several groups hash into each writer task."""
+    cfg = S3SinkConfig(
+        bucket=str(tmp_path),
+        format=SerializationFormat.JSON,
+        compression=CompressionCodec.NONE,
+        partition_strategy=PartitionStrategy.HIVE_PARTITIONED,
+    )
+    keys = write_batch(change_events, cfg, batch_id=3)
+    # one key per distinct (collection, y, m, d, h) in the feed
+    combos = (
+        change_events.select(
+            "collection",
+            F.year("cluster_time"),
+            F.month("cluster_time"),
+            F.dayofmonth("cluster_time"),
+            F.hour("cluster_time"),
+        )
+        .distinct()
+        .count()
+    )
+    assert len(keys) == combos == len(set(keys))
+    # and every event survives exactly once
+    n = 0
+    for k in keys:
+        with open(tmp_path / k) as fh:
+            n += sum(1 for _ in fh)
+    assert n == change_events.count()
