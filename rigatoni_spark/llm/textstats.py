@@ -998,29 +998,72 @@ def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
     standard BPE train/encode equivalence), while unseen words still
     encode correctly through the same folds.
 
-    Scale shape: the merge table rides the plan as literals (bounded,
-    driver-held); the whole words -> chars -> ``n_merges`` nested folds
-    pipeline is ONE scan-fused codegen projection — zero joins, zero
-    Python. Token ids are a dense rank over the distinct symbols
-    actually emitted (≤ |alphabet| + n_merges strings — collected as a
-    bounded driver probe, then broadcast-joined back)."""
+    Scale shape (round-13: vocabulary-level fold, guide §2.3 "decide
+    with small rows" — the same restructure as ``bpe_fertility``): the
+    nested greedy folds are an interpreted CodegenFallback higher-order
+    expression whose value depends only on the word string, so they run
+    once per DISTINCT word (Heaps'-law bounded, corpus-size-
+    independent) instead of once per word occurrence. The distinct-word
+    table with its folded symbol arrays is broadcast back onto the word
+    stream (the same vocabulary boundedness ``bpe_learn``'s driver tier
+    relies on); a token's stream position is its word's running token
+    offset (one word-level sum window per doc — word rows, not token
+    rows) plus its within-word index, exactly the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY wpos, j)``. The merge table rides the
+    plan as literals (bounded, driver-held). Token ids are a dense rank
+    over the distinct symbols actually emitted (≤ |alphabet| + n_merges
+    strings); the driver probe that collects them reads the folded
+    VOCAB table, not the token stream — vocab-sized job, no second
+    corpus pass."""
+    from pyspark.sql import Window
+
     inner = _CHARS_EXPR.format(col="w")
     for lvl, m in enumerate(merges, start=1):
         inner = _merge_fold_expr(inner, m["left_sym"], m["right_sym"], lvl)
-    flat = (
-        f"flatten(transform(filter(split(text, ' '), w0 -> w0 <> ''), "
-        f"w -> {inner}))"
+    words = spread(documents).select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(text, ' '), w0 -> w0 <> '')")
+        ).alias("wpos", "w"),
     )
-    stream = spread(documents).select(
-        "doc_id", F.posexplode(F.expr(flat)).alias("pos0", "token")
+    # fold once per distinct word; every emitted token is a symbol of
+    # some word's fold, so the distinct symbols of THIS table are the
+    # distinct tokens of the stream. The vocab table is model-sized
+    # (Heaps'-law bounded); localCheckpoint materializes it in ONE
+    # corpus pass so its three consumers below (two broadcast joins +
+    # the token-id probe) read the blocks instead of each re-running
+    # the distinct-words aggregation (an extra corpus scan per use).
+    vocab = (
+        words.select("w")
+        .distinct()
+        .withColumn("syms", F.expr(inner))
+        .localCheckpoint()
     )
-    stream = stream.select(
-        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token"
+    win = Window.partitionBy("doc_id").orderBy("wpos")
+    # two broadcast joins against the same vocab so the window exchange
+    # ships only (doc_id, wpos, w, nt) — the folded symbol arrays are
+    # re-attached AFTER the shuffle (guide §2.3: shuffle keys and
+    # metadata, move the payload once)
+    stream = (
+        words.join(
+            F.broadcast(vocab.select("w", F.size("syms").alias("nt"))), "w"
+        )
+        .withColumn("off", F.sum("nt").over(win) - F.col("nt"))
+        .join(F.broadcast(vocab), "w")
+        .select("doc_id", "off", F.posexplode("syms").alias("j", "token"))
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("j") + 1).cast("long").alias("pos"),
+            "token",
+        )
     )
     spark = documents.sparkSession
     # bounded vocabulary: base alphabet + one new string per merge
     toks = sorted(
-        r["token"] for r in stream.select("token").distinct().collect()
+        r["token"]
+        for r in vocab.select(F.explode("syms").alias("token"))
+        .distinct()
+        .collect()
     )
     from rigatoni_spark.tables import local_df
 

@@ -313,6 +313,30 @@ def test_bpe_greedy_run_semantics(spark):
     assert [r["token"] for r in unseen.collect()] == ["aa", "aa", "aa"]
 
 
+def test_bpe_encode_vocab_level_positions(spark):
+    """Edge cases for the vocabulary-level encode (round-13): stream
+    positions must restart per doc and accumulate across words of
+    DIFFERENT token counts (the offset window), repeated words share
+    one fold but keep distinct positions, and a whitespace-only doc
+    drops out entirely."""
+    df = _bpe_docs(spark, ["aaa a aaa", "   ", "a aaaa"])
+    merges = textstats.bpe_learn(_bpe_docs(spark, ["aaa aaa"]), 2)
+    out = textstats.bpe_encode(df, merges).collect()
+    got = [(r["doc_id"], r["pos"], r["token"], r["token_id"]) for r in out]
+    # merges: (a,a)->aa then (aa,a)->aaa; ids sorted: a=0, aa=1, aaa=2
+    # doc 0: aaa | a | aaa -> positions 1..3 across 3 words
+    # doc 1: no non-empty words -> no rows
+    # doc 2: a | aaaa->[aa,aa] -> offset window spans a 2-token word
+    assert got == [
+        (0, 1, "aaa", 2),
+        (0, 2, "a", 0),
+        (0, 3, "aaa", 2),
+        (2, 1, "a", 0),
+        (2, 2, "aa", 1),
+        (2, 3, "aa", 1),
+    ]
+
+
 def test_quality_logit_file_weights_match_literal(spark, docs, tmp_path):
     """The gate with weights read from a (bucket, weight) parquet
     artifact must score identically to the literal stand-in vector —
