@@ -1156,7 +1156,9 @@ def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the gram lambda (round-13,
+    # guide §4/§2.3) — same once-per-row tokenization as _doc_grams
+    toks = F.col("__toks")
     grams = F.array_distinct(
         F.when(
             F.size(toks) >= 4,
@@ -1169,6 +1171,7 @@ def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_grams = (
         _documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     hits = s_grams.join(F.broadcast(bench), "gram").groupBy("doc_id").agg(

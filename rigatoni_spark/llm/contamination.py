@@ -31,7 +31,10 @@ from rigatoni_spark.tables import spread
 def _word_ngrams(toks, n: int):
     """Sliding word n-grams of a token array; explicit empty array for
     short docs (Spark's sequence(1, 0) counts DOWN, unlike DuckDB's
-    empty generate_series)."""
+    empty generate_series). ``toks`` must be a MATERIALIZED column
+    (round-13, guide §4/§2.3): passing the raw split() expression
+    embeds it in the transform lambda and re-tokenizes the document
+    once per window position — O(words²) per doc."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -42,10 +45,15 @@ def _word_ngrams(toks, n: int):
 
 
 def _doc_grams(documents: DataFrame, n: int) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
-    return spread(documents).select(
-        "doc_id",
-        F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
+    return (
+        spread(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_word_ngrams(F.col("__toks"), n))
+            ).alias("gram"),
+        )
     )
 
 
@@ -240,12 +248,29 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     token stats computed in the scan projection. Keys are per-document,
     so no skew at any corpus size.
     """
-    toks = F.split(F.col("text"), " ")
-    base = spread(documents).select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.explode(_word_ngrams(toks, 2)).alias("bigram"),
+    toks = F.col("__toks")
+    # three projections, deliberately (round-13, guide §4/§2.3): the
+    # token array materializes below the gram lambda (else split()
+    # re-runs per window position), and the per-doc stats materialize
+    # below the Generate — an expression left in the SAME select as the
+    # explode lands in the Project ABOVE Generate and is re-evaluated
+    # once per exploded row (size(array_distinct(w)) per bigram row =
+    # O(words²) per doc; plan-verified)
+    base = (
+        spread(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select(
+            "doc_id",
+            "__toks",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.explode(_word_ngrams(toks, 2)).alias("bigram"),
+        )
     )
     per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
         F.count(F.lit(1)).alias("c")

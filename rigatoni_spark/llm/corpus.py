@@ -282,14 +282,18 @@ def paragraph_dedup(
     materialization), one more for the per-doc regroup. No joins."""
     from pyspark.sql import Window
 
+    # token array materialized before the segment lambda (round-13,
+    # guide §4/§2.3): split() inside the transform would re-tokenize
+    # the doc once per segment — O(words x segments) per doc
     segs = F.expr(
-        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) "
+        f"transform(sequence(0, CAST(ceil(size(__toks) "
         f"/ {seg_tokens}.0) AS INT) - 1), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), "
+        f"i -> concat_ws(' ', slice(__toks, "
         f"i * {seg_tokens} + 1, {seg_tokens})))"
     )
     exploded = (
         spread(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select("doc_id", F.posexplode(segs).alias("pos", "seg"))
         .filter(F.col("seg") != "")
     )
@@ -420,11 +424,14 @@ def chunk_with_overlap(
     All index arithmetic is integral (ceil division via
     (x + s - 1) div s), so chunk boundaries hash-match the SQL
     oracle."""
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the window lambda (round-13,
+    # guide §4/§2.3): an in-lambda split() would re-tokenize the doc
+    # once per window — O(words x windows) per doc
+    toks = F.col("__toks")
     n = F.size(toks)
     n_wins = F.when(n <= window, F.lit(1).cast("bigint")).otherwise(
         F.expr(
-            f"CAST((size(split(text, ' ')) - {window} + {stride - 1})"
+            f"CAST((size(__toks) - {window} + {stride - 1})"
             f" div {stride} AS BIGINT) + 1"
         )
     )
@@ -441,6 +448,7 @@ def chunk_with_overlap(
     )
     return (
         spread(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
         .select(
             "doc_id",

@@ -103,7 +103,10 @@ def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
     A corpus-dominant boilerplate chunk is a hot join key — AQE skew
     handling splits it; the MIN agg itself is skew-immune (map-side
     partial)."""
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array BEFORE the chunk lambda (round-13,
+    # guide §4/§2.3): a split() referenced inside the transform would
+    # re-tokenize the doc once per chunk — O(words x chunks) per doc
+    toks = F.col("__toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunk_texts = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -112,6 +115,8 @@ def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
         ),
     )
     chunks = spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
     ).select(
         "doc_id",
@@ -184,7 +189,9 @@ def chunk_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
     totalizes the order — deterministic regardless of partitioning),
     transform+array_join. The reassembly agg carries each doc's kept
     text once — the same volume the write side would carry anyway."""
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the lambda — same O(words x
+    # chunks) re-split avoidance as chunk_dedup_stats (round-13)
+    toks = F.col("__toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunk_texts = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -193,6 +200,8 @@ def chunk_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
         ),
     )
     chunks = spread(documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
     ).select(
         "doc_id",
@@ -389,7 +398,9 @@ def top_duplicated_spans(
     TakeOrderedAndProject for the top-k (no global sort). Docs shorter
     than the window contribute their whole text as one span — same rule
     as the shingler."""
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the window lambda (round-13):
+    # an in-lambda split() would re-tokenize per window position
+    toks = F.col("__toks")
     spans = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(toks) - (span_tokens - 1), F.lit(1))
@@ -398,6 +409,7 @@ def top_duplicated_spans(
     )
     return (
         spread(documents)
+        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select("doc_id", F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(
@@ -463,7 +475,9 @@ def maximal_duplicated_spans(
     from pyspark.sql.window import Window
 
     d = spread(documents)
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the window lambda (round-13):
+    # an in-lambda split() would re-tokenize per window position
+    toks = F.col("__toks")
     win_structs = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (s - 1), F.lit(1))),
         lambda i: F.struct(
@@ -471,8 +485,14 @@ def maximal_duplicated_spans(
             F.concat_ws(" ", F.slice(toks, i, s)).alias("span"),
         ),
     )
-    wins = d.select("doc_id", F.explode(win_structs).alias("w")).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.span").alias("span")
+    wins = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select("doc_id", F.explode(win_structs).alias("w"))
+        .select(
+            "doc_id",
+            F.col("w.pos").alias("pos"),
+            F.col("w.span").alias("span"),
+        )
     )
     dups = (
         wins.groupBy("span")
@@ -490,7 +510,7 @@ def maximal_duplicated_spans(
         F.min("pos").alias("start_pos"),
         (F.max("pos") + (s - 1)).alias("end_raw"),
     )
-    doc_toks = d.select("doc_id", toks.alias("w"))
+    doc_toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     spans = runs.join(doc_toks.hint("shuffle_hash"), "doc_id").select(
         "doc_id",
         F.concat_ws(

@@ -37,15 +37,25 @@ DEFAULT_K = 8  # hash functions
 DEFAULT_BANDS = 4  # => r = k/bands rows per band
 
 
-def _shingles(text_col: str = "text", n: int = 3):
-    """Word n-gram shingles as an array column (distinct)."""
-    toks = F.split(F.col(text_col), " ")
+def _shingles(toks, n: int = 3):
+    """Word n-gram shingles (distinct) over a MATERIALIZED token-array
+    column. Callers alias ``_toks()`` in their own projection first
+    (round-13, guide §4/§2.3): referencing the ``split()`` expression
+    directly here would embed it in the transform lambda and re-tokenize
+    the document once per window position — O(words²) per doc. A
+    multi-referenced non-cheap alias survives CollapseProject, so the
+    split runs once per row (the ``ngram_lm._grams`` pattern)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def _toks(text_col: str = "text"):
+    """Whitespace tokenization, to be materialized by the caller."""
+    return F.split(F.col(text_col), " ")
 
 
 def minhash_signatures(
@@ -60,8 +70,15 @@ def minhash_signatures(
     """
     # compacted inputs scan as 1 partition; the shingle+md5 stage is the
     # CPU hot spot, so make sure it runs wide (no-op on wide inputs)
-    sh = spread(documents).select(
-        "doc_id", F.explode(_shingles(n=shingle_n)).alias("shingle")
+    sh = (
+        spread(documents)
+        .select("doc_id", _toks().alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(_shingles(F.col("__toks"), n=shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     return sh.groupBy("doc_id").agg(
         *[
@@ -145,8 +162,10 @@ def near_duplicates(
         documents, k=k, bands=bands, shingle_n=shingle_n,
         max_bucket=max_bucket,
     )
-    t = spread(documents).select(
-        "doc_id", _shingles(n=shingle_n).alias("sh")
+    t = (
+        spread(documents)
+        .select("doc_id", _toks().alias("__toks"))
+        .select("doc_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh"))
     )
     j = (
         cands.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -307,8 +326,12 @@ def incremental_near_duplicates(
         .distinct()
         .localCheckpoint()
     )
-    shi = spread(increment).select(
-        "doc_id", _shingles(n=shingle_n).alias("sh_i")
+    shi = (
+        spread(increment)
+        .select("doc_id", _toks().alias("__toks"))
+        .select(
+            "doc_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh_i")
+        )
     )
     # verify-stage prune: only candidate corpus docs get (re-)shingled.
     # The id set is candidates-sized (broadcastable by the max_bucket
@@ -326,9 +349,9 @@ def incremental_near_duplicates(
     # only the candidate survivors reach the shingle expressions
     shc = (
         corpus.join(cand_ids, "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("corpus_id"), _toks().alias("__toks"))
         .select(
-            F.col("doc_id").alias("corpus_id"),
-            _shingles(n=shingle_n).alias("sh_c"),
+            "corpus_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh_c")
         )
     )
     # F.size is IntegerType — widen before multiplying (book-length docs

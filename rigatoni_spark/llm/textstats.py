@@ -295,8 +295,13 @@ FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
 
 def bigram_counts(documents: DataFrame, k: int = 30) -> DataFrame:
     """Top-k word bigrams corpus-wide (the LM-style n-gram count table,
-    n=2). One explode of per-row 2-grams -> one count shuffle."""
-    toks = _tokens()
+    n=2). One explode of per-row 2-grams -> one count shuffle. The
+    token array is materialized in its own projection BEFORE the gram
+    lambda (round-13, guide §4/§2.3): a split() referenced inside the
+    transform would re-tokenize the doc once per window position —
+    O(words²) per doc (the ``_qlf_features`` / ``ngram_lm._grams``
+    pattern; CollapseProject keeps the multi-referenced alias)."""
+    toks = F.col("__toks")
     # guard: Spark's sequence(1, 0) counts DOWN (step defaults to -1),
     # unlike DuckDB's empty generate_series — make <2-token docs
     # explicitly empty so both engines agree
@@ -308,7 +313,9 @@ def bigram_counts(documents: DataFrame, k: int = 30) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        spread(documents).select(F.explode(grams).alias("bigram"))
+        spread(documents)
+        .select(_tokens().alias("__toks"))
+        .select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -1106,12 +1113,22 @@ def bpe_fertility(documents: DataFrame, merges: list[dict]) -> DataFrame:
     inner = _CHARS_EXPR.format(col="w")
     for lvl, m in enumerate(merges, start=1):
         inner = _merge_fold_expr(inner, m["left_sym"], m["right_sym"], lvl)
-    words = spread(documents).select(
-        "source",
-        F.length("text").alias("doc_chars"),
-        F.posexplode(
-            F.expr("filter(split(text, ' '), w0 -> w0 <> '')")
-        ).alias("pos", "w"),
+    # doc_chars is materialized BELOW the explode (round-13, guide
+    # §4/§2.3): left in the same select, it lands in the Project above
+    # Generate and length(text) re-runs once per word row — O(words x
+    # chars) per doc — while the text payload itself rides through the
+    # Generate; as an attribute it is a 4-byte column and text is
+    # pruned at the scan boundary
+    words = (
+        spread(documents)
+        .select("source", F.length("text").alias("doc_chars"), "text")
+        .select(
+            "source",
+            "doc_chars",
+            F.posexplode(
+                F.expr("filter(split(text, ' '), w0 -> w0 <> '')")
+            ).alias("pos", "w"),
+        )
     )
     # (source, word) counts; each doc's n_chars and existence counted
     # once, on the row of its first word. The fold then runs as a plain
