@@ -1156,18 +1156,13 @@ def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
         .distinct()
     )
-    # token array materialized before the gram lambda (round-13,
-    # guide §4/§2.3) — same once-per-row tokenization as _doc_grams
-    toks = F.col("__toks")
-    grams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 4,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    )
+    # token array materialized before the gram lambda (round-13, guide
+    # §4/§2.3), sharing _word_ngrams with the batch _doc_grams path so
+    # the streaming and batch decon grams cannot drift — and so the
+    # tokenize-once plan guards over _word_ngrams cover this row too
+    from rigatoni_spark.llm.contamination import _word_ngrams
+
+    grams = F.array_distinct(_word_ngrams(F.col("__toks"), 4))
     s_grams = (
         _documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 97 != 0)

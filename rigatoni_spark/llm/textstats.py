@@ -1037,9 +1037,10 @@ def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
     # some word's fold, so the distinct symbols of THIS table are the
     # distinct tokens of the stream. The vocab table is model-sized
     # (Heaps'-law bounded); localCheckpoint materializes it in ONE
-    # corpus pass so its three consumers below (two broadcast joins +
-    # the token-id probe) read the blocks instead of each re-running
-    # the distinct-words aggregation (an extra corpus scan per use).
+    # corpus pass so its four consumers below (the size probe, two
+    # attach joins, and the token-id probe) read the blocks instead of
+    # each re-running the distinct-words aggregation (an extra corpus
+    # scan per use).
     vocab = (
         words.select("w")
         .distinct()
@@ -1047,16 +1048,29 @@ def bpe_encode(documents: DataFrame, merges: list[dict]) -> DataFrame:
         .localCheckpoint()
     )
     win = Window.partitionBy("doc_id").orderBy("wpos")
-    # two broadcast joins against the same vocab so the window exchange
-    # ships only (doc_id, wpos, w, nt) — the folded symbol arrays are
+    # scale hatch (single-scalar probe, the containment_pairs pattern —
+    # safe to collect at any corpus scale since vocab is materialized):
+    # broadcast the vocab only while it is model-sized. A pathological
+    # whitespace vocabulary (URLs/IDs at web scale can push Heaps'
+    # growth past Spark's 8 GB / 512M-row broadcast cap) routes both
+    # attach joins through shuffled-hash instead — same rows, no cliff.
+    if vocab.count() <= 5_000_000:
+        _attach = F.broadcast
+    else:
+
+        def _attach(df: DataFrame) -> DataFrame:
+            return df.hint("shuffle_hash")
+
+    # two joins against the same vocab so the window exchange ships
+    # only (doc_id, wpos, w, nt) — the folded symbol arrays are
     # re-attached AFTER the shuffle (guide §2.3: shuffle keys and
     # metadata, move the payload once)
     stream = (
         words.join(
-            F.broadcast(vocab.select("w", F.size("syms").alias("nt"))), "w"
+            _attach(vocab.select("w", F.size("syms").alias("nt"))), "w"
         )
         .withColumn("off", F.sum("nt").over(win) - F.col("nt"))
-        .join(F.broadcast(vocab), "w")
+        .join(_attach(vocab), "w")
         .select("doc_id", "off", F.posexplode("syms").alias("j", "token"))
         .select(
             "doc_id",
