@@ -1027,8 +1027,9 @@ def _q_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a bounded file stream (static-infer schema,
-    the same convention as the CDC file source)."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    the same convention as the CDC file source; inference goes through
+    the stat-keyed cache — round-13, guide §7.3)."""
+    schema = tables._parquet_schema(spark, f"{sf_dir}/documents.parquet")
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -1346,9 +1347,29 @@ def _q_bytes_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _LazyTables:
+    """Load tables on first access instead of all ten up front.
+
+    Each ``load_table`` is a driver-side ``spark.read`` construction;
+    eagerly building the full dict charged every relational query for
+    ten reads when most touch one or two (guide §7.3: driver-side
+    planning work is serial wall-clock on every query)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self._spark, self._sf_dir = spark, sf_dir
+        self._loaded: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        df = self._loaded.get(name)
+        if df is None:
+            df = tables.load_table(self._spark, self._sf_dir, name)
+            self._loaded[name] = df
+        return df
+
+
 def _rel(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = {n: tables.load_table(spark, sf_dir, n) for n in tables.TABLE_NAMES}
+        t = _LazyTables(spark, sf_dir)
         if name == "q1":
             return relational.q1_pricing_summary(t["lineitem"])
         if name == "q3":

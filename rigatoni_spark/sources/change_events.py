@@ -848,20 +848,43 @@ def read_raw_events_stream(
     return normalize_ts(reader.load(events_dir), "ts")
 
 
+# successful ts-type probes per (dir, glob, dir-mtime) — see docstring
+_TS_TYPE_CACHE: dict[tuple, T.DataType] = {}
+
+
 def _probe_ts_type(
     spark: SparkSession, events_dir: str, path_glob: str | None
 ) -> T.DataType:
     """Footer-probe the physical type of ``ts`` in the events directory.
 
     A batch ``spark.read.parquet`` schema access reads only footers (no
-    Spark job). Falls back to TIMESTAMP_NTZ (the micros representation
-    pyarrow and the current testdata write) when the directory is empty
-    or unreadable at start — new files appended later must then match.
+    Spark job) but still costs ~0.1-0.2 s of driver-side listing per
+    stream construction, paid by every streaming catalog row and every
+    Pipeline start. Successful probes are cached per (dir, glob, dir
+    mtime): any file added/removed/renamed into the directory bumps the
+    POSIX dir mtime and re-probes, so a feed that lands files after an
+    empty start is never served a stale type (round-13, guide §7.3 —
+    keep serial driver work off the query path).
     """
+    try:
+        key = [events_dir, path_glob, os.stat(events_dir).st_mtime_ns]
+        if path_glob and not any(c in path_glob for c in "*?["):
+            # literal single-file glob: key on the file itself too — an
+            # in-place rewrite changes the file stat but not dir mtime
+            st = os.stat(os.path.join(events_dir, path_glob))
+            key += [st.st_mtime_ns, st.st_size]
+        key = tuple(key)
+    except OSError:
+        key = None
+    if key is not None and key in _TS_TYPE_CACHE:
+        return _TS_TYPE_CACHE[key]
     reader = spark.read.format("parquet")
     if path_glob is not None:
         reader = reader.option("pathGlobFilter", path_glob)
     try:
-        return reader.load(events_dir).schema["ts"].dataType
+        ts_type = reader.load(events_dir).schema["ts"].dataType
     except Exception:  # noqa: BLE001 - empty dir at stream start
         return T.TimestampNTZType()
+    if key is not None:
+        _TS_TYPE_CACHE[key] = ts_type
+    return ts_type

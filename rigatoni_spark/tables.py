@@ -88,9 +88,40 @@ def normalize_ts(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+# Inferred parquet schema per (path, mtime_ns, size, nanosAsLong):
+# plain metadata, the in-process equivalent of a catalog/metastore entry
+# (same idea as Spark's own filesource listing cache, guide §6). A bare
+# ``spark.read.parquet`` runs footer inference + file listing on the
+# DRIVER on every call — ~0.1-0.3 s each, and the catalog constructs
+# thousands of reads per bench sweep. The stat-based key re-infers the
+# moment the file changes, so no result or data ever persists across
+# inputs. Schemas are session-independent StructTypes (safe across
+# SparkSession restarts in one process).
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    try:
+        st = os.stat(path)
+    except OSError:
+        # missing path: fall through to the reader for its own error
+        return spark.read.parquet(path).schema
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:  # noqa: BLE001 - conf unreadable: key on unknown
+        nanos = "?"
+    key = (path, st.st_mtime_ns, st.st_size, nanos)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     return normalize_ts(df, *_NANOS_TS_COLUMNS.get(name, []))
 
 
