@@ -572,8 +572,18 @@ def _q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             compression=CompressionCodec.GZIP,
             partition_strategy=PartitionStrategy.COLLECTION_BASED,
         )
-        for b in range(3):
-            write_batch(ce.filter(rt % 3 == b), cfg, batch_id=b)
+        # three INDEPENDENT micro-batch writes (distinct batch_ids ->
+        # distinct staging dirs and key stems) — overlap them (guide
+        # §2.6) so batch 1's probe/serialize tasks back-fill batch 0's
+        # rename tail; the compaction below is the barrier
+        from functools import partial as _partial
+
+        tables.concurrently(
+            *(
+                _partial(write_batch, ce.filter(rt % 3 == b), cfg, batch_id=b)
+                for b in range(3)
+            )
+        )
 
         def n_objects() -> int:
             return len(
@@ -1490,7 +1500,7 @@ def _run_admission_stream(
     try:
         src = os.path.join(root, "src")
         os.makedirs(src)
-        for i in range(3):
+        def _feed(i: int) -> None:
             stage = os.path.join(root, f"w{i}")
             (
                 rows.filter(F.col(id_col) % 3 == i)
@@ -1504,8 +1514,16 @@ def _run_admission_stream(
             shutil.move(part, dst)
             # pinned, strictly-increasing mtimes: the file source
             # dequeues oldest-first, so batch order == remainder order
-            # == the oracle's round order
+            # == the oracle's round order REGARDLESS of which feed
+            # write finishes first
             os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+
+        # three INDEPENDENT single-file feed writes (distinct stage
+        # dirs, distinct destinations, mtimes pinned above) — overlap
+        # them (guide §2.6); the stream starts only after all three land
+        from functools import partial as _partial
+
+        tables.concurrently(*(_partial(_feed, i) for i in range(3)))
         s = AdmissionStream(
             spark,
             src,

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import concurrently, spread
 
 # score scale: ratios land in [0, 1e6]; backoff multiplies by 0.4 once
 # (bigram path) or twice (unigram path), expressed as *4 div 10 and
@@ -249,8 +249,13 @@ def _trained_tables(
         train_rows, prune_min=prune_min
     )
     handles = (tri.persist(), bi.persist(), roll.persist())
-    for t in handles:
-        t.count()
+    # three INDEPENDENT materialization jobs — overlap them (guide
+    # §2.6): bi's and the rollup's tasks back-fill executors idled by
+    # tri's reduce tail instead of waiting for the full job, and the
+    # shared train_rows cache is still computed exactly once (the
+    # BlockManager's per-partition locks serialize block computation,
+    # not the jobs)
+    concurrently(*(t.count for t in handles))
     if owned:
         train_rows.unpersist()
     return (tri, bi, uni, total), handles
@@ -485,6 +490,17 @@ FROM doc_scores CROSS JOIN corpus ORDER BY doc_id
 
 _ARTIFACT_PARTS = ("tri", "bi", "uni", "total")
 
+# the artifact wire format lm_save writes (count tables + 1-row total);
+# lm_load reads with these EXPLICIT schemas — parquet matches columns
+# by name, so part-file column order is free, but a type drift fails
+# at scan instead of being silently re-inferred
+_ARTIFACT_SCHEMAS = {
+    "tri": "t2 string, t1 string, t string, c3 bigint, cx3 bigint",
+    "bi": "t1 string, t string, c2 bigint, cx2 bigint",
+    "uni": "t string, c1 bigint",
+    "total": "n_total bigint",
+}
+
 
 def lm_save(
     documents: DataFrame, path: str, prune_min: int = 1
@@ -503,16 +519,25 @@ def lm_save(
     stores front this with the sink's staged-rename protocol)."""
     import os
 
+    from functools import partial
+
     train_rows = _position_rows(documents).persist()
     tri, bi, uni, total, _ = _count_tables_from_rows(
         train_rows, prune_min=prune_min
     )
     parts = dict(zip(_ARTIFACT_PARTS, (tri, bi, uni, total)))
-    out = {}
-    for name, df in parts.items():
+
+    def _write(name: str, df: DataFrame) -> tuple[str, str]:
         p = os.path.join(path, name)
         df.write.mode("overwrite").parquet(p)
-        out[name] = p
+        return name, p
+
+    # four INDEPENDENT artifact writes to distinct dirs — overlap them
+    # (guide §2.6); the shared train_rows cache is computed once under
+    # the BlockManager's per-partition locks
+    out = dict(
+        concurrently(*(partial(_write, n, d) for n, d in parts.items()))
+    )
     train_rows.unpersist()
     return out
 
@@ -522,11 +547,19 @@ def lm_load(
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Load a saved LM artifact: (tri, bi, uni, total) DataFrames
     straight off parquet — scan-prunable, and small enough post-prune
-    that AQE broadcasts them into the scoring joins."""
+    that AQE broadcasts them into the scoring joins.
+
+    The artifact schema is FIXED by ``lm_save`` (the wire format this
+    module owns), so each read passes it explicitly: no driver-side
+    footer schema inference per part (guide §6 — same posture as
+    ``tables.load_table``'s schema cache), and a drifted artifact fails
+    loudly at scan instead of silently re-inferring a new shape."""
     import os
 
     return tuple(
-        spark.read.parquet(os.path.join(path, name))
+        spark.read.schema(_ARTIFACT_SCHEMAS[name]).parquet(
+            os.path.join(path, name)
+        )
         for name in _ARTIFACT_PARTS
     )
 

@@ -207,6 +207,46 @@ def truncator(spark: SparkSession, checkpoint_dir: str | None):
     return lambda df: df.localCheckpoint()
 
 
+def concurrently(*thunks):
+    """Run independent Spark ACTIONS concurrently from a small driver
+    thread pool; returns their results in thunk order.
+
+    Spark's scheduler runs any number of jobs at once inside one
+    application — actions are only sequential because driver code calls
+    them sequentially. Overlapping independent actions lets a later
+    job's tasks back-fill executors idled by an earlier job's reduce
+    tail (FIFO scheduling gives the earlier job priority, which is
+    exactly the back-fill behavior wanted). Job groups/descriptions are
+    thread-local in Spark, so concurrent actions keep their own UI
+    labels. Thunks sharing an unmaterialized cached parent are safe:
+    the BlockManager's per-partition cache locks make exactly one task
+    compute each cached block while the others wait for it.
+
+    Every thunk runs to completion even when one fails (a
+    mid-collection re-raise would leave live actions racing the
+    caller's teardown — unpersist/rmtree); the FIRST failure then
+    re-raises. With 0 or 1 thunks this degrades to a plain call."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: list = [None] * len(thunks)
+    first_exc: BaseException | None = None
+    # a few jobs in flight is plenty to fill stage tails; more would
+    # fight for executors (and py4j connections) without adding overlap
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for i, fut in enumerate(futures):
+            try:
+                results[i] = fut.result()
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                if first_exc is None:
+                    first_exc = exc
+    if first_exc is not None:
+        raise first_exc
+    return results
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -257,3 +257,22 @@ def test_empty_training_corpus_keeps_per_doc_rows(spark, tiny, tmp_path):
     ).collect()
     assert {r["doc_id"] for r in rows} == {0, 1}
     assert all(r["lm_score_x1m"] is None for r in rows)
+
+
+def test_artifact_static_schema_matches_inference(tiny, tmp_path):
+    """lm_load's EXPLICIT wire-format schemas (round-13: skip per-part
+    footer inference) must equal what bare inference reads off a fresh
+    lm_save artifact — same dtypes, same rows — so a drift in the write
+    side cannot hide behind the static read schema."""
+    import os
+
+    spark = tiny.sparkSession
+    paths = ngram_lm.lm_save(tiny, str(tmp_path / "m3"))
+    loaded = ngram_lm.lm_load(spark, str(tmp_path / "m3"))
+    for name, df in zip(ngram_lm._ARTIFACT_PARTS, loaded):
+        inferred = spark.read.parquet(paths[name])
+        assert dict(df.dtypes) == dict(inferred.dtypes), name
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, inferred.collect())
+        ), name
+        assert os.path.isdir(paths[name])
