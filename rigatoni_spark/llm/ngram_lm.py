@@ -110,25 +110,37 @@ def _count_tables_from_rows(
     uni_roll = rows.rollup("t").agg(
         F.count(F.lit(1)).alias("c1"), F.grouping("t").alias("_g")
     )
+    uni, total = _uni_total_from_roll(uni_roll, prune_min)
+    if prune_min > 1:
+        tri = tri.filter(F.col("c3") >= prune_min)
+        bi = bi.filter(F.col("c2") >= prune_min)
+    return (tri, bi, uni, total, uni_roll)
+
+
+def _uni_total_from_roll(
+    uni_roll: DataFrame, prune_min: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """(uni, total) as filters over the shared unigram rollup — one
+    derivation used by both the lazy count tables and the materialized
+    model, so the two paths cannot drift.
+
+    rollup on an EMPTY corpus yields zero rows (Expand + groupBy has
+    no groups, grand-total included), but ``total`` must stay exactly
+    one row: _score_with_model cross-joins broadcast(total), so a
+    zero-row total would silently erase every per-doc score row, and
+    lm_save would write an empty total artifact. The trailing global
+    agg coalesces the ≤1-row filter output to one row (n_total=0 on
+    an empty corpus ⇒ scores come back null, rows preserved)."""
     uni = uni_roll.filter(F.col("_g") == 0).drop("_g")
-    # rollup on an EMPTY corpus yields zero rows (Expand + groupBy has
-    # no groups, grand-total included), but `total` must stay exactly
-    # one row: _score_with_model cross-joins broadcast(total), so a
-    # zero-row total would silently erase every per-doc score row, and
-    # lm_save would write an empty total artifact. The trailing global
-    # agg coalesces the ≤1-row filter output to one row (n_total=0 on
-    # an empty corpus ⇒ scores come back null, rows preserved).
     total = (
         uni_roll.filter(F.col("_g") == 1)
         .groupBy()
         .agg(F.coalesce(F.max("c1"), F.lit(0)).alias("n_total"))
     )
     if prune_min > 1:
-        tri = tri.filter(F.col("c3") >= prune_min)
-        bi = bi.filter(F.col("c2") >= prune_min)
         # total stays PRE-prune (true corpus size); only uni thins
         uni = uni.filter(F.col("c1") >= prune_min)
-    return (tri, bi, uni, total, uni_roll)
+    return uni, total
 
 
 def lm_count_tables(
@@ -199,11 +211,20 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     # slowed UNRELATED queries via memory pressure): the corpus-sized
     # gram cache lives only long enough to materialize the count
     # tables and the per-doc scores; what the caller's collect reads
-    # is the doc-sized scores cache, the only block left behind.
+    # is the doc-sized checkpointed scores, the only blocks left
+    # behind — and those are GC-tied, not CacheManager-pinned.
     rows = rows.persist()
     tables, handles = _trained_tables(rows, prune_min=prune_min)
-    scores = _score_with_model(rows, *tables).persist()
-    scores.count()  # one materialization through the gram/table caches
+    # one materialization through the gram cache, lineage SEVERED
+    # (localCheckpoint, not persist+count — the _materialize_once
+    # idiom): every later action over the doc-sized scores (the gate's
+    # mean+banding join, the driver's collect, repeated bench passes)
+    # reads flat LogicalRDD blocks instead of re-paying the
+    # corpus-sized cached-plan lineage per action (measured 3.8 s vs
+    # 0.3 s per banding-join action at sf0.1), and the blocks free by
+    # GC when the returned plan drops instead of pinning a
+    # CacheManager entry
+    scores = _score_with_model(rows, *tables).localCheckpoint()
     rows.unpersist()
     for t in handles:
         t.unpersist()
@@ -216,7 +237,7 @@ def _score_rows(
     """Score position rows (batch OR streaming) against a model trained
     on ``train_rows`` position rows (always batch): the train-offline /
     score-online split. Unordered per-doc output — callers order or
-    window it. Returns (scored, cached_handles); the handles are the
+    window it. Returns (scored, handles); the handles are the
     PERSISTED model tables and the caller owns their lifecycle —
     unpersist them once scoring is done (round-11 lesson: a persist
     without an unpersist plan taxes unrelated queries for the session
@@ -241,7 +262,17 @@ def _trained_tables(
     three jobs, not four, because ``total`` rides the rollup instead of
     paying its own aggregation (round-11 ask #7). Callers that finish
     with the model must unpersist the handles (unpersisting uni/total
-    themselves would be a no-op — they are filters over the rollup)."""
+    themselves would be a no-op — they are filters over the rollup).
+
+    persist+count, NOT localCheckpoint (measured round 13): the scoring
+    joins rely on the tables' ACCURATE InMemoryRelation size stats to
+    auto-broadcast; a lineage-severed LogicalRDD reports the default
+    (huge) sizeInBytes, which silently demoted the stream-static
+    per-trigger joins — where no AQE can recover the strategy — to
+    shuffled joins (s7_stream_lm_surprisal 4.0 -> 5.7 s in the
+    interleaved A/B). The per-action lineage tax localCheckpoint fixes
+    is paid ONCE here by the scores materialization in lm_surprisal,
+    which IS checkpointed."""
     owned = not train_rows.is_cached and not train_rows.isStreaming
     if owned:
         train_rows = train_rows.persist()
@@ -317,7 +348,10 @@ def lm_surprisal_stream(
     way.
 
     Training persists the model tables so each micro-batch joins
-    against the cache instead of re-aggregating the corpus. Pass
+    against the cache instead of re-aggregating the corpus — and so
+    the per-trigger joins keep the tables' ACCURATE InMemoryRelation
+    size stats for auto-broadcast (round-13 measurement: severing
+    their lineage demoted the stream-static joins to shuffles). Pass
     ``tables_out`` (a list) to receive the persisted handles: a caller
     draining a BOUNDED stream must unpersist them after the drain, or
     the model-sized caches outlive the query for the whole session
@@ -348,8 +382,9 @@ def lm_gate(documents: DataFrame) -> DataFrame:
     between. A production pipeline keeps head+middle; the catalog row
     returns the full banding so the oracle checks every boundary."""
     # scores feed BOTH the corpus-mean agg and the banding join —
-    # lm_surprisal already returns them cached + materialized (one
-    # doc-sized cache, gram rows dropped)
+    # lm_surprisal returns them materialized with lineage severed
+    # (doc-sized checkpoint blocks, gram rows dropped), so both
+    # consumers re-plan a flat LogicalRDD
     scores = lm_surprisal(documents)
     mean = scores.agg(
         F.expr("sum(lm_score_x1m) div count(1)").alias("corpus_mean")
