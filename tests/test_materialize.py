@@ -302,6 +302,9 @@ class TestScd2Stream:
         itself must fail (q.exception() non-None — a setup error, dir
         misread, or timeout does NOT count) and the query's exception
         is returned instead."""
+        import os
+        import time
+
         import pyarrow.parquet as pq
 
         from rigatoni_spark.operators.materialize import scd2_stream
@@ -313,8 +316,16 @@ class TestScd2Stream:
 
         src = tmp_path / "scd2src"
         src.mkdir()
+        # FileStreamSource orders files by MODIFICATION TIME, not path:
+        # two slices written back-to-back can land in the same mtime
+        # tick, leaving the feed order undefined (measured: inverting
+        # the mtimes inverts the feed). Pin strictly increasing mtimes
+        # so slice i is always micro-batch i.
+        now = time.time()
         for i, sl in enumerate(slices):
-            pq.write_table(sl, str(src / f"{i:03d}.parquet"))
+            p = str(src / f"{i:03d}.parquet")
+            pq.write_table(sl, p)
+            os.utime(p, (now + 10 * (i + 1), now + 10 * (i + 1)))
         sdf = read_change_events_stream(
             spark, str(src), max_files_per_trigger=1
         )
@@ -329,11 +340,26 @@ class TestScd2Stream:
             .start()
         )
         if expect_failure:
-            try:
-                out.awaitTermination(300)
-            except Exception:  # noqa: BLE001 - surfaced via exception()
-                pass
-            exc = out.exception()
+            # poll exception() with a deadline rather than one opaque
+            # awaitTermination round: under a loaded suite the await
+            # can return before the failure is observable, and a poll
+            # loop pins WHEN we give up instead of relying on the
+            # engine's termination bookkeeping
+            import time as _time
+
+            deadline = _time.monotonic() + 300
+            exc = None
+            while _time.monotonic() < deadline:
+                try:
+                    if out.awaitTermination(5):
+                        pass  # terminated cleanly; fall through to poll
+                except Exception:  # noqa: BLE001 - surfaced via exception()
+                    pass
+                exc = out.exception()
+                if exc is not None or not out.isActive:
+                    break
+            if exc is None:
+                exc = out.exception()
             out.stop()
             assert exc is not None, (
                 "the scd2_stream query drained without failing"
