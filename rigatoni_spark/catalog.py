@@ -1174,12 +1174,10 @@ def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rigatoni_spark.llm.contamination import _word_ngrams
 
     grams = F.array_distinct(_word_ngrams(F.col("__toks"), 4))
-    s_grams = (
-        _documents_stream(spark, sf_dir)
-        .filter(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
-        .select("doc_id", F.explode(grams).alias("gram"))
-    )
+    s_grams = tables.tokenize_once(
+        _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 97 != 0),
+        "doc_id",
+    ).select("doc_id", F.explode(grams).alias("gram"))
     hits = s_grams.join(F.broadcast(bench), "gram").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated_grams")
     )

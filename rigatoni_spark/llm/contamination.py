@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, tokenize_once
 
 
 def _word_ngrams(toks, n: int):
@@ -46,8 +46,7 @@ def _word_ngrams(toks, n: int):
 
 def _doc_grams(documents: DataFrame, n: int) -> DataFrame:
     return (
-        spread(documents)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select(
             "doc_id",
             F.explode(
@@ -257,8 +256,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     # once per exploded row (size(array_distinct(w)) per bigram row =
     # O(words²) per doc; plan-verified)
     base = (
-        spread(documents)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select(
             "doc_id",
             "__toks",

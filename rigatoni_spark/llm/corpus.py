@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, tokenize_once
 
 MIN_TOKENS = 30
 MIN_TTR = 0.5  # type-token ratio floor (repetition filter)
@@ -292,8 +292,7 @@ def paragraph_dedup(
         f"i * {seg_tokens} + 1, {seg_tokens})))"
     )
     exploded = (
-        spread(documents)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select("doc_id", F.posexplode(segs).alias("pos", "seg"))
         .filter(F.col("seg") != "")
     )
@@ -447,8 +446,7 @@ def chunk_with_overlap(
         ),
     )
     return (
-        spread(documents)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
         .select(
             "doc_id",

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, tokenize_once
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -114,9 +114,7 @@ def chunk_dedup_stats(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
         ),
     )
-    chunks = spread(documents).select(
-        "doc_id", F.split(F.col("text"), " ").alias("__toks")
-    ).select(
+    chunks = tokenize_once(spread(documents), "doc_id").select(
         "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
     ).select(
         "doc_id",
@@ -199,9 +197,7 @@ def chunk_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
         ),
     )
-    chunks = spread(documents).select(
-        "doc_id", F.split(F.col("text"), " ").alias("__toks")
-    ).select(
+    chunks = tokenize_once(spread(documents), "doc_id").select(
         "doc_id", F.posexplode(chunk_texts).alias("chunk_idx", "chunk")
     ).select(
         "doc_id",
@@ -408,8 +404,7 @@ def top_duplicated_spans(
         lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
     )
     return (
-        spread(documents)
-        .select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select("doc_id", F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(
@@ -486,7 +481,7 @@ def maximal_duplicated_spans(
         ),
     )
     wins = (
-        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        tokenize_once(d, "doc_id")
         .select("doc_id", F.explode(win_structs).alias("w"))
         .select(
             "doc_id",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, tokenize_once
 
 DEFAULT_K = 8  # hash functions
 DEFAULT_BANDS = 4  # => r = k/bands rows per band
@@ -39,7 +39,7 @@ DEFAULT_BANDS = 4  # => r = k/bands rows per band
 
 def _shingles(toks, n: int = 3):
     """Word n-gram shingles (distinct) over a MATERIALIZED token-array
-    column. Callers alias ``_toks()`` in their own projection first
+    column. Callers project through ``tables.tokenize_once`` first
     (round-13, guide §4/§2.3): referencing the ``split()`` expression
     directly here would embed it in the transform lambda and re-tokenize
     the document once per window position — O(words²) per doc. A
@@ -51,11 +51,6 @@ def _shingles(toks, n: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
-
-
-def _toks(text_col: str = "text"):
-    """Whitespace tokenization, to be materialized by the caller."""
-    return F.split(F.col(text_col), " ")
 
 
 def minhash_signatures(
@@ -71,8 +66,7 @@ def minhash_signatures(
     # compacted inputs scan as 1 partition; the shingle+md5 stage is the
     # CPU hot spot, so make sure it runs wide (no-op on wide inputs)
     sh = (
-        spread(documents)
-        .select("doc_id", _toks().alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select(
             "doc_id",
             F.explode(_shingles(F.col("__toks"), n=shingle_n)).alias(
@@ -163,8 +157,7 @@ def near_duplicates(
         max_bucket=max_bucket,
     )
     t = (
-        spread(documents)
-        .select("doc_id", _toks().alias("__toks"))
+        tokenize_once(spread(documents), "doc_id")
         .select("doc_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh"))
     )
     j = (
@@ -327,8 +320,7 @@ def incremental_near_duplicates(
         .localCheckpoint()
     )
     shi = (
-        spread(increment)
-        .select("doc_id", _toks().alias("__toks"))
+        tokenize_once(spread(increment), "doc_id")
         .select(
             "doc_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh_i")
         )
@@ -348,8 +340,10 @@ def incremental_near_duplicates(
     # otherwise exchange the full corpus text before the semi filter);
     # only the candidate survivors reach the shingle expressions
     shc = (
-        corpus.join(cand_ids, "doc_id", "left_semi")
-        .select(F.col("doc_id").alias("corpus_id"), _toks().alias("__toks"))
+        tokenize_once(
+            corpus.join(cand_ids, "doc_id", "left_semi"),
+            F.col("doc_id").alias("corpus_id"),
+        )
         .select(
             "corpus_id", _shingles(F.col("__toks"), n=shingle_n).alias("sh_c")
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rigatoni_spark.tables import spread
+from rigatoni_spark.tables import spread, tokenize_once
 
 
 def _tokens(col: str = "text"):
@@ -313,8 +313,7 @@ def bigram_counts(documents: DataFrame, k: int = 30) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        spread(documents)
-        .select(_tokens().alias("__toks"))
+        tokenize_once(spread(documents))
         .select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -487,7 +486,7 @@ def _qlf_features(df: DataFrame, *keep: str) -> DataFrame:
     materialized in its own projection BEFORE the bigram lambda (see
     ``_qlf_feats_expr``; CollapseProject keeps the multi-referenced
     split un-inlined, which is what makes tokenization once-per-row)."""
-    return df.select(*keep, _tokens().alias("__toks")).select(
+    return tokenize_once(df, *keep).select(
         *keep, F.explode(_qlf_feats_expr(F.col("__toks"))).alias("f")
     )
 

@@ -194,6 +194,34 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     return df
 
 
+def tokenize_once(
+    df: DataFrame,
+    *keep: str,
+    tokens=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the token array in its OWN projection: ``SELECT
+    *keep, <tokens> AS __toks``.
+
+    The tokenize-once invariant (round 13, change #7): a ``split()``
+    left INSIDE a window/transform lambda or beside an ``explode`` is
+    re-evaluated once per window position / exploded row — interpreted
+    higher-order expressions do no common-subexpression elimination, so
+    the document re-tokenizes O(words) times (quadratic per doc).
+    Giving the token array its own projection below the consumer fixes
+    it: a multi-referenced non-cheap alias survives CollapseProject, so
+    the plan keeps exactly one ``split()`` per scan branch.
+
+    ``tokens`` overrides the default whitespace ``split(text_col, ' ')``
+    tokenizer expression (e.g. minhash's lower+filter variant). Every
+    gram/chunk/shingle/segment operator MUST build its token column
+    through this helper so a new operator inherits the invariant (and
+    the plan guards in tests/test_tokenize_once.py) for free.
+    """
+    toks = tokens if tokens is not None else F.split(F.col(text_col), " ")
+    return df.select(*keep, toks.alias("__toks"))
+
+
 def truncator(spark: SparkSession, checkpoint_dir: str | None):
     """Lineage-truncation strategy shared by the iterative operators
     (duplicate_clusters, the k-means family): ``None`` ->

@@ -119,3 +119,70 @@ def test_restructured_operators_still_compute_the_same(spark, docs):
     # one row per doc that has at least one shingle (empty doc's
     # shingle array is [''] -> still one row; pin count only)
     assert len(sig) == 3
+
+
+def test_toks_materialization_routes_through_the_helper():
+    """The invariant is structural, not per-operator (round-14): every
+    ``__toks`` projection in the package must come from
+    ``tables.tokenize_once``, so a NEW operator written without the
+    pattern fails here instead of silently reintroducing the quadratic
+    re-tokenize."""
+    import os
+
+    import rigatoni_spark
+
+    pkg = os.path.dirname(rigatoni_spark.__file__)
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            if os.path.basename(path) == "tables.py":
+                continue  # the helper itself
+            with open(path, encoding="utf-8") as fh:
+                for i, line in enumerate(fh, 1):
+                    if 'alias("__toks")' in line or "alias('__toks')" in line:
+                        offenders.append(f"{path}:{i}")
+    assert not offenders, (
+        "raw __toks materializations outside tables.tokenize_once "
+        f"(use the helper): {offenders}"
+    )
+
+
+def test_tokenize_once_helper_matches_manual_projection(spark, docs):
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.tables import tokenize_once
+
+    got = tokenize_once(docs, "doc_id").collect()
+    want = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).collect()
+    assert got == want
+
+
+def test_tokenize_once_streaming_frame_splits_once(spark, docs, tmp_path):
+    """The plan guard extends to STREAMING frames: the same helper on a
+    readStream source keeps exactly one split() per scan branch below
+    the gram Generate (the stream-decon catalog row's shape)."""
+    from pyspark.sql import functions as F
+
+    from rigatoni_spark.llm.contamination import _word_ngrams
+    from rigatoni_spark.tables import tokenize_once
+
+    src = str(tmp_path / "docs_feed")
+    docs.write.parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    grams = tokenize_once(sdf, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_word_ngrams(F.col("__toks"), 4))
+        ).alias("gram"),
+    )
+    p = _plan(grams)
+    splits, scans = p.count("split(text"), p.count(") Scan")
+    assert 0 < splits <= max(scans, 1), (
+        f"streaming frame: split() appears {splits}x over {scans} scan "
+        "branches — an in-lambda re-tokenize"
+    )
