@@ -8,6 +8,7 @@ runs both sides at sf0.01 and hash-compares.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -214,6 +215,7 @@ def _q_stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_stream(sdf),
         "stream_scd2",
         ["collection", "document_key", "valid_from"],
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return scd2_stream_winnow(drained)
 
@@ -346,7 +348,7 @@ def _q_stream_pre_images_reordered(
         reorder_within=f"{delay_s} seconds",
     )
     drained = _drain_to_memory_table(
-        sdf.select(*cols), "stream_pi_reorder", ["event_id"]
+        sdf.select(*cols), "stream_pi_reorder", ["event_id"], feed=feed
     )
     return drained.filter(
         F.col("document_key") != f'{{"_id":{_REORDER_SENTINEL_USER}}}'
@@ -392,6 +394,7 @@ def _q_stream_scd2_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_stream(sdf, reorder_within=f"{delay_s} seconds"),
         "stream_scd2_reorder",
         ["collection", "document_key", "valid_from"],
+        feed=feed,
     )
     return scd2_stream_winnow(
         drained.filter(
@@ -642,6 +645,7 @@ def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_wc",
         ["window_start", "collection"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -662,6 +666,7 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_sessions",
         ["user_id", "session_start"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -685,6 +690,7 @@ def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_hll",
         ["bucket"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return hll_estimate_from_registers(regs)
 
@@ -721,6 +727,7 @@ def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_cms",
         ["row", "cell"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return cms_point_estimates(
         tables.load_table(spark, sf_dir, "events"),
@@ -748,7 +755,11 @@ def _q_stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     drained = _drain_to_memory_table(
-        profiled, "stream_profiles", ["user_id"], output_mode="complete"
+        profiled,
+        "stream_profiles",
+        ["user_id"],
+        output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return drained.selectExpr(
         "*", _peak_hour_expr() + " AS peak_hour"
@@ -773,6 +784,7 @@ def _q_stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_hdr",
         ["shift", "top5"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return hdr_quantiles(None, "value", hist=hist)
 
@@ -810,6 +822,7 @@ def _q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_bloom",
         ["pos"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "orders.parquet"),
     ).select("pos")
     return bloom_semijoin_report(
         orders_batch,
@@ -851,7 +864,10 @@ def _q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "t_ins", "t_del")
     )
     return _drain_to_memory_table(
-        joined, "stream_ij", ["key", "t_ins", "t_del"]
+        joined,
+        "stream_ij",
+        ["key", "t_ins", "t_del"],
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -861,6 +877,7 @@ def _drain_to_memory_table(
     order_cols: list[str],
     output_mode: str = "append",
     cleanup=None,
+    feed: str | tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Run a bounded streaming DataFrame to completion into a memory
     sink and return the drained table. Raises loudly on a timeout or a
@@ -871,38 +888,54 @@ def _drain_to_memory_table(
     failure — the hook for releasing resources the STREAM held but the
     drained memory table does not need (persisted model tables, temp
     model artifacts); without it each catalog/bench pass would leak
-    them for the session lifetime (round-11 cache-lifecycle lesson)."""
+    them for the session lifetime (round-11 cache-lifecycle lesson).
+
+    ``feed`` (the source file/dir path(s)) opts the drain into the
+    DATA-SCALED state/shuffle width policy (round-14, guide §2.2,
+    ``tables.scaled_stream_width``): the query's state partitioning is
+    sized to the bounded feed's bytes instead of the session's
+    cluster-compute width, clamped to [floor, session width]. The conf
+    stays scoped from start() through awaitTermination because the
+    stream captures it at first-batch planning."""
     import shutil
     import tempfile
     import uuid
 
+    spark = df.sparkSession
+    width = None
+    if feed is not None:
+        paths = (feed,) if isinstance(feed, str) else tuple(feed)
+        width = tables.scaled_stream_width(spark, *paths)
     name = f"{what}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{what}_ckpt_")
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-        if not finished:
-            exc = q.exception()
-            q.stop()
-            raise RuntimeError(
-                f"streaming {what} query did not drain in 300s"
-                + (f": {exc}" if exc else "")
-            )
-        if q.exception() is not None:
-            raise RuntimeError(f"streaming {what} query failed: {q.exception()}")
-    finally:
-        # the drained result lives in the memory sink, not the WAL
-        shutil.rmtree(ckpt, ignore_errors=True)
-        if cleanup is not None:
-            cleanup()
-    return df.sparkSession.table(name).orderBy(*order_cols)
+    with tables.scoped_shuffle_width(spark, width):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+            if not finished:
+                exc = q.exception()
+                q.stop()
+                raise RuntimeError(
+                    f"streaming {what} query did not drain in 300s"
+                    + (f": {exc}" if exc else "")
+                )
+            if q.exception() is not None:
+                raise RuntimeError(
+                    f"streaming {what} query failed: {q.exception()}"
+                )
+        finally:
+            # the drained result lives in the memory sink, not the WAL
+            shutil.rmtree(ckpt, ignore_errors=True)
+            if cleanup is not None:
+                cleanup()
+    return spark.table(name).orderBy(*order_cols)
 
 
 def _q_stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,15 +960,19 @@ def _q_stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(feed, "events.parquet"),
         )
-        mv = MaterializedView(
-            spark,
-            feed,
-            os.path.join(root, "snap"),
-            os.path.join(root, "ckpt"),
-        ).start(available_now=True)
-        mv.await_termination(300)
-        if mv._query is not None and mv._query.isActive:
-            raise RuntimeError("materialized view did not drain in 300s")
+        # same data-scaled state width policy as _drain_to_memory_table
+        with tables.scoped_shuffle_width(
+            spark, tables.scaled_stream_width(spark, feed)
+        ):
+            mv = MaterializedView(
+                spark,
+                feed,
+                os.path.join(root, "snap"),
+                os.path.join(root, "ckpt"),
+            ).start(available_now=True)
+            mv.await_termination(300)
+            if mv._query is not None and mv._query.isActive:
+                raise RuntimeError("materialized view did not drain in 300s")
         out = mv.snapshot().localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1001,6 +1038,7 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "dbz_rt",
             ["resume_token", "document_key", "operation"],
+            feed=lines,
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1032,6 +1070,7 @@ def _q_stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_enrich",
         ["c_mktsegment", "operation"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -1059,6 +1098,7 @@ def _q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_qgate",
         ["doc_id"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "documents.parquet"),
     )
 
 
@@ -1083,6 +1123,7 @@ def _q_stream_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded drain: the persisted model tables served their last
         # micro-batch — release them or they tax every later query
         cleanup=lambda: [t.unpersist() for t in model_tables],
+        feed=os.path.join(sf_dir, "documents.parquet"),
     )
 
 
@@ -1109,6 +1150,7 @@ def _q_stream_lm_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the drained memory table no longer reads the parquet model —
         # delete it, or repeated passes accumulate model-sized /tmp dirs
         cleanup=lambda: _sh.rmtree(model_path, ignore_errors=True),
+        feed=os.path.join(sf_dir, "documents.parquet"),
     )
 
 
@@ -1148,6 +1190,7 @@ def _q_stream_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_gapfill",
         ["event_type", "bucket_start"],
         output_mode="complete",
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
     return advanced.gapfill_from_rollup(rollup)
 
@@ -1182,7 +1225,11 @@ def _q_stream_decon_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_contaminated_grams")
     )
     return _drain_to_memory_table(
-        hits, "stream_decon", ["doc_id"], output_mode="complete"
+        hits,
+        "stream_decon",
+        ["doc_id"],
+        output_mode="complete",
+        feed=os.path.join(sf_dir, "documents.parquet"),
     )
 
 
@@ -1210,6 +1257,7 @@ def _q_stream_pre_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "stream_pi",
         ["event_id"],
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 
@@ -1233,6 +1281,7 @@ def _q_stream_update_description(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "stream_ud",
         ["event_id"],
+        feed=os.path.join(sf_dir, "events.parquet"),
     )
 
 

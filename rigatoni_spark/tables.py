@@ -222,6 +222,97 @@ def tokenize_once(
     return df.select(*keep, toks.alias("__toks"))
 
 
+def feed_bytes(*paths: str) -> int:
+    """Total on-disk bytes of the given feed files/directories
+    (metadata only — os.stat walk, no Spark job)."""
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    return total
+
+
+def scaled_stream_width(
+    spark: SparkSession,
+    *paths: str,
+    floor: int | None = None,
+    target_bytes: int | None = None,
+) -> int:
+    """Data-scaled shuffle/state partition width for a BOUNDED streaming
+    drain (guide §2.2): ``clamp(ceil(feed_bytes / target), floor,
+    session shuffle width)``.
+
+    A streaming query's state partitioning is fixed at the session's
+    ``spark.sql.shuffle.partitions`` when the first batch plans — a
+    width sized for the CLUSTER's compute, not for the feed. For a
+    bounded drain over a small feed that means hundreds of near-empty
+    state partitions whose per-trigger open/commit overhead dominates
+    the wall (measured on this engine: 8-core runs beat 32-core 2-3x on
+    the drain rows; tools/width_probe.py quantifies per-width). The
+    policy is DATA-scaled, not a local-core constant: at 100 TB
+    ``bytes/target`` exceeds any session width and the clamp returns the
+    cluster-set session width unchanged; only small feeds narrow.
+
+    Knobs (cluster-settable):
+      spark.rigatoni.stream.width.floor        (default 8)
+      spark.rigatoni.stream.width.targetBytes  (default 32 MiB)
+
+    The floor covers per-KEY compute-heavy state folds
+    (applyInPandasWithState), where parallelism matters even for tiny
+    feeds (measured: widths < 8 regress the scd2/pre-image drains).
+    For LONG-LIVED production streams size state to peak expected
+    volume, not first-batch volume — this helper is for bounded drains
+    whose input is fully on disk when the query starts.
+    """
+    if floor is None:
+        floor = int(spark.conf.get("spark.rigatoni.stream.width.floor", "8"))
+    if target_bytes is None:
+        target_bytes = int(
+            spark.conf.get(
+                "spark.rigatoni.stream.width.targetBytes",
+                str(32 * 1024 * 1024),
+            )
+        )
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    data_w = -(-feed_bytes(*paths) // target_bytes)  # ceil
+    return max(min(floor, session_w), min(session_w, data_w))
+
+
+class scoped_shuffle_width:
+    """Scope ``spark.sql.shuffle.partitions`` for a streaming drain.
+
+    Streaming queries capture the width at FIRST-batch planning (it
+    becomes the query's state partitioning, persisted in the checkpoint
+    offset metadata) — so the conf must stay set from ``start()``
+    through ``awaitTermination``, not just around construction. Restore
+    happens in ``__exit__``. Width <= 0 or None degrades to a no-op.
+    """
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, width: int | None) -> None:
+        self.spark = spark
+        self.width = width
+        self._prev: str | None = None
+
+    def __enter__(self) -> "scoped_shuffle_width":
+        if self.width and self.width > 0:
+            self._prev = self.spark.conf.get(self._KEY)
+            self.spark.conf.set(self._KEY, str(self.width))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is not None:
+            self.spark.conf.set(self._KEY, self._prev)
+
+
 def truncator(spark: SparkSession, checkpoint_dir: str | None):
     """Lineage-truncation strategy shared by the iterative operators
     (duplicate_clusters, the k-means family): ``None`` ->
