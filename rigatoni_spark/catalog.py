@@ -896,10 +896,18 @@ def _drain_to_memory_table(
     sized to the bounded feed's bytes instead of the session's
     cluster-compute width, clamped to [floor, session width]. The conf
     stays scoped from start() through awaitTermination because the
-    stream captures it at first-batch planning."""
+    stream captures it at first-batch planning.
+
+    Every drain runs under RocksDB + changelog checkpointing
+    (``session.rocksdb_state``): the 100 TB state posture (off-heap,
+    per-commit cost = batch delta, not total state), and measured
+    faster than the heap provider on every stateful row at bench scale
+    too."""
     import shutil
     import tempfile
     import uuid
+
+    from rigatoni_spark.session import rocksdb_state
 
     spark = df.sparkSession
     width = None
@@ -908,7 +916,9 @@ def _drain_to_memory_table(
         width = tables.scaled_stream_width(spark, *paths)
     name = f"{what}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"{what}_ckpt_")
-    with tables.scoped_shuffle_width(spark, width):
+    with tables.scoped_shuffle_width(spark, width), rocksdb_state(
+        spark, changelog=True
+    ):
         q = (
             df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -960,10 +970,13 @@ def _q_stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(feed, "events.parquet"),
         )
-        # same data-scaled state width policy as _drain_to_memory_table
+        # same data-scaled state width + RocksDB changelog posture as
+        # _drain_to_memory_table
+        from rigatoni_spark.session import rocksdb_state
+
         with tables.scoped_shuffle_width(
             spark, tables.scaled_stream_width(spark, feed)
-        ):
+        ), rocksdb_state(spark, changelog=True):
             mv = MaterializedView(
                 spark,
                 feed,

@@ -94,6 +94,23 @@ class TestScopedWidth:
         assert spark.conf.get(key) == before
 
 
+class TestRocksdbChangelogScope:
+    def test_changelog_scope_sets_and_restores_both_confs(self, spark):
+        from rigatoni_spark.session import ROCKSDB_PROVIDER, rocksdb_state
+
+        pkey = "spark.sql.streaming.stateStore.providerClass"
+        ckey = (
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+        with rocksdb_state(spark, changelog=True):
+            assert ROCKSDB_PROVIDER in spark.conf.get(pkey)
+            assert spark.conf.get(ckey) == "true"
+        # both restored to engine defaults (unset -> default values)
+        assert ROCKSDB_PROVIDER not in spark.conf.get(pkey)
+        assert spark.conf.get(ckey, "false") == "false"
+
+
 class TestDrainUnderPolicy:
     def test_state_partitions_match_policy_and_result_is_unchanged(
         self, spark, tmp_path
