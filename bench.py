@@ -197,6 +197,16 @@ def main() -> None:
     # warm the JVM + page cache once, outside timed regions
     read_change_events(spark, SF_DIR).count()
 
+    # fixture setup, outside ALL timed passes (round-14, r13-verdict ask
+    # #4): the disordered-feed rewrite for the two reordered drain rows
+    # is a pure function of the static event log; generating it here
+    # means pass 1 times the watermark-hold drain like passes 2-3 do,
+    # instead of drain + ~10 s of pyarrow feed rewrite (the process
+    # cache in catalog._reordered_feed already deduplicated passes 2-3)
+    from rigatoni_spark.catalog import _reordered_feed
+
+    _reordered_feed(SF_DIR)
+
     # --- headline: the reference's full spine, events/sec ----------------
     # input size is invariant across runs — count it outside the timed
     # region so the metric times exactly filter -> dedup -> serialize ->

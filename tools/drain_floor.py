@@ -35,29 +35,41 @@ def main() -> None:
 
     captured: list[dict] = []
 
-    def wrapped(df, what, order_cols, output_mode="append", cleanup=None):
+    def wrapped(
+        df, what, order_cols, output_mode="append", cleanup=None, feed=None
+    ):
+        from rigatoni_spark import tables
+        from rigatoni_spark.session import rocksdb_state
+
         name = f"{what}_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix=f"{what}_ckpt_")
+        width = None
+        if feed is not None:
+            paths = (feed,) if isinstance(feed, str) else tuple(feed)
+            width = tables.scaled_stream_width(df.sparkSession, *paths)
         t0 = time.monotonic()
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        t_started = time.monotonic()
-        try:
-            finished = q.awaitTermination(300)
-            t_done = time.monotonic()
-            if not finished or q.exception() is not None:
-                raise RuntimeError(f"{what}: {q.exception()}")
-            prog = q.recentProgress
-        finally:
-            shutil.rmtree(ckpt, ignore_errors=True)
-            if cleanup is not None:
-                cleanup()
+        with tables.scoped_shuffle_width(
+            df.sparkSession, width
+        ), rocksdb_state(df.sparkSession, changelog=True):
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            t_started = time.monotonic()
+            try:
+                finished = q.awaitTermination(300)
+                t_done = time.monotonic()
+                if not finished or q.exception() is not None:
+                    raise RuntimeError(f"{what}: {q.exception()}")
+                prog = q.recentProgress
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+                if cleanup is not None:
+                    cleanup()
         dur: dict[str, list] = {}
         for p in prog or []:
             for k, v in (p.get("durationMs") or {}).items():
