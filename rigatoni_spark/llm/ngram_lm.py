@@ -214,7 +214,7 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     # is the doc-sized checkpointed scores, the only blocks left
     # behind — and those are GC-tied, not CacheManager-pinned.
     rows = rows.persist()
-    tables, handles = _trained_tables(rows, prune_min=prune_min)
+    tables, handles, model_rows = _trained_tables(rows, prune_min=prune_min)
     # one materialization through the gram cache, lineage SEVERED
     # (localCheckpoint, not persist+count — the _materialize_once
     # idiom): every later action over the doc-sized scores (the gate's
@@ -224,7 +224,9 @@ def lm_surprisal(documents: DataFrame, prune_min: int = 1) -> DataFrame:
     # 0.3 s per banding-join action at sf0.1), and the blocks free by
     # GC when the returned plan drops instead of pinning a
     # CacheManager entry
-    scores = _score_with_model(rows, *tables).localCheckpoint()
+    scores = _score_with_model(
+        rows, *tables, model_rows=model_rows
+    ).localCheckpoint()
     rows.unpersist()
     for t in handles:
         t.unpersist()
@@ -242,8 +244,10 @@ def _score_rows(
     unpersist them once scoring is done (round-11 lesson: a persist
     without an unpersist plan taxes unrelated queries for the session
     lifetime)."""
-    tables, handles = _trained_tables(train_rows, prune_min=prune_min)
-    return _score_with_model(rows, *tables), handles
+    tables, handles, model_rows = _trained_tables(
+        train_rows, prune_min=prune_min
+    )
+    return _score_with_model(rows, *tables, model_rows=model_rows), handles
 
 
 def _trained_tables(
@@ -264,15 +268,17 @@ def _trained_tables(
     with the model must unpersist the handles (unpersisting uni/total
     themselves would be a no-op — they are filters over the rollup).
 
-    persist+count, NOT localCheckpoint (measured round 13): the scoring
-    joins rely on the tables' ACCURATE InMemoryRelation size stats to
-    auto-broadcast; a lineage-severed LogicalRDD reports the default
-    (huge) sizeInBytes, which silently demoted the stream-static
-    per-trigger joins — where no AQE can recover the strategy — to
-    shuffled joins (s7_stream_lm_surprisal 4.0 -> 5.7 s in the
-    interleaved A/B). The per-action lineage tax localCheckpoint fixes
-    is paid ONCE here by the scores materialization in lm_surprisal,
-    which IS checkpointed."""
+    persist+count, NOT localCheckpoint (measured round 13): the
+    persisted blocks keep each micro-batch from re-aggregating the
+    corpus. The join STRATEGY no longer rides the InMemoryRelation
+    stats (round 13's fragility: a lineage-severed handle reports the
+    default huge sizeInBytes and silently demoted the stream-static
+    per-trigger joins to shuffles) — the materialization counts feed a
+    size-probed explicit hint instead (round 14, the ``bpe_encode``
+    hatch pattern): the third return element is the LARGEST table's
+    row count, which ``_score_with_model`` turns into an explicit
+    broadcast below the model-size bound and a shuffled-hash hint
+    above it."""
     owned = not train_rows.is_cached and not train_rows.isStreaming
     if owned:
         train_rows = train_rows.persist()
@@ -286,10 +292,10 @@ def _trained_tables(
     # shared train_rows cache is still computed exactly once (the
     # BlockManager's per-partition locks serialize block computation,
     # not the jobs)
-    concurrently(*(t.count for t in handles))
+    counts = concurrently(*(t.count for t in handles))
     if owned:
         train_rows.unpersist()
-    return (tri, bi, uni, total), handles
+    return (tri, bi, uni, total), handles, max(counts)
 
 
 def _score_with_model(
@@ -298,15 +304,35 @@ def _score_with_model(
     bi: DataFrame,
     uni: DataFrame,
     total: DataFrame,
+    model_rows: int | None = None,
 ) -> DataFrame:
     """The scoring joins alone, model-source-agnostic: three left joins
     keyed by gram + the broadcast 1-row total — identical whether the
     tables came from inline training or a loaded artifact (lm_load),
-    which is what pins artifact == inline in the catalog."""
+    which is what pins artifact == inline in the catalog.
+
+    ``model_rows`` (the largest table's materialized row count, from
+    ``_trained_tables``) picks the join strategy EXPLICITLY — the
+    ``bpe_encode`` size-probe hatch (round 14): a model-sized table
+    broadcasts (the deliberate production topology: train once,
+    broadcast-score every micro-batch), a pathological one (> 5M gram
+    rows; web-scale whitespace vocabularies can push Heaps' growth
+    past Spark's 8 GB / 512M-row broadcast cap) takes a shuffled-hash
+    hint — same rows, no cliff. This removes the round-13 dependence
+    on persisted-table size stats for the stream-static per-trigger
+    joins, where AQE cannot re-plan a demotion. ``None`` (the artifact
+    path) keeps the planner's choice: lm_load reads parquet, whose
+    footer size stats are accurate."""
+    if model_rows is None:
+        _attach = lambda df: df  # noqa: E731 - parquet stats decide
+    elif model_rows <= 5_000_000:
+        _attach = F.broadcast
+    else:
+        _attach = lambda df: df.hint("shuffle_hash")  # noqa: E731
     scored = (
-        rows.join(tri, ["t2", "t1", "t"], "left")
-        .join(bi, ["t1", "t"], "left")
-        .join(uni, ["t"], "left")
+        rows.join(_attach(tri), ["t2", "t1", "t"], "left")
+        .join(_attach(bi), ["t1", "t"], "left")
+        .join(_attach(uni), ["t"], "left")
         .join(F.broadcast(total))
         .select(
             "doc_id",

@@ -225,9 +225,13 @@ def test_trained_tables_fold_total_into_rollup(tiny):
     handles, and the total table reads the CACHED rollup (its plan is
     an InMemoryTableScan, not a fresh corpus aggregation)."""
     rows = ngram_lm._position_rows(tiny)
-    (tri, bi, uni, total), handles = ngram_lm._trained_tables(rows)
+    (tri, bi, uni, total), handles, model_rows = ngram_lm._trained_tables(
+        rows
+    )
     try:
         assert len(handles) == 3
+        # the probe is the LARGEST materialized handle's row count
+        assert model_rows == max(h.count() for h in handles)
         for plan_df in (uni, total):
             plan = plan_df._jdf.queryExecution().executedPlan().toString()
             assert "InMemoryTableScan" in plan, plan
@@ -296,3 +300,38 @@ def test_surprisal_scores_are_lineage_severed(tiny):
     gate = ngram_lm.lm_gate(tiny)
     gplan = gate._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in gplan, gplan
+
+
+def test_scoring_join_strategy_is_size_probed(tiny):
+    """Round-14 (r13-verdict ask #6): the stream-static scoring joins
+    pick their strategy from the MATERIALIZED model size, not from
+    persisted-table stats (which round 13 measured silently demoting
+    the per-trigger joins to shuffles when lineage was severed). A
+    model-sized probe forces broadcast; a pathological (> 5M gram
+    rows) probe routes the same joins through shuffled-hash — same
+    rows, no cliff."""
+    rows = ngram_lm._position_rows(tiny)
+    (tri, bi, uni, total), handles, model_rows = ngram_lm._trained_tables(
+        rows
+    )
+    try:
+        small = ngram_lm._score_with_model(
+            rows, tri, bi, uni, total, model_rows=model_rows
+        )
+        plan = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+        big = ngram_lm._score_with_model(
+            rows, tri, bi, uni, total, model_rows=6_000_000
+        )
+        bplan = big._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in bplan, bplan
+        assert "SortMergeJoin" not in bplan, bplan
+        # both strategies compute identical rows
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        for t in handles:
+            t.unpersist()
