@@ -348,7 +348,26 @@ class AdmissionStream:
 
     # -- micro-batch body ----------------------------------------------
     def _admit(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        from rigatoni_spark.tables import (
+            scaled_stream_width,
+            scoped_shuffle_width,
+        )
+
         batch = batch.select(*self._payload)
+        # data-scaled shuffle width for the whole trigger body (round
+        # 14, guide §2.2): the probe joins and the three state writes
+        # run at the session's cluster-compute width otherwise — 32
+        # near-empty tasks, 32 tiny files and a 32-entry commit walk
+        # per write at bench scale. Width scales with the FEED's bytes
+        # (floor 8, clamp to session), so a 100 TB feed keeps the
+        # cluster-set width unchanged.
+        width = scaled_stream_width(self.spark, self.source_dir)
+        with scoped_shuffle_width(self.spark, width):
+            self._admit_body(batch, batch_id, Observation)
+
+    def _admit_body(self, batch: DataFrame, batch_id: int, Observation):
         prior = [
             p
             for p in self._committed_partitions("corpus")
@@ -374,7 +393,17 @@ class AdmissionStream:
         report_path = os.path.join(
             self._tree("reports"), f"ingest_batch={batch_id}"
         )
-        report.write.mode("overwrite").parquet(report_path)
+        # the stats probe rides the write job itself as Observation
+        # metrics (the pipeline's fused-probe idiom, round 14) instead
+        # of paying a separate agg job over the committed report — the
+        # observed rows ARE the written rows, and a replayed batch
+        # recounts exactly as the old read-back agg did
+        obs = Observation()
+        report.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_new").alias("adm"),
+        ).write.mode("overwrite").parquet(report_path)
         # downstream stages read the COMMITTED report back (lineage
         # truncation: the admission plan runs exactly once)
         report_back = self.spark.read.parquet(report_path)
@@ -394,20 +423,18 @@ class AdmissionStream:
         self._build_index(adm_back).write.mode("overwrite").parquet(
             os.path.join(self._tree("index"), f"ingest_batch={batch_id}")
         )
-        probe = report_back.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("is_new").cast("bigint").alias("adm"),
-        ).collect()[0]
+        probe = obs.get
+        n_seen = int(probe["n"] or 0)
         adm = int(probe["adm"] or 0)
         self.stats.batches += 1
-        self.stats.docs_seen += probe["n"]
+        self.stats.docs_seen += n_seen
         self.stats.docs_admitted += adm
-        self.stats.docs_rejected += probe["n"] - adm
+        self.stats.docs_rejected += n_seen - adm
         self.metrics.inc(M.ADMISSION_BATCHES, mode=self.mode)
-        self.metrics.inc(M.ADMISSION_DOCS, probe["n"], mode=self.mode)
+        self.metrics.inc(M.ADMISSION_DOCS, n_seen, mode=self.mode)
         self.metrics.inc(M.ADMISSION_ADMITTED, adm, mode=self.mode)
         self.metrics.inc(
-            M.ADMISSION_REJECTED, probe["n"] - adm, mode=self.mode
+            M.ADMISSION_REJECTED, n_seen - adm, mode=self.mode
         )
         self.metrics.set_gauge(
             M.ADMISSION_STATE_PARTITIONS,
